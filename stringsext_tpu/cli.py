@@ -1,0 +1,107 @@
+"""Command-line interface.
+
+Parity reference: /root/reference/src/options.rs:35-91 (flags) and
+/root/reference/src/main.rs:178-185 (entry point, exit codes per the
+manpage: 0 success, 1 error).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from .help import help_and_maybe_exit
+from .mission import MissionError
+from .options import Args, Radix
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="stringsext",
+        description="Find multi-byte encoded strings in binary data.",
+        add_help=True,
+    )
+    p.add_argument("-a", "--ascii-filter", dest="ascii_filter", metavar="AF",
+                   help="filter applied after decoding (see --list-encodings for AF examples)")
+    p.add_argument("-c", "--no-metadata", dest="no_metadata", action="store_true",
+                   help="never print byte-counter, encoding or filter")
+    p.add_argument("-d", "--debug-option", dest="debug_option", action="store_true",
+                   help="show how command-line-options are interpreted")
+    p.add_argument("-e", "--encoding", dest="encoding", action="append", default=[],
+                   metavar="ENC", help="set (multiple) encodings to search for")
+    p.add_argument("-g", "--grep-char", dest="grep_char", metavar="ASCII_CODE",
+                   help="grep for characters with ASCII-code in output lines")
+    p.add_argument("-l", "--list-encodings", dest="list_encodings", action="store_true",
+                   help="list predefined encoding and filter names for ENC")
+    p.add_argument("-n", "--chars-min", dest="chars_min", metavar="NUM",
+                   help="minimum characters of printed strings")
+    p.add_argument("-r", "--same-unicode-block", dest="same_unicode_block",
+                   action="store_true",
+                   help="require chars in finding to be in the same Unicode-block")
+    p.add_argument("-p", "--output", dest="output", metavar="FILE",
+                   help="print not to stdout but in file")
+    p.add_argument("-q", "--output-line-len", dest="output_line_len", metavar="NUM",
+                   help="output line length in Unicode-codepoints")
+    p.add_argument("-s", "--counter-offset", dest="counter_offset", metavar="NUM",
+                   help="start counting input bytes with NUM")
+    p.add_argument("-t", "--radix", dest="radix", metavar="RADIX",
+                   help="enable byte-counter with radix `o`, `x` or `d`")
+    p.add_argument("-u", "--unicode-block-filter", dest="unicode_block_filter",
+                   metavar="UBF",
+                   help="filter applied after decoding (see --list-encodings for UBF examples)")
+    p.add_argument("-V", "--version", dest="version", action="store_true",
+                   help="print version and exit")
+    p.add_argument("inputs", nargs="*", metavar="FILE",
+                   help="paths to files to scan (or `-` for stdin)")
+    return p
+
+
+def parse_args(argv: Optional[List[str]] = None) -> Args:
+    ns = build_parser().parse_args(argv)
+    radix = None
+    if ns.radix is not None:
+        try:
+            radix = Radix.from_str(ns.radix)
+        except ValueError as e:
+            print(f"error: Invalid value for '--radix <radix>': {e}", file=sys.stderr)
+            raise SystemExit(1)
+    return Args(
+        inputs=ns.inputs,
+        ascii_filter=ns.ascii_filter,
+        no_metadata=ns.no_metadata,
+        debug_option=ns.debug_option,
+        encoding=ns.encoding,
+        grep_char=ns.grep_char,
+        list_encodings=ns.list_encodings,
+        chars_min=ns.chars_min,
+        same_unicode_block=ns.same_unicode_block,
+        output=ns.output,
+        output_line_len=ns.output_line_len,
+        counter_offset=ns.counter_offset,
+        radix=radix,
+        unicode_block_filter=ns.unicode_block_filter,
+        version=ns.version,
+    )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = parse_args(argv)
+    try:
+        if help_and_maybe_exit(args):
+            return 0
+        from .run import run
+
+        return run(args)
+    except MissionError as e:
+        print(f"Error while parsing command-line arguments: {e}", file=sys.stderr)
+        return 1
+    except BrokenPipeError:
+        return 0
+    except Exception as e:  # run() error -> exit 1 (main.rs:181-184)
+        print(f"Error: `{e}`.", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,102 @@
+"""Input streaming: concatenate files (or stdin) into one logical byte
+stream, sliced for batch processing.
+
+Parity reference: /root/reference/src/input.rs (Slicer :33-168,
+INPUT_BUF_LEN=4096 :22, shrunk to 0x20 under test :24-25).
+
+The reference reads 4096-byte slices; multiple files are concatenated
+into ONE logical stream (so strings spanning a file boundary are found)
+while each slice still carries its originating file id. When a file
+ends, the reference emits one empty slice tagged with the *next* file's
+id (input.rs:134-158) - observable only as a no-op, but we reproduce the
+slice sequence exactly because slice boundaries are observable (they
+decide window grids, precision tags and leftovers).
+
+The TPU build separates *slicing* (this module: cheap bookkeeping that
+drives the emission automaton) from *bulk reading* (whole-stream reads
+feeding device-sized chunks to the classification kernels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import os
+import sys
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+# Size of one input slice in bytes (input.rs:22). Page-aligned.
+INPUT_BUF_LEN = 4096
+
+# ByteCounter is u64 in the reference (input.rs:16); Python ints are fine.
+
+
+@dataclasses.dataclass
+class StreamSlice:
+    """One slice of the logical input stream."""
+
+    data: np.ndarray  # uint8
+    stream_start: int  # offset of data[0] in the logical stream
+    input_file_id: Optional[int]  # None = stdin; 1-based file index
+    is_last: bool  # parity note: the reference never yields True
+    # (input.rs:130-137 returns None instead), so
+    # production scans never flush the decoder.
+
+
+@dataclasses.dataclass
+class LoadedStream:
+    """The whole logical input stream, resident in memory."""
+
+    data: np.ndarray  # uint8, concatenation of all inputs
+    # (file_id, stream_start, stream_end) per input in order; file_id is
+    # None for stdin.
+    spans: List[Tuple[Optional[int], int, int]]
+
+    def slices(self, buf_len: int = INPUT_BUF_LEN) -> Iterator[StreamSlice]:
+        """Replay the reference Slicer's slice sequence over the
+        in-memory stream: per file, `buf_len`-byte slices plus a short
+        tail; after each non-final file, one empty slice tagged with the
+        next file's id (input.rs:138-158)."""
+        nspans = len(self.spans)
+        for k, (file_id, start, end) in enumerate(self.spans):
+            pos = start
+            while pos < end:
+                n = min(buf_len, end - pos)
+                yield StreamSlice(self.data[pos : pos + n], pos, file_id, False)
+                pos += n
+            if k + 1 < nspans:
+                next_id = self.spans[k + 1][0]
+                yield StreamSlice(self.data[end:end], end, next_id, False)
+            # Final file: the reference returns None at EOF without
+            # yielding an empty last slice.
+
+
+def load_stream(inputs: List[str]) -> LoadedStream:
+    """Read all inputs into one stream. An unreadable file produces a
+    warning and is treated as empty (input.rs:78-84), and still occupies
+    a file-id position."""
+    parts: List[bytes] = []
+    spans: List[Tuple[Optional[int], int, int]] = []
+    pos = 0
+
+    use_stdin = (not inputs) or (len(inputs) == 1 and inputs[0] == "-")
+    if use_stdin:
+        buf = sys.stdin.buffer.read()
+        parts.append(buf)
+        spans.append((None, 0, len(buf)))
+    else:
+        for i, name in enumerate(inputs):
+            try:
+                with open(name, "rb") as f:
+                    buf = f.read()
+            except OSError as e:
+                print(f"Error: can not read file`\"{name}\"`: {e}", file=sys.stderr)
+                buf = b""
+            parts.append(buf)
+            spans.append((i + 1, pos, pos + len(buf)))
+            pos += len(buf)
+
+    data = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    return LoadedStream(data=data, spans=spans)
