@@ -8,8 +8,10 @@ is the TPU build's added "fake backend").
 
 import os
 
-# Must be set before jax is imported by any test module.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported by any test module. The session
+# environment may point at a real TPU (JAX_PLATFORMS=axon); tests always
+# run on the virtual CPU mesh for determinism and parallel safety.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

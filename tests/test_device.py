@@ -1,0 +1,117 @@
+"""Device kernels must be bit-exact with the host numpy generators.
+
+Random byte fuzz + structured corpora, per encoding kind; plus run-table
+consistency against a reference run computation.
+"""
+
+import numpy as np
+import pytest
+
+from stringsext_tpu.engine.events import generate_events
+from stringsext_tpu.mission import AF_ALL, UBF_ALL, UBF_INVALID, Utf8Filter
+from stringsext_tpu.ops import runs as runs_mod
+from stringsext_tpu.ops.device_events import generate_events_device
+
+rng = np.random.default_rng(42)
+
+
+def corpora():
+    out = [
+        b"",
+        b"plain ascii text with some numbers 12345",
+        "Héllo 世界 \U0001F600 mixed".encode("utf-8"),
+        b"\xff\xfe\xc3\x28\xe2\x82\xc0\xc1\xf5abc\xe2\x82",
+        "surrogate stress ퟿".encode("utf-8", "surrogatepass"),
+    ]
+    # Sizes stay within the 1024/2048 pad buckets: the CPU backend's
+    # scatter compile time grows steeply with shape, and every bucket is
+    # a fresh XLA compile. Real-chunk shapes are exercised by bench.py.
+    for size in (1, 2, 3, 7, 64, 1000, 2047):
+        out.append(rng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
+    # mostly-ascii with noise
+    base = bytearray(b"the quick brown fox jumps over the lazy dog " * 20)
+    for i in rng.integers(0, len(base), 40):
+        base[i] = int(rng.integers(128, 256))
+    out.append(bytes(base))
+    # utf-16 shaped data incl. surrogates
+    units = rng.integers(0, 0x10000, size=500, dtype=np.uint16)
+    out.append(units.tobytes())
+    return out
+
+
+def _assert_events_equal(a, b, ctx):
+    assert len(a) == len(b), f"{ctx}: count {len(a)} != {len(b)}"
+    for field in ("pos", "in_len", "cp", "report", "pushback"):
+        np.testing.assert_array_equal(
+            getattr(a, field), getattr(b, field), err_msg=f"{ctx}: {field}"
+        )
+
+
+@pytest.mark.parametrize("enc", ["UTF-8", "UTF-16LE", "UTF-16BE", "windows-1252",
+                                 "KOI8-R", "x-user-defined", "IBM866"])
+def test_device_events_match_host(enc):
+    for i, blob in enumerate(corpora()):
+        data = np.frombuffer(blob, np.uint8)
+        host = generate_events(data, enc)
+        dev = generate_events_device(data, enc)
+        _assert_events_equal(host, dev, f"{enc} corpus#{i}")
+
+
+def _reference_runs(data, enc, filt):
+    """Run table computed from host events (reference for extract_runs)."""
+    from stringsext_tpu.engine.automaton import utf8_lead
+
+    ev = generate_events(data, enc)
+    runs = []
+    cur = None
+    for i in range(len(ev)):
+        cp = int(ev.cp[i])
+        pos = int(ev.pos[i])
+        ln = int(ev.in_len[i])
+        ok = cp >= 0 and (
+            filt.pass_af_filter(cp) if cp < 0x80 else filt.pass_ubf_filter(utf8_lead(cp))
+        )
+        if ok and cur is not None and cur[1] == pos:
+            cur[1] = pos + ln
+            cur[2] += 1
+            cur[3] += int(cp == 63)
+        elif ok:
+            if cur:
+                runs.append(tuple(cur))
+            cur = [pos, pos + ln, 1, int(cp == 63)]
+        else:
+            if cur:
+                runs.append(tuple(cur))
+            cur = None
+    if cur:
+        runs.append(tuple(cur))
+    return runs
+
+
+@pytest.mark.parametrize("enc", ["UTF-8", "windows-1251"])
+def test_extract_runs_matches_reference(enc):
+    import jax.numpy as jnp
+
+    from stringsext_tpu.ops import classify
+
+    filt = Utf8Filter(af=AF_ALL, ubf=UBF_ALL & ~UBF_INVALID, grep_char=63)
+
+    class M:  # minimal mission-like for filter_words
+        filter = filt
+
+    from stringsext_tpu.ops.device_events import compute_lanes
+
+    af_w, ubf_w = runs_mod.filter_words(M)
+    for i, blob in enumerate(corpora()):
+        if len(blob) == 0:
+            continue
+        data = np.frombuffer(blob, np.uint8)
+        lanes = compute_lanes(data, enc)
+        rt = runs_mod.extract_runs(
+            lanes, jnp.asarray(af_w), jnp.asarray(ubf_w), jnp.int32(63)
+        )
+        count = int(rt.count)
+        s, e, ch, gh = (np.asarray(x) for x in (rt.start, rt.end, rt.chars, rt.grep_hits))
+        got = [(int(s[k]), int(e[k]), int(ch[k]), int(gh[k])) for k in range(count)]
+        want = _reference_runs(data, enc, filt)
+        assert got == want, f"{enc} corpus#{i}\n got={got[:10]}\nwant={want[:10]}"
