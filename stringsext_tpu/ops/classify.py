@@ -149,8 +149,12 @@ def utf16_lanes(b: jax.Array, big_endian: bool, n: jax.Array | None = None) -> L
     n = jnp.asarray(n, jnp.int32)
     nu_cap = cap // 2
     nu = n // 2  # complete units
-    d = b.astype(jnp.int32).reshape(nu_cap, 2)
-    units = (d[:, 0] << 8) | d[:, 1] if big_endian else (d[:, 1] << 8) | d[:, 0]
+    # 1-D strided slices, NOT a (nu, 2) reshape: a minor dim of 2 would
+    # be lane-padded 2->128 on TPU (64x HBM blowup).
+    bi = b.astype(jnp.int32)
+    b_even = jax.lax.slice(bi, (0,), (cap,), (2,))
+    b_odd = jax.lax.slice(bi, (1,), (cap,), (2,))
+    units = (b_even << 8) | b_odd if big_endian else (b_odd << 8) | b_even
 
     uidx = jnp.arange(nu_cap, dtype=jnp.int32)
     u_in = uidx < nu
@@ -177,11 +181,15 @@ def utf16_lanes(b: jax.Array, big_endian: bool, n: jax.Array | None = None) -> L
     u_pushback = jnp.where(lone_high, 2, 0)
     u_pending = pend_high & u_in
 
-    def expand(x, fill):
-        """unit lanes -> byte lanes (value at unit's first byte)."""
-        return jnp.stack([x, jnp.full_like(x, fill)], axis=1).reshape(-1)
-
     idxb = jnp.arange(cap, dtype=jnp.int32)
+    even_byte = (idxb & 1) == 0
+
+    def expand(x, fill):
+        """unit lanes -> byte lanes (value at unit's first byte).
+        jnp.repeat keeps everything 1-D (no lane-padded minor dim)."""
+        rep = jnp.repeat(x, 2, total_repeat_length=cap)
+        fill_arr = jnp.full((cap,), fill, rep.dtype)
+        return jnp.where(even_byte, rep, fill_arr)
     odd_last = (n % 2 == 1) & (idxb == n - 1)  # trailing half unit
     start = expand(u_start, False) | odd_last
     pending = expand(u_pending, False) | odd_last

@@ -103,48 +103,63 @@ def extract_runs(
     """Compact maximal accepted-char runs into a fixed-size table.
 
     A run is a maximal sequence of chars that all pass the AF/UBF
-    filter, measured over char-start positions (bytes inside a
-    multi-byte char belong to their char). Segmented reduction is done
-    with cumsum + scatter (XLA lowers this efficiently on TPU).
+    filter (bytes inside a multi-byte char belong to their char; runs
+    break at rejected chars, malformed sequences and gaps).
+
+    Deliberately scatter-free for the TPU: run adjacency is decided
+    with <=4 static shifts (chars are 1-4 bytes), run boundaries are
+    located with cumsum + a capacity-sized vectorized searchsorted, and
+    per-run aggregates come from prefix-sum differences gathered at the
+    capacity-sized boundary vectors. Everything large is elementwise,
+    cumsum, or a K-sized gather - no O(n) scatter.
     """
     n = lanes.cp.shape[0]
-    accept = accept_mask(lanes, af_words, ubf_words)
-
-    # next char-start after each accepted char (for run end offsets).
-    char_end = jnp.where(accept, jnp.arange(n, dtype=jnp.int32) + lanes.length, 0)
-
-    # A char-start position is "covered" if accepted; runs break where
-    # the *char chain* breaks. Two accepted chars are adjacent in a run
-    # iff the second starts exactly where the first ends AND both pass.
-    # Scatter each accepted char's end to that position; ends == n can
-    # never join a following char and are dropped (index n).
-    ends_idx = jnp.where(accept & (char_end < n), char_end, n)
-    prev_accept_end = (
-        jnp.zeros(n + 1, jnp.int32).at[ends_idx].max(jnp.where(accept, char_end, 0))[:n]
-    )
     idx = jnp.arange(n, dtype=jnp.int32)
-    joined = accept & (prev_accept_end == idx) & (idx > 0)
-    run_start = accept & ~joined
+    accept = accept_mask(lanes, af_words, ubf_words)
+    length = lanes.length
 
-    run_id = jnp.cumsum(run_start.astype(jnp.int32)) - 1  # per position
-    nruns = jnp.maximum(run_id[-1] + 1, 0) if n > 0 else jnp.int32(0)
+    def shift_right(x, k):
+        return jnp.concatenate([jnp.zeros((k,), x.dtype), x[: n - k]])
 
-    # Scatter per-run aggregates.
-    rid = jnp.where(accept, run_id, capacity)  # drop non-accepted
-    rid = jnp.minimum(rid, capacity)  # overflow rows collapse to slot K
-    starts = jnp.full((capacity + 1,), jnp.int32(2**31 - 1))
-    starts = starts.at[jnp.where(run_start, jnp.minimum(run_id, capacity), capacity)].min(idx)
-    ends = jnp.zeros((capacity + 1,), jnp.int32).at[rid].max(char_end)
-    chars = jnp.zeros((capacity + 1,), jnp.int32).at[rid].add(accept.astype(jnp.int32))
-    grep_hits = jnp.zeros((capacity + 1,), jnp.int32).at[rid].add(
-        (accept & (lanes.cp == grep_char)).astype(jnp.int32)
+    def shift_left(x, k):
+        return jnp.concatenate([x[k:], jnp.zeros((k,), x.dtype)])
+
+    # continued-from-previous: an accepted char of length L ends here.
+    cont_prev = jnp.zeros(n, bool)
+    joins_next = jnp.zeros(n, bool)
+    for L in (1, 2, 3, 4):
+        cont_prev |= shift_right(accept & (length == L), L)
+        joins_next |= (length == L) & shift_left(accept, L)
+    run_start = accept & ~cont_prev
+    run_end = accept & ~(joins_next & accept)
+
+    cs_start = jnp.cumsum(run_start.astype(jnp.int32))
+    cs_end = jnp.cumsum(run_end.astype(jnp.int32))
+    nruns = cs_start[-1]
+
+    k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    si = jnp.searchsorted(cs_start, k, side="left").astype(jnp.int32)
+    ei = jnp.searchsorted(cs_end, k, side="left").astype(jnp.int32)
+    row_ok = k <= nruns
+    si_c = jnp.minimum(si, n - 1)
+    ei_c = jnp.minimum(ei, n - 1)
+
+    pref_chars = jnp.cumsum(accept.astype(jnp.int32))
+    gflag = accept & (lanes.cp == grep_char)
+    pref_grep = jnp.cumsum(gflag.astype(jnp.int32))
+
+    start = jnp.where(row_ok, si_c, jnp.int32(2**31 - 1))
+    end = jnp.where(row_ok, ei_c + length[ei_c], 0)
+    chars = jnp.where(row_ok, pref_chars[ei_c] - pref_chars[si_c] + 1, 0)
+    grep_hits = jnp.where(
+        row_ok, pref_grep[ei_c] - pref_grep[si_c] + gflag[si_c].astype(jnp.int32), 0
     )
 
     return RunTable(
-        start=starts[:capacity],
-        end=ends[:capacity],
-        chars=chars[:capacity],
-        grep_hits=grep_hits[:capacity],
+        start=start,
+        end=end,
+        chars=chars,
+        grep_hits=grep_hits,
         count=jnp.minimum(nruns, capacity),
         overflow=nruns > capacity,
     )

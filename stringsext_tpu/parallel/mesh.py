@@ -1,0 +1,168 @@
+"""Mesh-sharded scanning: the distributed analog of the reference's
+thread-per-mission + sequential-slices model (SURVEY.md section 2
+"Parallelism strategies" and section 5 "Long-context").
+
+Design (TPU-native, not a port):
+
+- 2-D device mesh ("data", "mission").
+- The byte stream is sharded over the "data" axis with small halo
+  exchange (`jax.lax.ppermute` over ICI): each shard receives the last
+  4 bytes of its left neighbor (context so leading continuation bytes /
+  unit parity classify exactly) and the first 8 bytes of its right
+  neighbor (lookahead so trailing multi-byte chars classify exactly).
+  This replaces the reference's sequential decoder-carry
+  (scanner.rs:45-48) with parallel carry-free classification: UTF-8 /
+  UTF-16 validity is locally decidable given <=4 bytes of context on
+  each side.
+- Missions are SPMD over the "mission" axis: every mission-device runs
+  the same program and selects its encoding's classification kernel
+  with `jax.lax.switch` on `axis_index("mission")` (all kernels produce
+  identically-shaped Lanes). Filters are sharded over the mission axis.
+  This is the reference's one-thread-per-encoding (main.rs:151-167)
+  recast as a tiny expert axis.
+- Output: one fixed-capacity RunTable per (data-shard, mission) with
+  global byte offsets - the sparse summary the host merges and feeds to
+  the emission automaton. Only run tables cross the network, never the
+  byte stream.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..encodings import (
+    KIND_SINGLE_BYTE,
+    KIND_UTF16BE,
+    KIND_UTF16LE,
+    KIND_UTF8,
+    encoding_kind,
+)
+from ..mission import Mission
+from ..ops import classify
+from ..ops.runs import RunTable, extract_runs, filter_words
+
+LEFT_CTX = 4  # bytes of left-neighbor context (max char span - 1, parity-safe)
+RIGHT_HALO = 8  # bytes of right-neighbor lookahead
+
+
+def make_mesh(n_data: int, n_mission: int, devices: Sequence[jax.Device] | None = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_mission, (
+        f"need {n_data * n_mission} devices, have {len(devices)}"
+    )
+    devs = np.array(devices[: n_data * n_mission]).reshape(n_data, n_mission)
+    return Mesh(devs, ("data", "mission"))
+
+
+def _kernel_for(kind: str, encoding_name: str):
+    """Classification kernel (chunk, n) -> Lanes for one encoding."""
+    if kind == KIND_UTF8:
+        return lambda c, n: classify.utf8_lanes(c, n)
+    if kind == KIND_UTF16LE:
+        return lambda c, n: classify.utf16_lanes(c, False, n)
+    if kind == KIND_UTF16BE:
+        return lambda c, n: classify.utf16_lanes(c, True, n)
+    if kind == KIND_SINGLE_BYTE:
+        return lambda c, n: classify.single_byte_lanes(c, encoding_name, n)
+    raise NotImplementedError(f"no device kernel for {kind}")
+
+
+def build_sharded_scan(
+    missions: Sequence[Mission], mesh: Mesh, shard_len: int, capacity: int = 4096
+):
+    """Compile a jitted SPMD scan step.
+
+    Returns fn(data_u8[n_data * shard_len]) -> RunTable with leading
+    axes [n_data, n_mission] and *global* byte offsets. `shard_len` must
+    be a multiple of 2 (UTF-16 unit parity across shards).
+    """
+    assert shard_len % 2 == 0, "shard_len must keep UTF-16 unit parity"
+    n_data = mesh.shape["data"]
+    n_mission = mesh.shape["mission"]
+    assert len(missions) <= n_mission
+
+    kernels = []
+    af_list, ubf_list, grep_list = [], [], []
+    for m in missions:
+        kind = encoding_kind(m.encoding_name)
+        kernels.append(_kernel_for(kind, m.encoding_name))
+        af_w, ubf_w = filter_words(m)
+        af_list.append(af_w)
+        ubf_list.append(ubf_w)
+        grep_list.append(-1 if m.filter.grep_char is None else m.filter.grep_char)
+    while len(kernels) < n_mission:  # pad mission axis with replicas
+        kernels.append(kernels[-1])
+        af_list.append(af_list[-1])
+        ubf_list.append(ubf_list[-1])
+        grep_list.append(grep_list[-1])
+
+    af_words = jnp.asarray(np.stack(af_list))  # [M, 4] uint32
+    ubf_words = jnp.asarray(np.stack(ubf_list))  # [M, 2] uint32
+    greps = jnp.asarray(np.array(grep_list, dtype=np.int32))  # [M]
+
+    def shard_body(b_shard, af_w, ubf_w, grep):
+        # b_shard: [shard_len] local bytes; af_w: [1, 4] (mission-sharded)
+        af_w, ubf_w, grep = af_w[0], ubf_w[0], grep[0]
+        di = jax.lax.axis_index("data")
+        mi = jax.lax.axis_index("mission")
+
+        # Halo exchange over the data axis (ICI neighbors). Non-wrapping
+        # permutes zero-fill the stream edges; zero bytes consume
+        # themselves in every supported encoding, so edge shards
+        # classify exactly (see module docstring).
+        right_to_left = [(i + 1, i) for i in range(n_data - 1)]
+        left_to_right = [(i, i + 1) for i in range(n_data - 1)]
+        halo = jax.lax.ppermute(b_shard[:RIGHT_HALO], "data", right_to_left)
+        ctx = jax.lax.ppermute(b_shard[-LEFT_CTX:], "data", left_to_right)
+        chunk = jnp.concatenate([ctx, b_shard, halo])
+
+        n_real = jnp.int32(LEFT_CTX + shard_len) + jnp.where(
+            di < n_data - 1, RIGHT_HALO, 0
+        )
+        lanes = jax.lax.switch(
+            jnp.minimum(mi, len(kernels) - 1),
+            [functools.partial(k) for k in kernels],
+            chunk,
+            n_real,
+        )
+        # Keep only events owned by this shard: start in
+        # [LEFT_CTX, LEFT_CTX + shard_len).
+        idx = jnp.arange(chunk.shape[0], dtype=jnp.int32)
+        own = (idx >= LEFT_CTX) & (idx < LEFT_CTX + shard_len)
+        lanes = lanes._replace(
+            start=lanes.start & own,
+            valid=lanes.valid & own,
+            pending=lanes.pending & own,
+        )
+        rt = extract_runs(lanes, af_w, ubf_w, grep, capacity=capacity)
+        # Rebase offsets: local chunk -> global stream.
+        base = di.astype(jnp.int32) * shard_len - LEFT_CTX
+        has_row = jnp.arange(capacity) < rt.count
+        rt = rt._replace(
+            start=jnp.where(has_row, rt.start + base, rt.start),
+            end=jnp.where(has_row, rt.end + base, rt.end),
+        )
+        return jax.tree.map(lambda x: x[None, None], rt)
+
+    from jax import shard_map
+
+    sharded = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P("data"), P("mission"), P("mission"), P("mission")),
+        out_specs=P("data", "mission"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def scan_step(data_u8):
+        b = data_u8.reshape(n_data * shard_len)
+        return sharded(b, af_words, ubf_words, greps)
+
+    return scan_step

@@ -8,15 +8,20 @@ is the TPU build's added "fake backend").
 
 import os
 
-# Must be set before jax is imported by any test module. The session
-# environment may point at a real TPU (JAX_PLATFORMS=axon); tests always
-# run on the virtual CPU mesh for determinism and parallel safety.
+# Must be set before any backend initializes. The session environment
+# may point at a real TPU (axon plugin, which overrides JAX_PLATFORMS
+# env), so force the platform through jax.config - tests always run on
+# the virtual 8-device CPU mesh for determinism and speed.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,77 @@
+"""Mesh-sharded scan must agree with single-device scanning.
+
+Runs on the virtual 8-device CPU mesh (conftest). Run tables from the
+sharded scan, after stitching contiguous cross-shard runs, must equal
+the single-chunk reference runs for every mission.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stringsext_tpu.mission import Missions
+from stringsext_tpu.ops import classify
+from stringsext_tpu.ops.device_events import compute_lanes
+from stringsext_tpu.ops.runs import extract_runs, filter_words
+from stringsext_tpu.parallel.mesh import build_sharded_scan, make_mesh
+
+rng = np.random.default_rng(7)
+
+
+def _single_runs(data, mission, capacity=1024):
+    lanes = compute_lanes(data, mission.encoding_name)
+    af_w, ubf_w = filter_words(mission)
+    g = -1 if mission.filter.grep_char is None else mission.filter.grep_char
+    rt = extract_runs(lanes, jnp.asarray(af_w), jnp.asarray(ubf_w), jnp.int32(g),
+                      capacity=capacity)
+    cnt = int(rt.count)
+    s, e, c, gh = (np.asarray(x) for x in (rt.start, rt.end, rt.chars, rt.grep_hits))
+    return [(int(s[k]), int(e[k]), int(c[k]), int(gh[k])) for k in range(cnt)]
+
+
+def _stitch(rows):
+    """Merge runs that are contiguous across shard boundaries."""
+    out = []
+    for r in sorted(rows):
+        if out and out[-1][1] == r[0]:
+            p = out[-1]
+            out[-1] = (p[0], r[1], p[2] + r[2], p[3] + r[3])
+        else:
+            out.append(r)
+    return out
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_scan_matches_single_device():
+    ms = Missions.new(flag_encoding=["ascii", "UTF-8", "utf-16le", "utf-16be"])
+    mesh = make_mesh(2, 4)
+    shard_len = 512
+    scan = build_sharded_scan(ms.v, mesh, shard_len=shard_len, capacity=256)
+
+    for trial in range(4):
+        data = rng.integers(0, 256, size=2 * shard_len, dtype=np.uint8)
+        # plant strings crossing the shard boundary
+        text = b"boundary crossing ascii string here"
+        data[shard_len - 17 : shard_len - 17 + len(text)] = np.frombuffer(
+            text, np.uint8
+        )
+        u16 = "UTF16 boundary Жж str".encode("utf-16-le")
+        p = shard_len - 20 - (trial % 2)  # exercise both unit parities
+        data[p : p + len(u16)] = np.frombuffer(u16, np.uint8)
+
+        rt = scan(jnp.asarray(data))
+        cnt = np.asarray(rt.count)
+        st, en, ch, gh = (np.asarray(x) for x in (rt.start, rt.end, rt.chars, rt.grep_hits))
+        for mi, m in enumerate(ms.v):
+            rows = []
+            for d in range(2):
+                rows.extend(
+                    (int(st[d, mi, k]), int(en[d, mi, k]), int(ch[d, mi, k]),
+                     int(gh[d, mi, k]))
+                    for k in range(int(cnt[d, mi]))
+                )
+            got = _stitch(rows)
+            want = _stitch(_single_runs(data, m))
+            assert got == want, f"trial {trial} mission {mi} ({m.encoding_name})"
