@@ -73,6 +73,35 @@ class LoadedStream:
             # yielding an empty last slice.
 
 
+def slice_table(stream: LoadedStream, buf_len: int = INPUT_BUF_LEN):
+    """Vectorized slice table for the native engine: arrays
+    (stream_start int64, length int32, file_id int32 [-1 = stdin],
+    is_last uint8) matching `LoadedStream.slices()` exactly."""
+    starts: List[np.ndarray] = []
+    lens: List[np.ndarray] = []
+    fids: List[np.ndarray] = []
+    nspans = len(stream.spans)
+    for k, (file_id, start, end) in enumerate(stream.spans):
+        n = end - start
+        if n > 0:
+            s = np.arange(start, end, buf_len, dtype=np.int64)
+            l = np.minimum(end - s, buf_len).astype(np.int32)
+            starts.append(s)
+            lens.append(l)
+            fids.append(np.full(len(s), -1 if file_id is None else file_id, np.int32))
+        if k + 1 < nspans:  # empty switch slice tagged with next file's id
+            nid = stream.spans[k + 1][0]
+            starts.append(np.array([end], np.int64))
+            lens.append(np.array([0], np.int32))
+            fids.append(np.array([-1 if nid is None else nid], np.int32))
+    if not starts:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.int32), np.zeros(0, np.uint8))
+    s = np.concatenate(starts)
+    return (s, np.concatenate(lens), np.concatenate(fids),
+            np.zeros(len(s), np.uint8))
+
+
 def load_stream(inputs: List[str]) -> LoadedStream:
     """Read all inputs into one stream. An unreadable file produces a
     warning and is treated as empty (input.rs:78-84), and still occupies

@@ -1,0 +1,197 @@
+"""Native runtime: C++ emission engine bindings (ctypes).
+
+Builds `libemitter.so` on demand with g++ (cached next to the source).
+If no toolchain is available the engine reports unavailable and callers
+fall back to the pure-Python automaton (identical output, slower).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "emitter.cpp")
+_LIB = os.path.join(_DIR, "libemitter.so")
+
+_lib = None
+_lib_tried = False
+
+
+class _SeMission(ctypes.Structure):
+    _fields_ = [
+        ("af_lo", ctypes.c_uint64),
+        ("af_hi", ctypes.c_uint64),
+        ("ubf", ctypes.c_uint64),
+        ("grep_char", ctypes.c_int32),
+        ("chars_min_nb", ctypes.c_int32),
+        ("line_max", ctypes.c_int32),
+        ("same_block", ctypes.c_int32),
+        ("counter_offset", ctypes.c_uint64),
+        ("kind", ctypes.c_int32),
+        ("table256", ctypes.POINTER(ctypes.c_int32)),
+    ]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (OSError, subprocess.CalledProcessError) as e:
+        sys.stderr.write(f"stringsext-tpu: native emitter build failed: {e}\n")
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+    P = ctypes.POINTER
+    lib.se_scan.restype = ctypes.c_void_p
+    lib.se_scan.argtypes = [
+        ctypes.c_void_p,  # data
+        ctypes.c_int64,  # total
+        ctypes.c_void_p,  # slice_starts int64*
+        ctypes.c_void_p,  # slice_lens int32*
+        ctypes.c_void_p,  # slice_file_ids int32*
+        ctypes.c_void_p,  # slice_is_last uint8*
+        ctypes.c_int64,  # nslices
+        P(_SeMission),
+        P(ctypes.c_int64),  # out_count
+        P(P(ctypes.c_uint64)),  # position
+        P(P(ctypes.c_int8)),  # precision
+        P(P(ctypes.c_uint8)),  # completes
+        P(P(ctypes.c_int32)),  # file_id
+        P(P(ctypes.c_uint64)),  # str_off
+        P(P(ctypes.c_uint32)),  # str_len
+        P(P(ctypes.c_uint8)),  # strbuf
+        P(ctypes.c_int64),  # strbuf_len
+    ]
+    lib.se_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+# kind codes (emitter.cpp)
+KIND_CODE = {"utf8": 0, "utf16le": 1, "utf16be": 2, "single-byte": 3}
+
+
+def native_supported(encoding_kind: str) -> bool:
+    return encoding_kind in KIND_CODE and get_lib() is not None
+
+
+def native_scan(
+    mission,
+    data: np.ndarray,
+    slice_starts: np.ndarray,
+    slice_lens: np.ndarray,
+    slice_file_ids: np.ndarray,
+    slice_is_last: np.ndarray,
+):
+    """Scan one mission natively. Returns (findings_struct_array,
+    strbuf_bytes): positions/precision/completes/file_id/str ranges.
+    """
+    from ..encodings import encoding_kind, full_byte_table
+
+    lib = get_lib()
+    kind = encoding_kind(mission.encoding_name)
+    code = KIND_CODE[kind]
+
+    table = None
+    table_ptr = None
+    if kind == "single-byte":
+        table = np.ascontiguousarray(full_byte_table(mission.encoding_name), dtype=np.int32)
+        table_ptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    f = mission.filter
+    sm = _SeMission(
+        af_lo=f.af & 0xFFFFFFFFFFFFFFFF,
+        af_hi=(f.af >> 64) & 0xFFFFFFFFFFFFFFFF,
+        ubf=f.ubf,
+        grep_char=-1 if f.grep_char is None else f.grep_char,
+        chars_min_nb=mission.chars_min_nb,
+        line_max=mission.output_line_char_nb_max,
+        same_block=1 if mission.require_same_unicode_block else 0,
+        counter_offset=mission.counter_offset,
+        kind=code,
+        table256=table_ptr,
+    )
+
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    slice_starts = np.ascontiguousarray(slice_starts, dtype=np.int64)
+    slice_lens = np.ascontiguousarray(slice_lens, dtype=np.int32)
+    slice_file_ids = np.ascontiguousarray(slice_file_ids, dtype=np.int32)
+    slice_is_last = np.ascontiguousarray(slice_is_last, dtype=np.uint8)
+
+    P = ctypes.POINTER
+    count = ctypes.c_int64()
+    p_pos = P(ctypes.c_uint64)()
+    p_prec = P(ctypes.c_int8)()
+    p_comp = P(ctypes.c_uint8)()
+    p_fid = P(ctypes.c_int32)()
+    p_soff = P(ctypes.c_uint64)()
+    p_slen = P(ctypes.c_uint32)()
+    p_sbuf = P(ctypes.c_uint8)()
+    sbuf_len = ctypes.c_int64()
+
+    handle = lib.se_scan(
+        data.ctypes.data,
+        len(data),
+        slice_starts.ctypes.data,
+        slice_lens.ctypes.data,
+        slice_file_ids.ctypes.data,
+        slice_is_last.ctypes.data,
+        len(slice_lens),
+        ctypes.byref(sm),
+        ctypes.byref(count),
+        ctypes.byref(p_pos),
+        ctypes.byref(p_prec),
+        ctypes.byref(p_comp),
+        ctypes.byref(p_fid),
+        ctypes.byref(p_soff),
+        ctypes.byref(p_slen),
+        ctypes.byref(p_sbuf),
+        ctypes.byref(sbuf_len),
+    )
+    try:
+        n = count.value
+
+        def arr(ptr, dtype):
+            if n == 0:
+                return np.zeros(0, dtype)
+            return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+
+        res = {
+            "position": arr(p_pos, np.uint64),
+            "precision": arr(p_prec, np.int8),
+            "completes": arr(p_comp, np.uint8),
+            "file_id": arr(p_fid, np.int32),
+            "str_off": arr(p_soff, np.uint64),
+            "str_len": arr(p_slen, np.uint32),
+        }
+        sb = (
+            bytes(np.ctypeslib.as_array(p_sbuf, shape=(sbuf_len.value,)))
+            if sbuf_len.value
+            else b""
+        )
+        return res, sb
+    finally:
+        lib.se_free(handle)

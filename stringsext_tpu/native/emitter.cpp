@@ -1,0 +1,489 @@
+// Native emission engine: scalar decode-event classifiers + the exact
+// emission automaton, C ABI for ctypes.
+//
+// This is the host-side runtime counterpart of the device kernels: the
+// reference's hot loops (encoding_rs DFA + SplitStr walk) re-implemented
+// as a single-pass scalar engine whose OBSERVABLE OUTPUT is bit-identical
+// with stringsext_tpu.engine.{events,automaton} (fuzz-tested against the
+// Python path, which is itself conformance-tested against the reference
+// golden corpus /root/reference/tests/functional).
+//
+// Supported kinds: UTF-8, UTF-16LE/BE, single-byte (table-driven).
+// CJK/ISO-2022-JP remain on the Python path.
+//
+// Build: g++ -O3 -shared -fPIC -o libemitter.so emitter.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Mission {
+    uint64_t af_lo, af_hi;  // 128-bit AF filter
+    uint64_t ubf;           // 64-bit UBF filter
+    int32_t grep_char;      // -1 = none
+    int32_t chars_min_nb;
+    int32_t line_max;       // output_line_char_nb_max
+    int32_t same_block;
+    uint64_t counter_offset;
+    int32_t kind;  // 0 utf8, 1 utf16le, 2 utf16be, 3 single-byte
+    const int32_t* table256;
+};
+
+// Findings are stored struct-of-arrays for clean numpy interop.
+struct Output;
+
+struct Event {
+    int64_t pos;
+    int32_t in_len;
+    int32_t cp;  // -1 malformed
+    int64_t report;
+    int32_t pushback;
+};
+
+// ---------- scalar event classifiers (mirror engine/events.py) ----------
+
+// UTF-8: sequential walk; returns false when the event at p would need
+// bytes beyond n (pending at stream end).
+static inline bool utf8_next(const uint8_t* d, int64_t n, int64_t p, Event* ev) {
+    uint8_t b = d[p];
+    ev->pos = p;
+    ev->pushback = 0;
+    if (b < 0x80) {
+        ev->in_len = 1; ev->cp = b; ev->report = p; return true;
+    }
+    auto cont = [&](int64_t i) { return i < n && (d[i] & 0xC0) == 0x80; };
+    auto have = [&](int64_t i) { return i < n; };
+    if (b >= 0xC2 && b <= 0xDF) {
+        if (!have(p + 1)) return false;  // pending
+        if (cont(p + 1)) {
+            ev->in_len = 2; ev->cp = ((b & 0x1F) << 6) | (d[p + 1] & 0x3F);
+            ev->report = p + 1; return true;
+        }
+        ev->in_len = 1; ev->cp = -1; ev->report = p + 1; return true;
+    }
+    if (b >= 0xE0 && b <= 0xEF) {
+        if (!have(p + 1)) return false;
+        bool c1ok = cont(p + 1) &&
+                    !(b == 0xE0 && d[p + 1] < 0xA0) &&
+                    !(b == 0xED && d[p + 1] > 0x9F);
+        if (!c1ok) { ev->in_len = 1; ev->cp = -1; ev->report = p + 1; return true; }
+        if (!have(p + 2)) return false;
+        if (cont(p + 2)) {
+            ev->in_len = 3;
+            ev->cp = ((b & 0x0F) << 12) | ((d[p + 1] & 0x3F) << 6) | (d[p + 2] & 0x3F);
+            ev->report = p + 2; return true;
+        }
+        ev->in_len = 2; ev->cp = -1; ev->report = p + 2; return true;
+    }
+    if (b >= 0xF0 && b <= 0xF4) {
+        if (!have(p + 1)) return false;
+        bool c1ok = cont(p + 1) &&
+                    !(b == 0xF0 && d[p + 1] < 0x90) &&
+                    !(b == 0xF4 && d[p + 1] > 0x8F);
+        if (!c1ok) { ev->in_len = 1; ev->cp = -1; ev->report = p + 1; return true; }
+        if (!have(p + 2)) return false;
+        if (!cont(p + 2)) { ev->in_len = 2; ev->cp = -1; ev->report = p + 2; return true; }
+        if (!have(p + 3)) return false;
+        if (cont(p + 3)) {
+            ev->in_len = 4;
+            ev->cp = ((b & 0x07) << 18) | ((d[p + 1] & 0x3F) << 12) |
+                     ((d[p + 2] & 0x3F) << 6) | (d[p + 3] & 0x3F);
+            ev->report = p + 3; return true;
+        }
+        ev->in_len = 3; ev->cp = -1; ev->report = p + 3; return true;
+    }
+    // stray continuation / C0 / C1 / F5-FF: intrinsic 1-byte malformed
+    ev->in_len = 1; ev->cp = -1; ev->report = p; return true;
+}
+
+static inline bool utf16_next(const uint8_t* d, int64_t n, int64_t p, bool be, Event* ev) {
+    if (p + 1 >= n) return false;  // half unit pending
+    uint32_t u = be ? (d[p] << 8) | d[p + 1] : (d[p + 1] << 8) | d[p];
+    ev->pos = p; ev->pushback = 0;
+    bool high = u >= 0xD800 && u <= 0xDBFF;
+    bool low = u >= 0xDC00 && u <= 0xDFFF;
+    if (!high && !low) { ev->in_len = 2; ev->cp = (int32_t)u; ev->report = p + 1; return true; }
+    if (low) { ev->in_len = 2; ev->cp = -1; ev->report = p + 1; return true; }
+    // high surrogate: need the next unit to decide
+    if (p + 3 >= n) return false;  // pending lone high at stream end
+    uint32_t u2 = be ? (d[p + 2] << 8) | d[p + 3] : (d[p + 3] << 8) | d[p + 2];
+    if (u2 >= 0xDC00 && u2 <= 0xDFFF) {
+        ev->in_len = 4;
+        ev->cp = 0x10000 + ((u & 0x3FF) << 10) + (u2 & 0x3FF);
+        ev->report = p + 3; return true;
+    }
+    ev->in_len = 2; ev->cp = -1; ev->report = p + 3; ev->pushback = 2;
+    return true;
+}
+
+static inline bool next_event(const Mission& m, const uint8_t* d, int64_t n,
+                              int64_t p, Event* ev) {
+    switch (m.kind) {
+        case 0: return utf8_next(d, n, p, ev);
+        case 1: return utf16_next(d, n, p, false, ev);
+        case 2: return utf16_next(d, n, p, true, ev);
+        default: {
+            ev->pos = p; ev->in_len = 1; ev->cp = m.table256[d[p]];
+            ev->report = p; ev->pushback = 0; return true;
+        }
+    }
+}
+
+// ---------- char helpers ----------
+
+static inline int utf8_len_of(int32_t cp) {
+    if (cp < 0x80) return 1;
+    if (cp < 0x800) return 2;
+    if (cp < 0x10000) return 3;
+    return 4;
+}
+
+static inline int utf8_lead_of(int32_t cp) {
+    if (cp < 0x80) return cp;
+    if (cp < 0x800) return 0xC0 | (cp >> 6);
+    if (cp < 0x10000) return 0xE0 | (cp >> 12);
+    return 0xF0 | (cp >> 18);
+}
+
+static void utf8_append(std::vector<uint8_t>& out, int32_t cp) {
+    if (cp < 0x80) { out.push_back((uint8_t)cp); return; }
+    if (cp < 0x800) {
+        out.push_back(0xC0 | (cp >> 6));
+        out.push_back(0x80 | (cp & 0x3F));
+        return;
+    }
+    if (cp < 0x10000) {
+        out.push_back(0xE0 | (cp >> 12));
+        out.push_back(0x80 | ((cp >> 6) & 0x3F));
+        out.push_back(0x80 | (cp & 0x3F));
+        return;
+    }
+    out.push_back(0xF0 | (cp >> 18));
+    out.push_back(0x80 | ((cp >> 12) & 0x3F));
+    out.push_back(0x80 | ((cp >> 6) & 0x3F));
+    out.push_back(0x80 | (cp & 0x3F));
+}
+
+static inline bool pass_af(const Mission& m, int32_t cp) {
+    return cp < 64 ? ((m.af_lo >> cp) & 1) : ((m.af_hi >> (cp - 64)) & 1);
+}
+static inline bool pass_ubf(const Mission& m, int lead) {
+    return (m.ubf >> (lead & 0x3F)) & 1;
+}
+
+// ---------- SplitStr port (helper.rs:206-433 == automaton.split_str) ----
+
+struct Chunk {
+    int32_t start, end;
+    bool completes, maybe_cut, filtered_again, min_ok, grep_ok;
+};
+
+// Stateful iterator over one call's chars.
+struct SplitStr {
+    const int32_t* cps;
+    int32_t n;
+    const Mission* m;
+    bool last_maybe_cut;
+    bool invalid_after;
+    int32_t inp_start = 0, p = 0;
+    bool done = false;
+
+    bool next(Chunk* out) {
+        if (done) return false;
+        const Mission& mm = *m;
+        bool grep_ok = mm.grep_char < 0;
+        int32_t ok_s_p = p, ok_char_nb = 0, last_multi_lead = 0;
+        while (p < n && ok_char_nb < mm.line_max) {
+            int32_t cp = cps[p];
+            bool char_ok, goto_next;
+            if (cp < 0x80) {
+                if (!grep_ok && mm.grep_char == cp) grep_ok = true;
+                char_ok = pass_af(mm, cp);
+                goto_next = true;
+            } else {
+                int lead = utf8_lead_of(cp);
+                if (pass_ubf(mm, lead)) {
+                    if (!mm.same_block || lead == last_multi_lead || last_multi_lead == 0) {
+                        last_multi_lead = lead; char_ok = true; goto_next = true;
+                    } else {
+                        last_multi_lead = lead; char_ok = false; goto_next = false;
+                    }
+                } else {
+                    last_multi_lead = 0; char_ok = false; goto_next = true;
+                }
+            }
+            if (char_ok) { ok_char_nb++; p++; }
+            else {
+                if (goto_next) p++;
+                if ((last_maybe_cut && ok_char_nb > 0 && ok_s_p == inp_start) ||
+                    (ok_char_nb >= mm.chars_min_nb && grep_ok)) break;
+                ok_char_nb = 0; ok_s_p = p; grep_ok = mm.grep_char < 0;
+            }
+        }
+        if (ok_char_nb == 0) { done = true; return false; }
+        bool left = ok_s_p == inp_start;
+        bool right = ok_s_p + ok_char_nb >= n;
+        bool maybe_cut = ok_char_nb >= mm.line_max || (right && !invalid_after);
+        bool completes = left && last_maybe_cut;
+        bool again = !completes && right && !invalid_after &&
+                     (ok_char_nb < mm.line_max || !grep_ok);
+        bool min_ok = ok_char_nb >= mm.chars_min_nb;
+        if (!completes && !again && (!grep_ok || !min_ok)) { done = true; return false; }
+        if (ok_char_nb >= mm.line_max) inp_start = p;
+        last_maybe_cut = maybe_cut;
+        out->start = ok_s_p; out->end = ok_s_p + ok_char_nb;
+        out->completes = completes; out->maybe_cut = maybe_cut;
+        out->filtered_again = again; out->min_ok = min_ok; out->grep_ok = grep_ok;
+        return true;
+    }
+};
+
+// ---------- fresh-decode heuristic (finding_collection.rs:155-207) ----
+
+// Decode slice bytes from offset 0 with a fresh decoder into an 8-byte
+// UTF-8 budget; stop at malformed / budget / end. Mirrors
+// automaton._fresh_decode_prefix.
+static void fresh_decode_prefix(const Mission& m, const uint8_t* d, int64_t n,
+                                std::vector<uint8_t>& out) {
+    out.clear();
+    int64_t limit = n < 64 ? n : 64;
+    int64_t p = 0;
+    while (p < limit) {
+        Event ev;
+        if (!next_event(m, d, limit, p, &ev)) break;  // pending == flush stop
+        if (ev.cp < 0) break;
+        int l = utf8_len_of(ev.cp);
+        if ((int)out.size() + l > 8) break;
+        utf8_append(out, ev.cp);
+        p = ev.pos + ev.in_len;
+    }
+}
+
+// ---------- the automaton (automaton.SliceScanner, exact) -------------
+
+struct Output {
+    std::vector<uint64_t> position;
+    std::vector<int8_t> precision;  // -1 before, 0 exact, 1 after
+    std::vector<uint8_t> completes;
+    std::vector<int32_t> file_id;
+    std::vector<uint64_t> str_off;
+    std::vector<uint32_t> str_len;
+    std::vector<uint8_t> strbuf;
+    size_t size() const { return position.size(); }
+};
+
+struct ScanState {
+    std::vector<int32_t> leftover;
+    bool printed_maybe_cut = false;
+    uint64_t consumed;
+};
+
+static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
+                         const int64_t* sl_start, const int32_t* sl_len,
+                         const int32_t* sl_file, const uint8_t* sl_last,
+                         int64_t nslices, Output& out) {
+    ScanState st;
+    st.consumed = m.counter_offset;
+
+    int64_t cursor = 0;  // next un-consumed event start position
+    Event ev;
+    bool ev_ok = false;  // ev holds the next event
+    auto advance = [&]() {
+        ev_ok = false;
+        if (cursor >= total) return;
+        if (!next_event(m, data, total, cursor, &ev)) { cursor = total; return; }
+        ev_ok = true;
+    };
+    advance();
+
+    std::vector<int32_t> chars;
+    std::vector<uint8_t> fresh, refpfx;
+
+    for (int64_t s = 0; s < nslices; s++) {
+        const int64_t sstart = sl_start[s];
+        const int32_t slen = sl_len[s];
+        const int32_t file_id = sl_file[s];
+        const bool is_last = sl_last[s] != 0;
+        const int64_t send = sstart + slen;
+        const int64_t w = 2 * (int64_t)m.line_max;
+
+        bool have_pending = !st.leftover.empty();
+        std::vector<int32_t> pending = std::move(st.leftover);
+        st.leftover.clear();
+        bool flag = st.printed_maybe_cut;
+
+        int64_t label = 0;
+
+        // one decode call
+        auto process_call = [&](int64_t call_label, const std::vector<int32_t>& call_chars,
+                                bool invalid_after) {
+            int8_t precision = 0;  // exact
+            if (call_label == 0 && !call_chars.empty()) {
+                if (utf8_lead_of(call_chars[0]) >= 0x80) {
+                    refpfx.clear();
+                    if (have_pending)
+                        for (int32_t c : pending) {
+                            if (refpfx.size() >= 8) break;
+                            utf8_append(refpfx, c);
+                        }
+                    for (int32_t c : call_chars) {
+                        if (refpfx.size() >= 8) break;
+                        utf8_append(refpfx, c);
+                    }
+                    if (refpfx.size() > 8) refpfx.resize(8);
+                    fresh_decode_prefix(m, data + sstart, slen, fresh);
+                    bool differ = fresh.empty();
+                    if (!differ)
+                        differ = fresh.size() > refpfx.size() ||
+                                 memcmp(refpfx.data(), fresh.data(), fresh.size()) != 0;
+                    if (differ) precision = -1;
+                }
+            }
+            chars.clear();
+            if (have_pending) {
+                chars = pending;
+                precision = -1;
+                have_pending = false;
+                pending.clear();
+            }
+            chars.insert(chars.end(), call_chars.begin(), call_chars.end());
+
+            bool continue_str = flag;
+            flag = false;
+
+            SplitStr ss{chars.data(), (int32_t)chars.size(), &m, continue_str,
+                        invalid_after};
+            Chunk ch;
+            while (ss.next(&ch)) {
+                if (!ch.filtered_again) {
+                    uint64_t off = out.strbuf.size();
+                    for (int32_t i = ch.start; i < ch.end; i++)
+                        utf8_append(out.strbuf, chars[i]);
+                    out.position.push_back(st.consumed + (uint64_t)call_label);
+                    out.precision.push_back(precision);
+                    out.completes.push_back(ch.completes ? 1 : 0);
+                    out.file_id.push_back(file_id);
+                    out.str_off.push_back(off);
+                    out.str_len.push_back((uint32_t)(out.strbuf.size() - off));
+                    pending.clear();
+                    have_pending = false;
+                    flag = ch.maybe_cut;
+                } else {
+                    pending.assign(chars.begin() + ch.start, chars.begin() + ch.end);
+                    have_pending = true;
+                    flag = false;
+                }
+                precision = 1;  // after
+            }
+        };
+
+        std::vector<int32_t> call_chars;
+        int64_t ws = 0;
+        while (ws < slen) {
+            int64_t we = ws + w < slen ? ws + w : slen;
+            bool last_window = we == slen;
+            for (;;) {
+                int64_t call_label = label;
+                call_chars.clear();
+                bool ended_mal = false;
+                Event mal;
+                while (ev_ok) {
+                    int64_t r = ev.report - sstart;
+                    if (r >= we) break;  // belongs to a later window/slice
+                    if (ev.cp < 0) {
+                        mal = ev;
+                        // Consume the malformed bytes; for the UTF-16
+                        // lone-high case the lookahead unit starts at
+                        // pos+in_len and is re-classified by advance()
+                        // (the pushback re-decode).
+                        cursor = ev.pos + ev.in_len;
+                        advance();
+                        ended_mal = true;
+                        break;
+                    }
+                    call_chars.push_back(ev.cp);
+                    cursor = ev.pos + ev.in_len;
+                    advance();
+                }
+                bool invalid_after = ended_mal || (last_window && is_last);
+                process_call(call_label, call_chars, invalid_after);
+                if (!ended_mal) break;
+                int64_t cand = mal.pos + mal.in_len - sstart;
+                if (cand >= label) label = cand;
+                else {
+                    int64_t c2 = cand + mal.pushback;
+                    label = label > c2 ? label : c2;
+                }
+            }
+            label = we;
+            ws = we;
+        }
+
+        if (is_last && slen > 0) {
+            call_chars.clear();
+            process_call(label, call_chars, true);
+        }
+
+        st.leftover = std::move(pending);
+        st.printed_maybe_cut = flag;
+        st.consumed += (uint64_t)slen;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+struct se_mission {
+    uint64_t af_lo, af_hi;
+    uint64_t ubf;
+    int32_t grep_char;
+    int32_t chars_min_nb;
+    int32_t line_max;
+    int32_t same_block;
+    uint64_t counter_offset;
+    int32_t kind;
+    const int32_t* table256;
+};
+
+// Scans one mission over the sliced stream. Returns an opaque handle
+// (free with se_free); result arrays are exposed via the out-params and
+// stay valid until the handle is freed. Struct-of-arrays for clean
+// numpy interop.
+void* se_scan(const uint8_t* data, int64_t total,
+              const int64_t* slice_starts, const int32_t* slice_lens,
+              const int32_t* slice_file_ids, const uint8_t* slice_is_last,
+              int64_t nslices, const se_mission* sm,
+              int64_t* out_count,
+              const uint64_t** out_position, const int8_t** out_precision,
+              const uint8_t** out_completes, const int32_t** out_file_id,
+              const uint64_t** out_str_off, const uint32_t** out_str_len,
+              const uint8_t** out_strbuf, int64_t* out_strbuf_len) {
+    Mission m;
+    m.af_lo = sm->af_lo; m.af_hi = sm->af_hi; m.ubf = sm->ubf;
+    m.grep_char = sm->grep_char; m.chars_min_nb = sm->chars_min_nb;
+    m.line_max = sm->line_max; m.same_block = sm->same_block;
+    m.counter_offset = sm->counter_offset; m.kind = sm->kind;
+    m.table256 = sm->table256;
+
+    Output* out = new Output();
+    scan_mission(m, data, total, slice_starts, slice_lens, slice_file_ids,
+                 slice_is_last, nslices, *out);
+
+    *out_count = (int64_t)out->size();
+    *out_position = out->position.data();
+    *out_precision = out->precision.data();
+    *out_completes = out->completes.data();
+    *out_file_id = out->file_id.data();
+    *out_str_off = out->str_off.data();
+    *out_str_len = out->str_len.data();
+    *out_strbuf = out->strbuf.data();
+    *out_strbuf_len = (int64_t)out->strbuf.size();
+    return out;
+}
+
+void se_free(void* handle) { delete (Output*)handle; }
+
+}  // extern "C"

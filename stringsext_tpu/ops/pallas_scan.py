@@ -1,0 +1,223 @@
+"""Fused Pallas TPU kernel for the hot UTF-8 mission scan.
+
+One pass over the byte stream producing one packed uint8 lane per byte:
+
+  bit 0    : accept     - byte starts a valid char that passes AF/UBF
+  bits 1-3 : length     - event input length (1..4) at event starts
+  bit 4    : grep match - accepted 1-byte char equal to grep_char
+  bit 5    : char start - an event starts here (valid or malformed)
+  bit 6    : valid      - the event is a char
+
+This fuses what the jnp path (ops/classify.py + ops/runs.accept_mask)
+does in many int32 lanes into a single VMEM-resident pass with uint8
+in/out: ~2 bytes of HBM traffic per input byte instead of dozens.
+
+Key structural fact making this a single elementwise pass: UTF-8 events
+only ever claim *continuation* bytes, and only events starting at
+non-continuation bytes claim anything, so "is this byte an event
+start?" depends on at most 3 bytes of lookback and 3 of lookahead - no
+scan/cummax primitive needed (the jnp path's cummax is equivalent but
+was written before this observation).
+
+Layout: the stream is viewed as (rows, 128) uint8. Cross-tile halos are
+provided by three BlockSpecs on the same input (previous tile's tail,
+the tile, next tile's head), so the kernel needs no manual DMA.
+Byte-stream shifts on the 2-D view are lane rolls patched at the lane
+edge with a sublane roll (see _stream_shift).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+# Halo rows on each side of a tile. Only ~4 bytes of look{back,ahead}
+# are semantically needed, but Mosaic requires uint8 block sublane
+# counts divisible by the (32, 128) tile, so the halo is one full tile.
+HALO_ROWS = 32
+
+ACCEPT_BIT = 1
+LEN_SHIFT = 1
+GREP_BIT = 1 << 4
+START_BIT = 1 << 5
+VALID_BIT = 1 << 6
+
+
+def _roll(x, shift, axis):
+    """Circular roll; jnp.roll lowers to the TPU roll op in Mosaic and
+    also works in interpreter mode."""
+    return jnp.roll(x, shift, axis=axis)
+
+
+def _shift_stream(x, k):
+    """x shifted left by k bytes in STREAM order on the (R,128) view
+    (lookahead): y[r,c] = flat[r*128+c+k]. Composed of a lane roll
+    patched at the lane edge with a sublane roll. Wrap-around pollution
+    only reaches the discarded halo rows."""
+    y = x
+    for _ in range(k):
+        first_up = _roll(y[:, 0:1], -1, 0)  # y[r+1, 0]
+        y2 = _roll(y, -1, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        y = jnp.where(col == LANE - 1, first_up, y2)
+    return y
+
+
+def _utf8_kernel(af_ref, ubf_ref, grep_ref, prev_ref, cur_ref, next_ref, out_ref):
+    """Compute packed lanes for the owned tile (cur_ref)."""
+    x = jnp.concatenate(
+        [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
+    ).astype(jnp.int32)
+
+    b = x
+    b1 = _shift_stream(b, 1)
+    b2 = _shift_stream(b, 2)
+    b3 = _shift_stream(b, 3)
+
+    cont = (b >> 6) == 0b10
+    c1 = (b1 >> 6) == 0b10
+    c2 = (b2 >> 6) == 0b10
+    c3 = (b3 >> 6) == 0b10
+
+    lead1 = b < 0x80
+    lead2 = (b >= 0xC2) & (b <= 0xDF)
+    lead3 = (b >= 0xE0) & (b <= 0xEF)
+    lead4 = (b >= 0xF0) & (b <= 0xF4)
+
+    c1ok3 = c1 & jnp.where(b == 0xE0, b1 >= 0xA0, jnp.where(b == 0xED, b1 <= 0x9F, True))
+    c1ok4 = c1 & jnp.where(b == 0xF0, b1 >= 0x90, jnp.where(b == 0xF4, b1 <= 0x8F, True))
+
+    valid2 = lead2 & c1
+    valid3 = lead3 & c1ok3 & c2
+    valid4 = lead4 & c1ok4 & c2 & c3
+    ev_valid = lead1 | valid2 | valid3 | valid4
+
+    ev_len = jnp.where(valid2, 2, 1)
+    ev_len = jnp.where(valid3, 3, ev_len)
+    ev_len = jnp.where(valid4, 4, ev_len)
+    bad_len = jnp.where(lead3 & c1ok3 & ~c2, 2, 1)
+    bad_len = jnp.where(lead4 & c1ok4 & ~c2, 2, bad_len)
+    bad_len = jnp.where(lead4 & c1ok4 & c2 & ~c3, 3, bad_len)
+    ev_len = jnp.where(ev_valid, ev_len, bad_len)
+
+    # Event start: non-cont bytes always; cont bytes iff no event
+    # starting 1..3 bytes back (necessarily at a non-cont byte) claims
+    # them. Purely local lookback.
+    claim_len = ev_len  # claims = event length (pending claims only at
+    # the true stream end, outside any owned tile interior; the caller
+    # handles the final chunk tail on the host path)
+    claimed = jnp.zeros_like(cont)
+    for k in (1, 2, 3):
+        nck = _right_shift_stream_bool(~cont, k)
+        clk = _right_shift_stream(claim_len, k)
+        claimed = claimed | (nck & (clk > k))
+    is_start = (~cont) | ~claimed
+
+    # AF/UBF filter on the lead byte (decoded lead == input lead for
+    # UTF-8). Branch-free 128/64-bit mask lookup via word selects.
+    word_idx = (b >> 5) & 0x3
+    afw = jnp.zeros_like(b)
+    for wi in range(4):
+        afw = jnp.where(word_idx == wi, af_ref[0, wi], afw)
+    af_pass = ((afw >> (b & 0x1F)) & 1) != 0
+    ubw = jnp.where(((b >> 5) & 1) == 0, ubf_ref[0, 0], ubf_ref[0, 1])
+    ubf_pass = ((ubw >> (b & 0x1F)) & 1) != 0
+    passes = jnp.where(lead1, af_pass, ubf_pass)
+
+    accept = is_start & ev_valid & passes
+    grep = accept & (b == grep_ref[0, 0])
+
+    packed = (
+        accept.astype(jnp.int32) * ACCEPT_BIT
+        | (jnp.where(is_start, ev_len, 0) << LEN_SHIFT)
+        | grep.astype(jnp.int32) * GREP_BIT
+        | is_start.astype(jnp.int32) * START_BIT
+        | (is_start & ev_valid).astype(jnp.int32) * VALID_BIT
+    )
+    rows = cur_ref.shape[0]
+    # int32 output: this Mosaic build rejects narrowing i32->i8 stores
+    # ("Unsupported target bitwidth for truncation").
+    out_ref[...] = packed[HALO_ROWS : HALO_ROWS + rows, :]
+
+
+def _right_shift_stream(x, k):
+    """x shifted right by k bytes in stream order (lookback)."""
+    y = x
+    for _ in range(k):
+        last_down = _roll(y[:, LANE - 1 :], 1, 0)  # y[r-1, 127]
+        y2 = _roll(y, 1, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        y = jnp.where(col == 0, last_down, y2)
+    return y
+
+
+def _right_shift_stream_bool(x, k):
+    return _right_shift_stream(x.astype(jnp.int32), k) != 0
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def utf8_mission_lanes(
+    data_2d: jax.Array,
+    af_words: jax.Array,
+    ubf_words: jax.Array,
+    grep_char: jax.Array,
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed mission lanes for a (rows, 128) uint8 view of the stream.
+
+    rows must be a multiple of tile_rows. The first/last tile's halo
+    blocks are clamped duplicates; their influence is masked out by the
+    ~4-byte locality (callers pad the stream with >=128 zero bytes on
+    each side, which zero-extend cleanly: 0x00 is a 1-byte char).
+    """
+    rows = data_2d.shape[0]
+    assert data_2d.shape[1] == LANE
+    assert rows % tile_rows == 0
+    ntiles = rows // tile_rows
+
+    grid = (ntiles,)
+    # Three views of the same input: previous tile tail, tile, next head.
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),  # af
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),  # ubf
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),  # grep
+        pl.BlockSpec(
+            (HALO_ROWS, LANE),
+            lambda i: (jnp.maximum(i * tile_rows - HALO_ROWS, 0) // HALO_ROWS, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (tile_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (HALO_ROWS, LANE),
+            lambda i: (
+                jnp.minimum((i + 1) * tile_rows, rows - HALO_ROWS) // HALO_ROWS,
+                0,
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_spec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _utf8_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+        interpret=interpret,
+    )(
+        af_words.astype(jnp.int32).reshape(1, 4),
+        ubf_words.astype(jnp.int32).reshape(1, 2),
+        grep_char.astype(jnp.int32).reshape(1, 1),
+        data_2d,
+        data_2d,
+        data_2d,
+    )

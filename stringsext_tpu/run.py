@@ -82,7 +82,153 @@ def scan_stream_batches(
         yield list(heapq_merge(*per_mission, key=lambda f: f.sort_key()))
 
 
-def run(args: Args, out: Optional[IO[bytes]] = None) -> int:
+def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
+    """Scan all missions, returning per-mission column arrays:
+    dict(position, precision, completes, file_id, str_off, str_len) +
+    strbuf. Uses the native C++ engine for supported encodings (exact
+    same output, orders of magnitude faster than the per-slice Python
+    loop), the Python automaton otherwise."""
+    import numpy as np
+
+    from . import native
+    from .encodings import encoding_kind
+    from .input import slice_table
+
+    results = [None] * len(missions.v)
+    native_ok = engine != "python"
+    sl = slice_table(stream) if native_ok else None
+    python_missions = []
+    native_jobs = []
+    for i, m in enumerate(missions):
+        kind = encoding_kind(m.encoding_name)
+        if native_ok and native.native_supported(kind):
+            native_jobs.append((i, m))
+        else:
+            python_missions.append(m)
+
+    if native_jobs:
+        # One OS thread per mission, like the reference (main.rs:151-167);
+        # the C call releases the GIL.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def job(im):
+            i, m = im
+            return i, m, native.native_scan(m, stream.data, *sl)
+
+        if len(native_jobs) == 1:
+            i, m, (res, sb) = job(native_jobs[0])
+            results[i] = (m, res, sb)
+        else:
+            with ThreadPoolExecutor(max_workers=len(native_jobs)) as ex:
+                for i, m, (res, sb) in ex.map(job, native_jobs):
+                    results[i] = (m, res, sb)
+
+    if python_missions:
+        sub = Missions(python_missions)
+        per_mission_findings = {id(m): [] for m in python_missions}
+        events_by_encoding = _generate_all_events(stream, sub, "numpy")
+        from .engine.automaton import SliceScanner
+
+        scanners = [SliceScanner(m) for m in python_missions]
+        for s in stream.slices():
+            for sc in scanners:
+                ev = events_by_encoding[sc.mission.encoding_name]
+                per_mission_findings[id(sc.mission)].extend(
+                    sc.scan_slice(s.data, s.stream_start, ev, s.input_file_id, s.is_last)
+                )
+        it = iter(python_missions)
+        for i, r in enumerate(results):
+            if r is None:
+                m = next(it)
+                fl = per_mission_findings[id(m)]
+                sb = b"".join(f.s for f in fl)
+                offs = np.zeros(len(fl), np.uint64)
+                lens = np.array([len(f.s) for f in fl], np.uint32)
+                if len(fl):
+                    offs[1:] = np.cumsum(lens.astype(np.uint64))[:-1]
+                res = {
+                    "position": np.array([f.position for f in fl], np.uint64),
+                    "precision": np.array(
+                        [f.position_precision for f in fl], np.int8
+                    ),
+                    "completes": np.array(
+                        [1 if f.s_completes_previous_s else 0 for f in fl], np.uint8
+                    ),
+                    "file_id": np.array(
+                        [-1 if f.input_file_id is None else f.input_file_id for f in fl],
+                        np.int32,
+                    ),
+                    "str_off": offs,
+                    "str_len": lens,
+                }
+                results[i] = (m, res, sb)
+    return results
+
+
+def write_output(out, args: Args, results) -> None:
+    """Merge per-mission finding arrays by (position, mission_id) - the
+    reference's kmerge key (finding.rs:92-109) - and write the exact
+    output grammar (BOM, per-line metadata, final newline)."""
+    import numpy as np
+
+    from .finding import PRECISION_AFTER, PRECISION_BEFORE
+    from .options import Radix
+
+    out.write(b"\xef\xbb\xbf")  # U+FEFF BOM (main.rs:116)
+
+    positions = np.concatenate([r[1]["position"] for r in results])
+    mids = np.concatenate(
+        [np.full(len(r[1]["position"]), r[0].mission_id, np.int32) for r in results]
+    )
+    midx = np.concatenate(
+        [np.full(len(r[1]["position"]), i, np.int32) for i, r in enumerate(results)]
+    )
+    ridx = np.concatenate(
+        [np.arange(len(r[1]["position"]), dtype=np.int64) for r in results]
+    )
+    order = np.lexsort((mids, positions))
+
+    show_file = len(args.inputs) > 1
+    show_radix = args.radix is not None
+    show_enc = len(args.encoding) > 1
+    no_meta = args.no_metadata
+    enc_names = [r[0].display_encoding_name.encode() for r in results]
+    enc_prefix = [
+        b"(" + bytes([r[0].mission_id + 97]) + b" " + enc_names[i] + b")\t"
+        for i, r in enumerate(results)
+    ]
+    radix_fmt = {Radix.X: "x", Radix.D: "d", Radix.O: "o"}.get(args.radix)
+
+    w = out.write
+    buf = bytearray()
+    for k in order.tolist():
+        mi = midx[k]
+        i = ridx[k]
+        m, res, sb = results[mi]
+        buf += b"\n"
+        if not no_meta:
+            if show_file:
+                fid = res["file_id"][i]
+                if fid >= 0:
+                    buf += bytes([fid + 64, 0x20])
+            if show_radix:
+                p = res["precision"][i]
+                buf += b">" if p == PRECISION_AFTER else (b"<" if p == PRECISION_BEFORE else b" ")
+                buf += format(int(res["position"][i]), radix_fmt).encode()
+                buf += b"+\t" if res["completes"][i] else b" \t"
+            if show_enc:
+                buf += enc_prefix[mi]
+        o = int(res["str_off"][i])
+        buf += sb[o : o + int(res["str_len"][i])]
+        if len(buf) >= 1 << 20:
+            w(bytes(buf))
+            buf.clear()
+    w(bytes(buf))
+    out.write(b"\n")
+    out.flush()
+
+
+def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> int:
     """CLI entry: load input, scan, write the output stream.
 
     Output contract (main.rs:103-139): BOM first, then "\\n" before each
@@ -100,12 +246,8 @@ def run(args: Args, out: Optional[IO[bytes]] = None) -> int:
             out = sys.stdout.buffer
 
     try:
-        out.write(b"\xef\xbb\xbf")  # U+FEFF BOM (main.rs:116)
-        for batch in scan_stream_batches(stream, missions):
-            for f in batch:
-                f.print(out, args)
-        out.write(b"\n")
-        out.flush()
+        results = _scan_arrays(stream, missions, engine)
+        write_output(out, args, results)
     finally:
         if close_out:
             out.close()

@@ -1,0 +1,92 @@
+"""Native C++ engine must produce byte-identical output with the
+Python automaton path, across encodings, filters and boundary layouts.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from stringsext_tpu.cli import parse_args
+from stringsext_tpu.native import get_lib
+from stringsext_tpu.run import run
+
+rng = np.random.default_rng(11)
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="no native toolchain")
+
+
+def _run(argv, stream_bytes, engine):
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(stream_bytes)
+        path = f.name
+    try:
+        args = parse_args(argv + [path])
+        buf = io.BytesIO()
+        assert run(args, out=buf, engine=engine) == 0
+        return buf.getvalue()
+    finally:
+        os.unlink(path)
+
+
+def _corpus(i):
+    size = [300, 5000, 9000, 16384][i % 4]
+    data = bytearray(rng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
+    texts = [
+        "plain ascii string with spaces".encode(),
+        "déjà vu être naïve €uro".encode("utf-8"),
+        "UTF16LE Кириллица text".encode("utf-16-le"),
+        "UTF16BE Ελληνικά text".encode("utf-16-be"),
+        "astral \U0001F600\U0001F601 chars".encode("utf-8"),
+    ]
+    for j, t in enumerate(texts):
+        off = (j * 977 + i * 131) % max(1, size - len(t) - 1)
+        data[off : off + len(t)] = t
+    return bytes(data)
+
+
+CONFIGS = [
+    ["-e", "UTF-8", "-tx"],
+    ["-e", "UTF-8", "-e", "utf-16le", "-e", "utf-16be", "-tx", "-q", "16"],
+    ["-e", "ascii", "-n", "6", "-td"],
+    ["-e", "utf-16le,6,All,Default", "-tx", "-g", "32"],
+    ["-e", "UTF-8", "-r", "-u", "Default", "-to"],
+    ["-e", "windows-1251", "-e", "KOI8-R", "-tx", "-n", "3"],
+    ["-e", "UTF-8", "-c"],
+    ["-e", "utf-16be", "-tx", "-s", "77777", "-q", "8"],
+]
+
+
+@pytest.mark.parametrize("ci", range(len(CONFIGS)))
+def test_native_matches_python(ci):
+    for i in range(3):
+        blob = _corpus(i + ci)
+        a = _run(CONFIGS[ci], blob, "python")
+        b = _run(CONFIGS[ci], blob, "auto")
+        assert a == b, f"config {ci} corpus {i}: outputs differ"
+
+
+def test_native_multifile():
+    import os, tempfile
+
+    blobs = [_corpus(0), _corpus(1), b"", _corpus(2)]
+    paths = []
+    for b in blobs:
+        f = tempfile.NamedTemporaryFile(delete=False)
+        f.write(b)
+        f.close()
+        paths.append(f.name)
+    try:
+        argv = ["-e", "UTF-8", "-e", "utf-16le", "-tx", "-q", "20"]
+        outs = []
+        for engine in ("python", "auto"):
+            args = parse_args(argv + paths)
+            buf = io.BytesIO()
+            run(args, out=buf, engine=engine)
+            outs.append(buf.getvalue())
+        assert outs[0] == outs[1]
+    finally:
+        for p in paths:
+            os.unlink(p)
