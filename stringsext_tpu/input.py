@@ -102,15 +102,27 @@ def slice_table(stream: LoadedStream, buf_len: int = INPUT_BUF_LEN):
             np.zeros(len(s), np.uint8))
 
 
+# Single files at least this large are memory-mapped instead of read
+# into RAM: the scan engines stream through the pages sequentially.
+MMAP_THRESHOLD = 64 * 1024 * 1024
+
+
 def load_stream(inputs: List[str]) -> LoadedStream:
     """Read all inputs into one stream. An unreadable file produces a
     warning and is treated as empty (input.rs:78-84), and still occupies
-    a file-id position."""
+    a file-id position. A single large file is memory-mapped."""
+    use_stdin = (not inputs) or (len(inputs) == 1 and inputs[0] == "-")
+    if not use_stdin and len(inputs) == 1:
+        try:
+            if os.path.getsize(inputs[0]) >= MMAP_THRESHOLD:
+                data = np.memmap(inputs[0], dtype=np.uint8, mode="r")
+                return LoadedStream(data=data, spans=[(1, 0, len(data))])
+        except OSError:
+            pass  # fall through to the generic reader (warns below)
+
     parts: List[bytes] = []
     spans: List[Tuple[Optional[int], int, int]] = []
     pos = 0
-
-    use_stdin = (not inputs) or (len(inputs) == 1 and inputs[0] == "-")
     if use_stdin:
         buf = sys.stdin.buffer.read()
         parts.append(buf)

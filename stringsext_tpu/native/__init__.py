@@ -75,6 +75,10 @@ def get_lib():
         ctypes.c_void_p,  # slice_is_last uint8*
         ctypes.c_int64,  # nslices
         P(_SeMission),
+        ctypes.c_void_p,  # state_io int64[3] or NULL
+        ctypes.c_void_p,  # leftover_io int32* or NULL
+        ctypes.c_void_p,  # leftover_len_io int32* or NULL
+        ctypes.c_int32,  # leftover_cap
         P(ctypes.c_int64),  # out_count
         P(P(ctypes.c_uint64)),  # position
         P(P(ctypes.c_int8)),  # precision
@@ -105,9 +109,14 @@ def native_scan(
     slice_lens: np.ndarray,
     slice_file_ids: np.ndarray,
     slice_is_last: np.ndarray,
+    state: Optional[dict] = None,
 ):
-    """Scan one mission natively. Returns (findings_struct_array,
-    strbuf_bytes): positions/precision/completes/file_id/str ranges.
+    """Scan one mission natively. Returns (columns_dict, strbuf_bytes).
+
+    `state`, when given, is the resumable scanner state
+    {"consumed", "cursor", "printed_maybe_cut", "leftover_cps"} - used
+    as the initial state and UPDATED IN PLACE with the final state
+    (checkpoint/resume and chunked streaming; scanner.rs:40-68 analog).
     """
     from ..encodings import encoding_kind, full_byte_table
 
@@ -141,6 +150,25 @@ def native_scan(
     slice_file_ids = np.ascontiguousarray(slice_file_ids, dtype=np.int32)
     slice_is_last = np.ascontiguousarray(slice_is_last, dtype=np.uint8)
 
+    state_arr = None
+    leftover_arr = None
+    leftover_len = None
+    leftover_cap = 0
+    if state is not None:
+        state_arr = np.array(
+            [
+                state.get("consumed", mission.counter_offset),
+                state.get("cursor", 0),
+                1 if state.get("printed_maybe_cut") else 0,
+            ],
+            dtype=np.int64,
+        )
+        leftover_cap = max(mission.output_line_char_nb_max + 4, 64)
+        leftover_arr = np.zeros(leftover_cap, np.int32)
+        lo = state.get("leftover_cps", [])
+        leftover_arr[: len(lo)] = lo
+        leftover_len = ctypes.c_int32(len(lo))
+
     P = ctypes.POINTER
     count = ctypes.c_int64()
     p_pos = P(ctypes.c_uint64)()
@@ -161,6 +189,10 @@ def native_scan(
         slice_is_last.ctypes.data,
         len(slice_lens),
         ctypes.byref(sm),
+        state_arr.ctypes.data if state_arr is not None else None,
+        leftover_arr.ctypes.data if leftover_arr is not None else None,
+        ctypes.addressof(leftover_len) if leftover_len is not None else None,
+        leftover_cap,
         ctypes.byref(count),
         ctypes.byref(p_pos),
         ctypes.byref(p_prec),
@@ -192,6 +224,11 @@ def native_scan(
             if sbuf_len.value
             else b""
         )
+        if state is not None:
+            state["consumed"] = int(state_arr[0])
+            state["cursor"] = int(state_arr[1])
+            state["printed_maybe_cut"] = bool(state_arr[2])
+            state["leftover_cps"] = leftover_arr[: leftover_len.value].tolist()
         return res, sb
     finally:
         lib.se_free(handle)

@@ -283,11 +283,21 @@ struct ScanState {
 static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                          const int64_t* sl_start, const int32_t* sl_len,
                          const int32_t* sl_file, const uint8_t* sl_last,
-                         int64_t nslices, Output& out) {
+                         int64_t nslices, Output& out,
+                         const int64_t* init_state, int64_t* fini_state,
+                         std::vector<int32_t>* init_leftover,
+                         std::vector<int32_t>* fini_leftover) {
     ScanState st;
     st.consumed = m.counter_offset;
+    int64_t cursor0 = 0;
+    if (init_state) {
+        st.consumed = (uint64_t)init_state[0];
+        cursor0 = init_state[1];
+        st.printed_maybe_cut = init_state[2] != 0;
+        if (init_leftover) st.leftover = *init_leftover;
+    }
 
-    int64_t cursor = 0;  // next un-consumed event start position
+    int64_t cursor = cursor0;  // next un-consumed event start position
     Event ev;
     bool ev_ok = false;  // ev holds the next event
     auto advance = [&]() {
@@ -430,11 +440,30 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
         st.printed_maybe_cut = flag;
         st.consumed += (uint64_t)slen;
     }
+
+    if (fini_state) {
+        fini_state[0] = (int64_t)st.consumed;
+        fini_state[1] = cursor;
+        fini_state[2] = st.printed_maybe_cut ? 1 : 0;
+    }
+    if (fini_leftover) *fini_leftover = st.leftover;
 }
 
 }  // namespace
 
 extern "C" {
+
+// Resumable scan state (checkpoint/resume and chunked streaming):
+// mirrors ScannerState (scanner.rs:40-68). leftover_cps capacity is
+// provided by the caller (line_max is an upper bound on its length).
+struct se_state {
+    uint64_t consumed;        // absolute byte counter
+    uint64_t cursor;          // stream offset of first un-decoded byte
+    uint8_t printed_maybe_cut;
+    int32_t leftover_len;
+    int32_t* leftover_cps;    // caller-owned buffer
+    int32_t leftover_cap;
+};
 
 struct se_mission {
     uint64_t af_lo, af_hi;
@@ -452,10 +481,16 @@ struct se_mission {
 // (free with se_free); result arrays are exposed via the out-params and
 // stay valid until the handle is freed. Struct-of-arrays for clean
 // numpy interop.
+// state_io: NULL, or int64[3] {consumed, cursor, printed_flag} used as
+// initial state and overwritten with the final state. leftover_io /
+// leftover_len_io likewise carry the leftover codepoints (capacity
+// leftover_cap).
 void* se_scan(const uint8_t* data, int64_t total,
               const int64_t* slice_starts, const int32_t* slice_lens,
               const int32_t* slice_file_ids, const uint8_t* slice_is_last,
               int64_t nslices, const se_mission* sm,
+              int64_t* state_io, int32_t* leftover_io, int32_t* leftover_len_io,
+              int32_t leftover_cap,
               int64_t* out_count,
               const uint64_t** out_position, const int8_t** out_precision,
               const uint8_t** out_completes, const int32_t** out_file_id,
@@ -468,9 +503,22 @@ void* se_scan(const uint8_t* data, int64_t total,
     m.counter_offset = sm->counter_offset; m.kind = sm->kind;
     m.table256 = sm->table256;
 
+    std::vector<int32_t> lo_in, lo_out;
+    if (state_io && leftover_io && leftover_len_io && *leftover_len_io > 0)
+        lo_in.assign(leftover_io, leftover_io + *leftover_len_io);
+
     Output* out = new Output();
     scan_mission(m, data, total, slice_starts, slice_lens, slice_file_ids,
-                 slice_is_last, nslices, *out);
+                 slice_is_last, nslices, *out,
+                 state_io, state_io,
+                 state_io ? &lo_in : nullptr,
+                 state_io ? &lo_out : nullptr);
+    if (state_io && leftover_io && leftover_len_io) {
+        int32_t n = (int32_t)lo_out.size();
+        if (n > leftover_cap) n = leftover_cap;
+        for (int32_t i = 0; i < n; i++) leftover_io[i] = lo_out[i];
+        *leftover_len_io = n;
+    }
 
     *out_count = (int64_t)out->size();
     *out_position = out->position.data();

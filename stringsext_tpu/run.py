@@ -234,8 +234,12 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
     Output contract (main.rs:103-139): BOM first, then "\\n" before each
     finding line, then a final "\\n"; to stdout or `-p FILE`.
     """
+    from .utils import profiling
+
     missions = Missions.from_args(args)
-    stream = load_stream(args.inputs)
+    with profiling.scope("input.load"):
+        stream = load_stream(args.inputs)
+    nbytes = len(stream.data)
 
     close_out = False
     if out is None:
@@ -246,8 +250,11 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
             out = sys.stdout.buffer
 
     try:
-        results = _scan_arrays(stream, missions, engine)
-        write_output(out, args, results)
+        with profiling.scope("scan", nbytes * len(missions.v)):
+            results = _scan_arrays(stream, missions, engine)
+        with profiling.scope("merge+format"):
+            write_output(out, args, results)
+        profiling.report()
     finally:
         if close_out:
             out.close()
