@@ -1,0 +1,21 @@
+# Build / test entry points (the analog of the reference's
+# scripts/10..17 build scripts).
+
+CXX ?= g++
+CXXFLAGS ?= -O3 -shared -fPIC -std=c++17
+
+native: stringsext_tpu/native/libemitter.so
+
+stringsext_tpu/native/libemitter.so: stringsext_tpu/native/emitter.cpp
+	$(CXX) $(CXXFLAGS) -o $@ $<
+
+test: native
+	python -m pytest tests/ -x -q
+
+bench: native
+	python bench.py
+
+clean:
+	rm -f stringsext_tpu/native/libemitter.so
+
+.PHONY: native test bench clean

@@ -89,8 +89,10 @@ def _utf8_kernel(af_ref, ubf_ref, grep_ref, prev_ref, cur_ref, next_ref, out_ref
     lead3 = (b >= 0xE0) & (b <= 0xEF)
     lead4 = (b >= 0xF0) & (b <= 0xF4)
 
-    c1ok3 = c1 & jnp.where(b == 0xE0, b1 >= 0xA0, jnp.where(b == 0xED, b1 <= 0x9F, True))
-    c1ok4 = c1 & jnp.where(b == 0xF0, b1 >= 0x90, jnp.where(b == 0xF4, b1 <= 0x8F, True))
+    # Pure boolean algebra (no bool-valued where: Mosaic rejects the i1
+    # select as "Unsupported target bitwidth for truncation").
+    c1ok3 = c1 & ((b != 0xE0) | (b1 >= 0xA0)) & ((b != 0xED) | (b1 <= 0x9F))
+    c1ok4 = c1 & ((b != 0xF0) | (b1 >= 0x90)) & ((b != 0xF4) | (b1 <= 0x8F))
 
     valid2 = lead2 & c1
     valid3 = lead3 & c1ok3 & c2
@@ -127,7 +129,7 @@ def _utf8_kernel(af_ref, ubf_ref, grep_ref, prev_ref, cur_ref, next_ref, out_ref
     af_pass = ((afw >> (b & 0x1F)) & 1) != 0
     ubw = jnp.where(((b >> 5) & 1) == 0, ubf_ref[0, 0], ubf_ref[0, 1])
     ubf_pass = ((ubw >> (b & 0x1F)) & 1) != 0
-    passes = jnp.where(lead1, af_pass, ubf_pass)
+    passes = (lead1 & af_pass) | (~lead1 & ubf_pass)  # no i1-select
 
     accept = is_start & ev_valid & passes
     grep = accept & (b == grep_ref[0, 0])

@@ -93,6 +93,18 @@ def filter_words(m: Mission):
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
+def extract_runs_packed(packed: jax.Array, capacity: int = 4096) -> RunTable:
+    """Run compaction from the Pallas kernel's packed lanes
+    (ops/pallas_scan.py bit layout): accept bit 0, length bits 1-3,
+    grep bit 4. Same output as extract_runs."""
+    p = packed.reshape(-1).astype(jnp.int32)
+    accept = (p & 1) != 0
+    length = (p >> 1) & 7
+    gflag = (p & 16) != 0
+    return _compact_runs(accept, length, gflag, capacity)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
 def extract_runs(
     lanes: Lanes,
     af_words: jax.Array,
@@ -113,10 +125,13 @@ def extract_runs(
     capacity-sized boundary vectors. Everything large is elementwise,
     cumsum, or a K-sized gather - no O(n) scatter.
     """
-    n = lanes.cp.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
     accept = accept_mask(lanes, af_words, ubf_words)
-    length = lanes.length
+    gflag = accept & (lanes.cp == grep_char)
+    return _compact_runs(accept, lanes.length, gflag, capacity)
+
+
+def _compact_runs(accept, length, gflag, capacity: int) -> RunTable:
+    n = accept.shape[0]
 
     def shift_right(x, k):
         return jnp.concatenate([jnp.zeros((k,), x.dtype), x[: n - k]])
@@ -145,7 +160,6 @@ def extract_runs(
     ei_c = jnp.minimum(ei, n - 1)
 
     pref_chars = jnp.cumsum(accept.astype(jnp.int32))
-    gflag = accept & (lanes.cp == grep_char)
     pref_grep = jnp.cumsum(gflag.astype(jnp.int32))
 
     start = jnp.where(row_ok, si_c, jnp.int32(2**31 - 1))
