@@ -162,16 +162,177 @@ def _right_shift_stream_bool(x, k):
     return _right_shift_stream(x.astype(jnp.int32), k) != 0
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
-def utf8_mission_lanes(
+def _select_word(words_ref, n_words, idx):
+    """words_ref[0, idx] as a branch-free chain of selects (no gather)."""
+    out = jnp.zeros_like(idx)
+    for wi in range(n_words):
+        out = jnp.where(idx == wi, words_ref[0, wi], out)
+    return out
+
+
+def _utf8_lead_of_cp(cp):
+    lead = jnp.where(cp < 0x800, 0xC0 | (cp >> 6), 0xE0 | (cp >> 12))
+    lead = jnp.where(cp >= 0x10000, 0xF0 | (cp >> 18), lead)
+    return jnp.where(cp < 0x80, cp, lead)
+
+
+def _utf16_kernel_body(be):
+    def kernel(af_ref, ubf_ref, grep_ref, prev_ref, cur_ref, next_ref, out_ref):
+        x = jnp.concatenate(
+            [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
+        ).astype(jnp.int32)
+        b = x
+        b1 = _shift_stream(b, 1)
+        b2 = _shift_stream(b, 2)
+        b3 = _shift_stream(b, 3)
+
+        # Code units at even stream offsets (tiles are whole 128-byte
+        # rows, so lane parity == stream parity).
+        u = ((b << 8) | b1) if be else ((b1 << 8) | b)
+        u_next = ((b2 << 8) | b3) if be else ((b3 << 8) | b2)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+        even = (col & 1) == 0
+
+        high = (u >= 0xD800) & (u <= 0xDBFF)
+        low = (u >= 0xDC00) & (u <= 0xDFFF)
+        low_next = (u_next >= 0xDC00) & (u_next <= 0xDFFF)
+        pair_start = high & low_next
+        pair_trail = _right_shift_stream_bool(pair_start, 2) & even
+        lone_high = high & ~low_next
+        lone_low = low & ~pair_trail
+        bmp = ~high & ~low
+
+        astral = 0x10000 + ((u & 0x3FF) << 10) + (u_next & 0x3FF)
+        cp = jnp.where(pair_start, astral, u)
+        valid = (bmp | pair_start) & even
+        start = (bmp | pair_start | lone_high | lone_low) & even
+        ev_len = jnp.where(pair_start, 4, 2)
+
+        # AF/UBF filter on the decoded char.
+        lead = _utf8_lead_of_cp(cp)
+        afw = _select_word(af_ref, 4, (cp >> 5) & 0x3)
+        af_pass = ((afw >> (cp & 0x1F)) & 1) != 0
+        ubw = _select_word(ubf_ref, 2, (lead >> 5) & 1)
+        ubf_pass = ((ubw >> (lead & 0x1F)) & 1) != 0
+        passes = ((cp < 0x80) & af_pass) | ((cp >= 0x80) & ubf_pass)
+
+        accept = start & valid & passes
+        grep = accept & (cp == grep_ref[0, 0])
+
+        packed = (
+            accept.astype(jnp.int32) * ACCEPT_BIT
+            | (jnp.where(start, ev_len, 0) << LEN_SHIFT)
+            | grep.astype(jnp.int32) * GREP_BIT
+            | start.astype(jnp.int32) * START_BIT
+            | (start & valid).astype(jnp.int32) * VALID_BIT
+        )
+        rows = cur_ref.shape[0]
+        out_ref[...] = packed[HALO_ROWS : HALO_ROWS + rows, :]
+
+    return kernel
+
+
+def _single_byte_kernel(accept_ref, cp_low_ref, grep_ref, cur_ref, out_ref):
+    """Single-byte mission kernel: accept decided by a precomputed
+    256-bit mission mask (AF/UBF applied to the decode table on host).
+    Each byte is a 1-byte event; grep matches identity-ASCII bytes."""
+    b = cur_ref[...].astype(jnp.int32)
+    aw = _select_word(accept_ref, 8, (b >> 5) & 0x7)
+    accept = ((aw >> (b & 0x1F)) & 1) != 0
+    vw = _select_word(cp_low_ref, 8, (b >> 5) & 0x7)
+    valid = ((vw >> (b & 0x1F)) & 1) != 0
+    grep = accept & (b == grep_ref[0, 0])
+    packed = (
+        accept.astype(jnp.int32) * ACCEPT_BIT
+        | (1 << LEN_SHIFT)
+        | grep.astype(jnp.int32) * GREP_BIT
+        | START_BIT
+        | valid.astype(jnp.int32) * VALID_BIT
+    )
+    out_ref[...] = packed
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "big_endian", "interpret"))
+def utf16_mission_lanes(
     data_2d: jax.Array,
     af_words: jax.Array,
     ubf_words: jax.Array,
     grep_char: jax.Array,
+    big_endian: bool = False,
     tile_rows: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Packed mission lanes for a (rows, 128) uint8 view of the stream.
+    """Packed mission lanes for UTF-16 LE/BE over a (rows, 128) view.
+    Same caller contract as utf8_mission_lanes (zero-pad rows at both
+    stream edges; lone-high-surrogate pending at the true stream end is
+    corrected by the host tail pass)."""
+    return _paneled_call(
+        _utf16_kernel_body(big_endian), data_2d, af_words, ubf_words, grep_char,
+        tile_rows, interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def single_byte_mission_lanes(
+    data_2d: jax.Array,
+    accept_words: jax.Array,  # uint32[8]: 256-bit accept table
+    valid_words: jax.Array,  # uint32[8]: 256-bit validity table
+    grep_char: jax.Array,
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    rows = data_2d.shape[0]
+    assert rows % tile_rows == 0
+    grid = (rows // tile_rows,)
+    return pl.pallas_call(
+        _single_byte_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+        interpret=interpret,
+    )(
+        accept_words.astype(jnp.int32).reshape(1, 8),
+        valid_words.astype(jnp.int32).reshape(1, 8),
+        grep_char.astype(jnp.int32).reshape(1, 1),
+        data_2d,
+    )
+
+
+def single_byte_mission_tables(mission):
+    """Host-side 256-bit accept/validity masks for a single-byte
+    mission: AF/UBF applied to each byte's decoded codepoint."""
+    import numpy as np
+
+    from ..encodings import full_byte_table
+    from ..engine.automaton import utf8_lead
+
+    table = full_byte_table(mission.encoding_name)
+    accept = np.zeros(8, dtype=np.uint32)
+    valid = np.zeros(8, dtype=np.uint32)
+    f = mission.filter
+    for byte in range(256):
+        cp = int(table[byte])
+        if cp < 0:
+            continue
+        valid[byte >> 5] |= np.uint32(1 << (byte & 0x1F))
+        ok = f.pass_af_filter(cp) if cp < 0x80 else f.pass_ubf_filter(utf8_lead(cp))
+        if ok:
+            accept[byte >> 5] |= np.uint32(1 << (byte & 0x1F))
+    return accept, valid
+
+
+def _paneled_call(kernel, data_2d, af_words, ubf_words, grep_char,
+                  tile_rows, interpret):
+    """Shared scaffolding: grid over row-tiles with previous-tail /
+    tile / next-head views of the same input for cross-tile halos.
 
     rows must be a multiple of tile_rows. The first/last tile's halo
     blocks are clamped duplicates; their influence is masked out by the
@@ -184,7 +345,6 @@ def utf8_mission_lanes(
     ntiles = rows // tile_rows
 
     grid = (ntiles,)
-    # Three views of the same input: previous tile tail, tile, next head.
     in_specs = [
         pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),  # af
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),  # ubf
@@ -209,7 +369,7 @@ def utf8_mission_lanes(
     out_spec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _utf8_kernel,
+        kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -222,4 +382,19 @@ def utf8_mission_lanes(
         data_2d,
         data_2d,
         data_2d,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def utf8_mission_lanes(
+    data_2d: jax.Array,
+    af_words: jax.Array,
+    ubf_words: jax.Array,
+    grep_char: jax.Array,
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed mission lanes for a (rows, 128) uint8 view of the stream."""
+    return _paneled_call(
+        _utf8_kernel, data_2d, af_words, ubf_words, grep_char, tile_rows, interpret
     )
