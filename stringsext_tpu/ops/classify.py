@@ -102,13 +102,18 @@ def utf8_lanes(b: jax.Array, n: jax.Array | None = None) -> Lanes:
 
     ev_len = jnp.where(ev_valid, ev_len, bad_len)
 
-    # True starts via cummax over non-continuation positions.
-    noncont_idx = jnp.where(~cont, idx, -1)
-    prev_noncont = jax.lax.cummax(noncont_idx)
-    pn = jnp.maximum(prev_noncont, 0)
-    claim_len = jnp.where(pending[pn], 4, ev_len[pn])
-    claimed_until = jnp.where(prev_noncont >= 0, pn + claim_len - 1, -1)
-    is_start = ((~cont) | (idx > claimed_until)) & in_n
+    # True starts: non-cont bytes always; a cont byte iff no event
+    # starting 1..3 bytes back claims it. Claiming events only start at
+    # non-cont bytes, so this is purely local - shifts, no gather (a
+    # gather here gets duplicated per consumer by XLA fusion and
+    # dominated the profile).
+    claim_len = jnp.where(pending, 4, ev_len)
+    claimed = jnp.zeros_like(cont)
+    for k in (1, 2, 3):
+        nck = jnp.concatenate([jnp.zeros(k, bool), (~cont)[: cap - k]])
+        clk = jnp.concatenate([jnp.zeros(k, claim_len.dtype), claim_len[: cap - k]])
+        claimed = claimed | (nck & (clk > k))
+    is_start = ((~cont) | ~claimed) & in_n
 
     cp = jnp.where(
         ev_len == 1,

@@ -68,17 +68,10 @@ def _shift_stream(x, k):
     return y
 
 
-def _utf8_kernel(af_ref, ubf_ref, grep_ref, prev_ref, cur_ref, next_ref, out_ref):
-    """Compute packed lanes for the owned tile (cur_ref)."""
-    x = jnp.concatenate(
-        [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
-    ).astype(jnp.int32)
-
-    b = x
-    b1 = _shift_stream(b, 1)
-    b2 = _shift_stream(b, 2)
-    b3 = _shift_stream(b, 3)
-
+def _utf8_field(b, b1, b2, b3, af, ubf, grep_char):
+    """The 7-bit packed mission field for UTF-8 given the byte and its
+    three lookahead shifts. `af` is int32[4], `ubf` int32[2],
+    `grep_char` scalar (-1 = none)."""
     cont = (b >> 6) == 0b10
     c1 = (b1 >> 6) == 0b10
     c2 = (b2 >> 6) == 0b10
@@ -125,21 +118,37 @@ def _utf8_kernel(af_ref, ubf_ref, grep_ref, prev_ref, cur_ref, next_ref, out_ref
     word_idx = (b >> 5) & 0x3
     afw = jnp.zeros_like(b)
     for wi in range(4):
-        afw = jnp.where(word_idx == wi, af_ref[0, wi], afw)
+        afw = jnp.where(word_idx == wi, af[wi], afw)
     af_pass = ((afw >> (b & 0x1F)) & 1) != 0
-    ubw = jnp.where(((b >> 5) & 1) == 0, ubf_ref[0, 0], ubf_ref[0, 1])
+    ubw = jnp.where(((b >> 5) & 1) == 0, ubf[0], ubf[1])
     ubf_pass = ((ubw >> (b & 0x1F)) & 1) != 0
     passes = (lead1 & af_pass) | (~lead1 & ubf_pass)  # no i1-select
 
     accept = is_start & ev_valid & passes
-    grep = accept & (b == grep_ref[0, 0])
+    grep = accept & (b == grep_char)
 
-    packed = (
+    return (
         accept.astype(jnp.int32) * ACCEPT_BIT
         | (jnp.where(is_start, ev_len, 0) << LEN_SHIFT)
         | grep.astype(jnp.int32) * GREP_BIT
         | is_start.astype(jnp.int32) * START_BIT
         | (is_start & ev_valid).astype(jnp.int32) * VALID_BIT
+    )
+
+
+def _utf8_kernel(af_ref, ubf_ref, grep_ref, prev_ref, cur_ref, next_ref, out_ref):
+    """Packed lanes for the owned tile (cur_ref)."""
+    x = jnp.concatenate(
+        [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
+    ).astype(jnp.int32)
+    b1 = _shift_stream(x, 1)
+    b2 = _shift_stream(x, 2)
+    b3 = _shift_stream(x, 3)
+    packed = _utf8_field(
+        x, b1, b2, b3,
+        [af_ref[0, i] for i in range(4)],
+        [ubf_ref[0, 0], ubf_ref[0, 1]],
+        grep_ref[0, 0],
     )
     rows = cur_ref.shape[0]
     # int32 output: this Mosaic build rejects narrowing i32->i8 stores
@@ -176,61 +185,162 @@ def _utf8_lead_of_cp(cp):
     return jnp.where(cp < 0x80, cp, lead)
 
 
+def _utf16_field(b, b1, b2, b3, af, ubf, grep_char, be):
+    """The 7-bit packed mission field for UTF-16 LE/BE. `af` int32[4],
+    `ubf` int32[2], scalars as values (SMEM-read by the caller)."""
+    # Code units at even stream offsets (tiles are whole 128-byte rows,
+    # so lane parity == stream parity).
+    u = ((b << 8) | b1) if be else ((b1 << 8) | b)
+    u_next = ((b2 << 8) | b3) if be else ((b3 << 8) | b2)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+    even = (col & 1) == 0
+
+    high = (u >= 0xD800) & (u <= 0xDBFF)
+    low = (u >= 0xDC00) & (u <= 0xDFFF)
+    low_next = (u_next >= 0xDC00) & (u_next <= 0xDFFF)
+    pair_start = high & low_next
+    pair_trail = _right_shift_stream_bool(pair_start, 2) & even
+    lone_high = high & ~low_next
+    lone_low = low & ~pair_trail
+    bmp = ~high & ~low
+
+    astral = 0x10000 + ((u & 0x3FF) << 10) + (u_next & 0x3FF)
+    cp = jnp.where(pair_start, astral, u)
+    valid = (bmp | pair_start) & even
+    start = (bmp | pair_start | lone_high | lone_low) & even
+    ev_len = jnp.where(pair_start, 4, 2)
+
+    # AF/UBF filter on the decoded char.
+    lead = _utf8_lead_of_cp(cp)
+    word_idx = (cp >> 5) & 0x3
+    afw = jnp.zeros_like(cp)
+    for wi in range(4):
+        afw = jnp.where(word_idx == wi, af[wi], afw)
+    af_pass = ((afw >> (cp & 0x1F)) & 1) != 0
+    ubw = jnp.where(((lead >> 5) & 1) == 0, ubf[0], ubf[1])
+    ubf_pass = ((ubw >> (lead & 0x1F)) & 1) != 0
+    passes = ((cp < 0x80) & af_pass) | ((cp >= 0x80) & ubf_pass)
+
+    accept = start & valid & passes
+    grep = accept & (cp == grep_char)
+
+    return (
+        accept.astype(jnp.int32) * ACCEPT_BIT
+        | (jnp.where(start, ev_len, 0) << LEN_SHIFT)
+        | grep.astype(jnp.int32) * GREP_BIT
+        | start.astype(jnp.int32) * START_BIT
+        | (start & valid).astype(jnp.int32) * VALID_BIT
+    )
+
+
 def _utf16_kernel_body(be):
     def kernel(af_ref, ubf_ref, grep_ref, prev_ref, cur_ref, next_ref, out_ref):
         x = jnp.concatenate(
             [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
         ).astype(jnp.int32)
-        b = x
-        b1 = _shift_stream(b, 1)
-        b2 = _shift_stream(b, 2)
-        b3 = _shift_stream(b, 3)
-
-        # Code units at even stream offsets (tiles are whole 128-byte
-        # rows, so lane parity == stream parity).
-        u = ((b << 8) | b1) if be else ((b1 << 8) | b)
-        u_next = ((b2 << 8) | b3) if be else ((b3 << 8) | b2)
-
-        col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
-        even = (col & 1) == 0
-
-        high = (u >= 0xD800) & (u <= 0xDBFF)
-        low = (u >= 0xDC00) & (u <= 0xDFFF)
-        low_next = (u_next >= 0xDC00) & (u_next <= 0xDFFF)
-        pair_start = high & low_next
-        pair_trail = _right_shift_stream_bool(pair_start, 2) & even
-        lone_high = high & ~low_next
-        lone_low = low & ~pair_trail
-        bmp = ~high & ~low
-
-        astral = 0x10000 + ((u & 0x3FF) << 10) + (u_next & 0x3FF)
-        cp = jnp.where(pair_start, astral, u)
-        valid = (bmp | pair_start) & even
-        start = (bmp | pair_start | lone_high | lone_low) & even
-        ev_len = jnp.where(pair_start, 4, 2)
-
-        # AF/UBF filter on the decoded char.
-        lead = _utf8_lead_of_cp(cp)
-        afw = _select_word(af_ref, 4, (cp >> 5) & 0x3)
-        af_pass = ((afw >> (cp & 0x1F)) & 1) != 0
-        ubw = _select_word(ubf_ref, 2, (lead >> 5) & 1)
-        ubf_pass = ((ubw >> (lead & 0x1F)) & 1) != 0
-        passes = ((cp < 0x80) & af_pass) | ((cp >= 0x80) & ubf_pass)
-
-        accept = start & valid & passes
-        grep = accept & (cp == grep_ref[0, 0])
-
-        packed = (
-            accept.astype(jnp.int32) * ACCEPT_BIT
-            | (jnp.where(start, ev_len, 0) << LEN_SHIFT)
-            | grep.astype(jnp.int32) * GREP_BIT
-            | start.astype(jnp.int32) * START_BIT
-            | (start & valid).astype(jnp.int32) * VALID_BIT
+        b1 = _shift_stream(x, 1)
+        b2 = _shift_stream(x, 2)
+        b3 = _shift_stream(x, 3)
+        packed = _utf16_field(
+            x, b1, b2, b3,
+            [af_ref[0, i] for i in range(4)],
+            [ubf_ref[0, 0], ubf_ref[0, 1]],
+            grep_ref[0, 0], be,
         )
         rows = cur_ref.shape[0]
         out_ref[...] = packed[HALO_ROWS : HALO_ROWS + rows, :]
 
     return kernel
+
+
+def _flagship_kernel(params_ref, prev_ref, cur_ref, next_ref, out_ref):
+    """The flagship fused kernel: all three conformance-config missions
+    (UTF-8, UTF-16LE, UTF-16BE) in ONE pass over the bytes, packing
+    three 7-bit mission fields into one int32 lane (bits 0-6 / 8-14 /
+    16-22). One byte read + 4 bytes written per input byte, instead of
+    three separate passes.
+
+    params_ref: SMEM int32 (3, 8): rows = missions, cols = af0..af3,
+    ubf0, ubf1, grep, pad.
+    """
+    x = jnp.concatenate(
+        [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
+    ).astype(jnp.int32)
+    b1 = _shift_stream(x, 1)
+    b2 = _shift_stream(x, 2)
+    b3 = _shift_stream(x, 3)
+
+    def params(mi):
+        af = [params_ref[mi, i] for i in range(4)]
+        ubf = [params_ref[mi, 4], params_ref[mi, 5]]
+        return af, ubf, params_ref[mi, 6]
+
+    af0, ubf0, g0 = params(0)
+    af1, ubf1, g1 = params(1)
+    af2, ubf2, g2 = params(2)
+    f0 = _utf8_field(x, b1, b2, b3, af0, ubf0, g0)
+    f1 = _utf16_field(x, b1, b2, b3, af1, ubf1, g1, False)
+    f2 = _utf16_field(x, b1, b2, b3, af2, ubf2, g2, True)
+    packed = f0 | (f1 << 8) | (f2 << 16)
+    rows = cur_ref.shape[0]
+    out_ref[...] = packed[HALO_ROWS : HALO_ROWS + rows, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def flagship_mission_lanes(
+    data_2d: jax.Array,
+    params: jax.Array,  # int32 (3, 8): see _flagship_kernel
+    tile_rows: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed 3-mission lanes (UTF-8 | UTF-16LE<<8 | UTF-16BE<<16)."""
+    rows = data_2d.shape[0]
+    assert data_2d.shape[1] == LANE and rows % tile_rows == 0
+    grid = (rows // tile_rows,)
+    in_specs = [
+        pl.BlockSpec((3, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (HALO_ROWS, LANE),
+            lambda i: (jnp.maximum(i * tile_rows - HALO_ROWS, 0) // HALO_ROWS, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (HALO_ROWS, LANE),
+            lambda i: (
+                jnp.minimum((i + 1) * tile_rows, rows - HALO_ROWS) // HALO_ROWS,
+                0,
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    return pl.pallas_call(
+        _flagship_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
+        interpret=interpret,
+    )(params.astype(jnp.int32), data_2d, data_2d, data_2d)
+
+
+def flagship_params(missions):
+    """(3, 8) int32 params for flagship_mission_lanes from the standard
+    UTF-8 / UTF-16LE / UTF-16BE mission triple."""
+    import numpy as np
+
+    from .runs import filter_words
+
+    out = np.zeros((3, 8), dtype=np.uint32)
+    for i, m in enumerate(missions[:3]):
+        af_w, ubf_w = filter_words(m)
+        out[i, 0:4] = af_w
+        out[i, 4:6] = ubf_w
+        g = -1 if m.filter.grep_char is None else m.filter.grep_char
+        out[i, 6] = np.uint32(g & 0xFFFFFFFF)
+    return out.view(np.int32)
 
 
 def _single_byte_kernel(accept_ref, cp_low_ref, grep_ref, cur_ref, out_ref):

@@ -92,12 +92,15 @@ def filter_words(m: Mission):
     return af_words, ubf_words
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def extract_runs_packed(packed: jax.Array, capacity: int = 4096) -> RunTable:
-    """Run compaction from the Pallas kernel's packed lanes
+@functools.partial(jax.jit, static_argnames=("capacity", "field_shift"))
+def extract_runs_packed(
+    packed: jax.Array, capacity: int = 4096, field_shift: int = 0
+) -> RunTable:
+    """Run compaction from the Pallas kernels' packed lanes
     (ops/pallas_scan.py bit layout): accept bit 0, length bits 1-3,
-    grep bit 4. Same output as extract_runs."""
-    p = packed.reshape(-1).astype(jnp.int32)
+    grep bit 4. `field_shift` selects a mission field from the fused
+    flagship kernel (0 / 8 / 16). Same output as extract_runs."""
+    p = (packed.reshape(-1).astype(jnp.int32) >> field_shift) & 0x7F
     accept = (p & 1) != 0
     length = (p >> 1) & 7
     gflag = (p & 16) != 0
@@ -131,10 +134,10 @@ def extract_runs(
 
 
 def _compact_runs(accept, length, gflag, capacity: int) -> RunTable:
-    """Boundary location via `lax.top_k` over negated positions: the
-    first `capacity` run starts/ends in ascending order, O(n log K) on
-    TPU. (jnp.searchsorted over the full cumsum lowers to O(n*K)
-    compares - measured 100x slower at 16 MB.)"""
+    """Boundary location via cumsum + capacity-sized vectorized
+    searchsorted (binary search; cheap). The expensive part of the
+    pipeline is the classification lanes, kept gather-free so XLA can
+    fuse them."""
     n = accept.shape[0]
 
     def shift_right(x, k):
@@ -152,23 +155,17 @@ def _compact_runs(accept, length, gflag, capacity: int) -> RunTable:
     run_start = accept & ~cont_prev
     run_end = accept & ~(joins_next & accept)
 
-    idx = jnp.arange(n, dtype=jnp.int32)
-    neg_min = jnp.int32(-(2**31 - 1))
-    k_eff = min(capacity, n)
+    cs_start = jnp.cumsum(run_start.astype(jnp.int32))
+    cs_end = jnp.cumsum(run_end.astype(jnp.int32))
+    nruns = cs_start[-1]
 
-    def first_k(mask):
-        keys, _ = jax.lax.top_k(jnp.where(mask, -idx, neg_min), k_eff)
-        if k_eff < capacity:
-            keys = jnp.concatenate(
-                [keys, jnp.full(capacity - k_eff, neg_min, jnp.int32)]
-            )
-        return jnp.minimum(-keys, n - 1)
-
-    si_c = first_k(run_start)
-    ei_c = first_k(run_end)
-
-    nruns = jnp.sum(run_start.astype(jnp.int32))
     k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    si_c = jnp.minimum(jnp.searchsorted(cs_start, k, side="left"), n - 1).astype(
+        jnp.int32
+    )
+    ei_c = jnp.minimum(jnp.searchsorted(cs_end, k, side="left"), n - 1).astype(
+        jnp.int32
+    )
     row_ok = k <= nruns
 
     pref_chars = jnp.cumsum(accept.astype(jnp.int32))
