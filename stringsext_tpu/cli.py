@@ -90,9 +90,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         if help_and_maybe_exit(args):
             return 0
+        import os
+
         from .run import run
 
-        return run(args)
+        # Engine selection: "auto" (native C++), "tpu" (device kernels
+        # pre-filter + native emitter), "python" (reference impl).
+        engine = os.environ.get("STRINGSEXT_ENGINE", "auto")
+        return run(args, engine=engine)
     except MissionError as e:
         print(f"Error while parsing command-line arguments: {e}", file=sys.stderr)
         return 1

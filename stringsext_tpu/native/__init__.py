@@ -79,6 +79,9 @@ def get_lib():
         ctypes.c_void_p,  # leftover_io int32* or NULL
         ctypes.c_void_p,  # leftover_len_io int32* or NULL
         ctypes.c_int32,  # leftover_cap
+        ctypes.c_void_p,  # hot_start int64* or NULL
+        ctypes.c_void_p,  # hot_end int64* or NULL
+        ctypes.c_int64,  # n_hot
         P(ctypes.c_int64),  # out_count
         P(P(ctypes.c_uint64)),  # position
         P(P(ctypes.c_int8)),  # precision
@@ -110,6 +113,7 @@ def native_scan(
     slice_file_ids: np.ndarray,
     slice_is_last: np.ndarray,
     state: Optional[dict] = None,
+    hot_ranges: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ):
     """Scan one mission natively. Returns (columns_dict, strbuf_bytes).
 
@@ -117,6 +121,11 @@ def native_scan(
     {"consumed", "cursor", "printed_maybe_cut", "leftover_cps"} - used
     as the initial state and UPDATED IN PLACE with the final state
     (checkpoint/resume and chunked streaming; scanner.rs:40-68 analog).
+
+    `hot_ranges`, when given, is (starts, ends): sorted, disjoint byte
+    ranges containing every accepted char run (from the device scan
+    kernels). Windows outside them are provably finding-free and are
+    skipped whole - the TPU->host integration point.
     """
     from ..encodings import encoding_kind, full_byte_table
 
@@ -169,6 +178,11 @@ def native_scan(
         leftover_arr[: len(lo)] = lo
         leftover_len = ctypes.c_int32(len(lo))
 
+    hot_s = hot_e = None
+    if hot_ranges is not None:
+        hot_s = np.ascontiguousarray(hot_ranges[0], dtype=np.int64)
+        hot_e = np.ascontiguousarray(hot_ranges[1], dtype=np.int64)
+
     P = ctypes.POINTER
     count = ctypes.c_int64()
     p_pos = P(ctypes.c_uint64)()
@@ -193,6 +207,9 @@ def native_scan(
         leftover_arr.ctypes.data if leftover_arr is not None else None,
         ctypes.addressof(leftover_len) if leftover_len is not None else None,
         leftover_cap,
+        hot_s.ctypes.data if hot_s is not None else None,
+        hot_e.ctypes.data if hot_e is not None else None,
+        0 if hot_s is None else len(hot_s),
         ctypes.byref(count),
         ctypes.byref(p_pos),
         ctypes.byref(p_prec),

@@ -280,13 +280,55 @@ struct ScanState {
     uint64_t consumed;
 };
 
+// Align a resumption target to a true event-start position for the
+// mission's encoding (used by hot-range window skipping): returns the
+// stream offset the event cursor should take so that every event whose
+// REPORT can fall at or after `t` is generated.
+static int64_t align_cursor(const Mission& m, const uint8_t* d, int64_t total,
+                            int64_t t) {
+    if (t >= total) return total;
+    switch (m.kind) {
+        case 0: {  // UTF-8: local claim rule (<=3 bytes lookback)
+            if ((d[t] & 0xC0) != 0x80) return t;
+            for (int64_t j = 1; j <= 3 && t - j >= 0; j++) {
+                uint8_t b = d[t - j];
+                if ((b & 0xC0) == 0x80) continue;
+                // event length as-if-start at t-j (valid or maximal
+                // subpart; pending claims to stream end)
+                Event ev;
+                int64_t c;
+                if (utf8_next(d, total, t - j, &ev)) c = ev.in_len;
+                else c = 4;  // pending claims its remaining bytes
+                if (t - j + c > t) return t - j + c;
+                return t;  // unclaimed cont byte: its own malformed start
+            }
+            return t;  // >=3 preceding cont bytes: t is a start
+        }
+        case 1:
+        case 2: {  // UTF-16: unit parity + surrogate lookbehind
+            int64_t u = t + (t & 1);  // parity-align (units start even)
+            if (u >= 2 && u + 1 < total) {
+                bool be = m.kind == 2;
+                uint32_t prev = be ? (d[u - 2] << 8) | d[u - 1]
+                                   : (d[u - 1] << 8) | d[u - 2];
+                if (prev >= 0xD800 && prev <= 0xDBFF) return u - 2;
+            }
+            return u;
+        }
+        default:
+            return t;
+    }
+}
+
 static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                          const int64_t* sl_start, const int32_t* sl_len,
                          const int32_t* sl_file, const uint8_t* sl_last,
                          int64_t nslices, Output& out,
                          const int64_t* init_state, int64_t* fini_state,
                          std::vector<int32_t>* init_leftover,
-                         std::vector<int32_t>* fini_leftover) {
+                         std::vector<int32_t>* fini_leftover,
+                         const int64_t* hot_start, const int64_t* hot_end,
+                         int64_t n_hot) {
     ScanState st;
     st.consumed = m.counter_offset;
     int64_t cursor0 = 0;
@@ -310,6 +352,7 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
 
     std::vector<int32_t> chars;
     std::vector<uint8_t> fresh, refpfx;
+    int64_t hot_cursor = 0;
 
     for (int64_t s = 0; s < nslices; s++) {
         const int64_t sstart = sl_start[s];
@@ -394,6 +437,24 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
         while (ws < slen) {
             int64_t we = ws + w < slen ? ws + w : slen;
             bool last_window = we == slen;
+
+            // Hot-range window skipping (device run tables): a window
+            // with no accepted chars, entered with no pending leftover
+            // and a clear continuation flag, provably produces no
+            // findings and quiesces to the same state - skip it whole.
+            if (hot_start != nullptr && !have_pending && !flag) {
+                while (hot_cursor < n_hot && hot_end[hot_cursor] <= sstart + ws)
+                    hot_cursor++;
+                if (hot_cursor == n_hot || hot_start[hot_cursor] >= sstart + we) {
+                    if (cursor < sstart + we) {
+                        cursor = align_cursor(m, data, total, sstart + we);
+                        advance();
+                    }
+                    label = we;
+                    ws = we;
+                    continue;
+                }
+            }
             for (;;) {
                 int64_t call_label = label;
                 call_chars.clear();
@@ -491,6 +552,7 @@ void* se_scan(const uint8_t* data, int64_t total,
               int64_t nslices, const se_mission* sm,
               int64_t* state_io, int32_t* leftover_io, int32_t* leftover_len_io,
               int32_t leftover_cap,
+              const int64_t* hot_start, const int64_t* hot_end, int64_t n_hot,
               int64_t* out_count,
               const uint64_t** out_position, const int8_t** out_precision,
               const uint8_t** out_completes, const int32_t** out_file_id,
@@ -512,7 +574,8 @@ void* se_scan(const uint8_t* data, int64_t total,
                  slice_is_last, nslices, *out,
                  state_io, state_io,
                  state_io ? &lo_in : nullptr,
-                 state_io ? &lo_out : nullptr);
+                 state_io ? &lo_out : nullptr,
+                 hot_start, hot_end, n_hot);
     if (state_io && leftover_io && leftover_len_io) {
         int32_t n = (int32_t)lo_out.size();
         if (n > leftover_cap) n = leftover_cap;

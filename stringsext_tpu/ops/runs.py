@@ -133,12 +133,29 @@ def extract_runs(
     return _compact_runs(accept, lanes.length, gflag, capacity)
 
 
+_BLOCK = 512  # hierarchical compaction block (bytes)
+
+
 def _compact_runs(accept, length, gflag, capacity: int) -> RunTable:
-    """Boundary location via cumsum + capacity-sized vectorized
-    searchsorted (binary search; cheap). The expensive part of the
-    pipeline is the classification lanes, kept gather-free so XLA can
-    fuse them."""
-    n = accept.shape[0]
+    """Hierarchical (two-level) run-boundary compaction.
+
+    Full-length cumsums dominate on TPU (~1 ms per pass at 16 MB), so
+    instead: (1) one fused elementwise pass derives the boundary flags
+    and reduces per-512-byte-block counts (boundary+accept counts are
+    bit-packed so one reduction covers three quantities); (2) tiny
+    cumsums over block counts locate each of the <=capacity runs'
+    blocks via binary search; (3) only the selected blocks (capacity x
+    512 slabs) are gathered and locally scanned. Full-array work is a
+    couple of streaming passes; everything else is K-sized.
+    """
+    n0 = accept.shape[0]
+    n = ((n0 + _BLOCK - 1) // _BLOCK) * _BLOCK
+    if n != n0:
+        pad = n - n0
+        accept = jnp.concatenate([accept, jnp.zeros(pad, accept.dtype)])
+        length = jnp.concatenate([length, jnp.ones(pad, length.dtype)])
+        gflag = jnp.concatenate([gflag, jnp.zeros(pad, gflag.dtype)])
+    nb = n // _BLOCK
 
     def shift_right(x, k):
         return jnp.concatenate([jnp.zeros((k,), x.dtype), x[: n - k]])
@@ -155,28 +172,71 @@ def _compact_runs(accept, length, gflag, capacity: int) -> RunTable:
     run_start = accept & ~cont_prev
     run_end = accept & ~(joins_next & accept)
 
-    cs_start = jnp.cumsum(run_start.astype(jnp.int32))
-    cs_end = jnp.cumsum(run_end.astype(jnp.int32))
-    nruns = cs_start[-1]
+    # Stage 1: per-block counts, three quantities packed in one reduce
+    # (counts <= _BLOCK = 512 < 1024 fit 10-bit fields).
+    enc = (
+        run_start.astype(jnp.int32)
+        + (run_end.astype(jnp.int32) << 10)
+        + (accept.astype(jnp.int32) << 20)
+    )
+    blk = jnp.sum(enc.reshape(nb, _BLOCK), axis=1)
+    bc_start = blk & 0x3FF
+    bc_end = (blk >> 10) & 0x3FF
+    bc_accept = blk >> 20
+    bc_grep = jnp.sum(gflag.reshape(nb, _BLOCK).astype(jnp.int32), axis=1)
+
+    # Stage 2: tiny block-level cumsums.
+    cum_start = jnp.cumsum(bc_start)
+    cum_end = jnp.cumsum(bc_end)
+    cum_accept = jnp.cumsum(bc_accept)
+    cum_grep = jnp.cumsum(bc_grep)
+    nruns = cum_start[-1]
 
     k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    si_c = jnp.minimum(jnp.searchsorted(cs_start, k, side="left"), n - 1).astype(
-        jnp.int32
-    )
-    ei_c = jnp.minimum(jnp.searchsorted(cs_end, k, side="left"), n - 1).astype(
-        jnp.int32
-    )
     row_ok = k <= nruns
 
-    pref_chars = jnp.cumsum(accept.astype(jnp.int32))
-    pref_grep = jnp.cumsum(gflag.astype(jnp.int32))
+    def locate(flags, blk_cum):
+        """Positions of the k-th set flags (1-based k)."""
+        b = jnp.minimum(jnp.searchsorted(blk_cum, k, side="left"), nb - 1)
+        prev = jnp.where(b > 0, blk_cum[jnp.maximum(b - 1, 0)], 0)
+        local_k = k - prev
+        slab = flags.reshape(nb, _BLOCK)[b].astype(jnp.int32)  # (K, B)
+        local_cum = jnp.cumsum(slab, axis=1)
+        pos = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="left"))(
+            local_cum, local_k
+        ).astype(jnp.int32)
+        return jnp.minimum(b * _BLOCK + jnp.minimum(pos, _BLOCK - 1), n - 1), b
+
+    si_c, sb = locate(run_start, cum_start)
+    ei_c, eb = locate(run_end, cum_end)
+
+    def pref_at(flags, blk_cum, x, bx):
+        """#set flags in [0..x] via block cumsum + local slab sum."""
+        prev = jnp.where(bx > 0, blk_cum[jnp.maximum(bx - 1, 0)], 0)
+        slab = flags.reshape(nb, _BLOCK)[bx].astype(jnp.int32)  # (K, B)
+        off = x - bx * _BLOCK
+        idxs = jnp.arange(_BLOCK, dtype=jnp.int32)[None, :]
+        local = jnp.sum(jnp.where(idxs <= off[:, None], slab, 0), axis=1)
+        return prev + local
+
+    pc_e = pref_at(accept, cum_accept, ei_c, eb)
+    pc_s = pref_at(accept, cum_accept, si_c, sb)
+    pg_e = pref_at(gflag, cum_grep, ei_c, eb)
+    pg_s = pref_at(gflag, cum_grep, si_c, sb)
+
+    length_at_e = length.reshape(nb, _BLOCK)[eb][
+        jnp.arange(capacity), jnp.minimum(ei_c - eb * _BLOCK, _BLOCK - 1)
+    ]
+    g_at_s = (
+        gflag.reshape(nb, _BLOCK)[sb][
+            jnp.arange(capacity), jnp.minimum(si_c - sb * _BLOCK, _BLOCK - 1)
+        ]
+    ).astype(jnp.int32)
 
     start = jnp.where(row_ok, si_c, jnp.int32(2**31 - 1))
-    end = jnp.where(row_ok, ei_c + length[ei_c], 0)
-    chars = jnp.where(row_ok, pref_chars[ei_c] - pref_chars[si_c] + 1, 0)
-    grep_hits = jnp.where(
-        row_ok, pref_grep[ei_c] - pref_grep[si_c] + gflag[si_c].astype(jnp.int32), 0
-    )
+    end = jnp.where(row_ok, ei_c + length_at_e, 0)
+    chars = jnp.where(row_ok, pc_e - pc_s + 1, 0)
+    grep_hits = jnp.where(row_ok, pg_e - pg_s + g_at_s, 0)
 
     return RunTable(
         start=start,

@@ -82,6 +82,72 @@ def scan_stream_batches(
         yield list(heapq_merge(*per_mission, key=lambda f: f.sort_key()))
 
 
+def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 1024):
+    """Compute conservative 'hot' byte ranges (superset of all accepted
+    char runs) for one mission with the device scan kernels, processing
+    the stream in chunks. Chunk edges are force-marked hot so chunk-
+    local classification can never exclude a boundary-spanning char.
+    Returns (starts, ends) sorted disjoint int64 arrays, or None when
+    the encoding has no device kernel."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from .ops import runs as runs_mod
+    from .ops.device_events import compute_lanes
+    from .utils import profiling
+
+    n = len(stream.data)
+    af_w, ubf_w = runs_mod.filter_words(mission)
+    g = -1 if mission.filter.grep_char is None else mission.filter.grep_char
+
+    raw_ranges = []
+    pos = 0
+    while pos < n:
+        m_end = min(pos + chunk, n)
+        # Capacity scales with the chunk (and so with its pad bucket,
+        # keeping one compile per bucket); overflow falls back to
+        # marking the whole chunk hot.
+        capacity = int(min(32768, max(1024, (m_end - pos) // 256)))
+        with profiling.scope("device.lanes", m_end - pos):
+            lanes = compute_lanes(stream.data[pos:m_end], mission.encoding_name)
+            if lanes is None:
+                return None
+            rt = runs_mod.extract_runs(
+                lanes, jnp.asarray(af_w), jnp.asarray(ubf_w), jnp.int32(g),
+                capacity=capacity,
+            )
+        cnt = int(rt.count)
+        if bool(rt.overflow):
+            raw_ranges.append((pos, m_end))  # conservative: all hot
+        elif cnt:
+            s = np.asarray(rt.start)[:cnt].astype(np.int64) + pos
+            e = np.asarray(rt.end)[:cnt].astype(np.int64) + pos
+            raw_ranges.append((s, e))
+        # chunk seam always hot (boundary-spanning chars)
+        if m_end < n:
+            raw_ranges.append((m_end - 8, m_end + 8))
+        pos = m_end
+
+    # Flatten, expand by a safety margin, merge.
+    starts, ends = [], []
+    for item in raw_ranges:
+        s, e = item
+        starts.append(np.atleast_1d(np.asarray(s, np.int64)))
+        ends.append(np.atleast_1d(np.asarray(e, np.int64)))
+    if not starts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    s = np.concatenate(starts) - 8
+    e = np.concatenate(ends) + 8
+    order = np.argsort(s, kind="stable")
+    s = s[order]
+    e = np.maximum.accumulate(e[order])  # running max end
+    new_group = s[1:] > e[:-1]  # vectorized interval merge
+    first = np.concatenate([[True], new_group])
+    last = np.concatenate([new_group, [True]])
+    return np.maximum(s[first], 0), np.minimum(e[last], n)
+
+
 def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
     """Scan all missions, returning per-mission column arrays:
     dict(position, precision, completes, file_id, str_off, str_len) +
@@ -108,12 +174,21 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
 
     if native_jobs:
         # One OS thread per mission, like the reference (main.rs:151-167);
-        # the C call releases the GIL.
+        # the C call releases the GIL. With engine="tpu", the device
+        # kernels pre-compute accepted-run tables and the emitter skips
+        # every window outside them.
         from concurrent.futures import ThreadPoolExecutor
+
+        hot_by_mission = {}
+        if engine == "tpu":
+            for i, m in native_jobs:
+                hot_by_mission[i] = _device_hot_ranges(stream, m)
 
         def job(im):
             i, m = im
-            return i, m, native.native_scan(m, stream.data, *sl)
+            return i, m, native.native_scan(
+                m, stream.data, *sl, hot_ranges=hot_by_mission.get(i)
+            )
 
         if len(native_jobs) == 1:
             i, m, (res, sb) = job(native_jobs[0])
