@@ -107,6 +107,167 @@ def extract_runs_packed(
     return _compact_runs(accept, length, gflag, capacity)
 
 
+_M01 = 0x01010101
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def extract_runs_packed4(words: jax.Array, capacity: int = 4096) -> RunTable:
+    """Run compaction from SWAR word-packed lanes (ops/pallas_swar.py):
+    one int32 word per 4 stream bytes, an 8-bit field per byte slot
+    (UTF-16 words populate slots 0 and 2 only, which is exactly the
+    per-byte view of unit starts). Stage 1 stays in SWAR form - no
+    per-byte unpacking of the full stream; only the capacity-sized
+    boundary slabs are expanded."""
+    w = words.reshape(-1)
+    nw = w.shape[0]
+    n = nw * 4  # byte positions
+
+    def lsr(x, k):
+        return (x >> k) & ((1 << (32 - k)) - 1) if k else x
+
+    acc = w & _M01
+    lf = lsr(w, 1) & (7 * _M01)
+    gf = lsr(w, 4) & _M01
+
+    m80 = jnp.int32(0x80808080 - (1 << 32))  # 0x80808080 as signed i32
+
+    def zero_bytes(y):
+        """0x01 per zero byte of y (y byte values < 0x80)."""
+        return lsr((y - _M01) & ~y & m80, 7)
+
+    def eq_len(L):
+        return zero_bytes(lf ^ (L * _M01)) & acc  # accepted with len L
+
+    def wshift(x, k):  # word lookbehind/ahead on the flat array
+        if k > 0:
+            return jnp.concatenate([jnp.zeros(k, x.dtype), x[: nw - k]])
+        return jnp.concatenate([x[-k:], jnp.zeros(-k, x.dtype)])
+
+    def bshift_back(x, kb):  # byte-slot shift toward higher positions
+        xp = wshift(x, 1)
+        return ((x << (8 * kb)) | lsr(xp, 32 - 8 * kb)) & _M01
+
+    def bshift_fwd(x, kb):
+        xn = wshift(x, -1)
+        return (lsr(x, 8 * kb) | (xn << (32 - 8 * kb))) & _M01
+
+    cont_prev = jnp.zeros_like(w)
+    joins_next = jnp.zeros_like(w)
+    for L in (1, 2, 3, 4):
+        eL = eq_len(L)
+        cont_prev |= bshift_back(eL, L)
+        joins_next |= zero_bytes(lf ^ (L * _M01)) & bshift_fwd(acc, L)
+    run_start = acc & ~cont_prev & _M01
+    run_end = acc & ~joins_next & _M01
+
+    # Stage 1: per-block counts; byte-sums per word via the multiply
+    # trick, three quantities per reduce via 10-bit packing.
+    bw = _BLOCK // 4  # words per block
+    nb = nw // bw if nw % bw == 0 else None
+    if nb is None:
+        pad = bw - nw % bw
+        z = jnp.zeros(pad, w.dtype)
+        run_start = jnp.concatenate([run_start, z])
+        run_end = jnp.concatenate([run_end, z])
+        acc = jnp.concatenate([acc, z])
+        gf = jnp.concatenate([gf, z])
+        lf = jnp.concatenate([lf, z])
+        w = jnp.concatenate([w, z])
+        nw = w.shape[0]
+        nb = nw // bw
+
+    def word_bytesum(x):  # sum of the 4 byte slots (values <= 4)
+        return lsr(x * _M01, 24)
+
+    enc = (
+        word_bytesum(run_start)
+        + (word_bytesum(run_end) << 10)
+        + (word_bytesum(acc) << 20)
+    )
+    blk = jnp.sum(enc.reshape(nb, bw), axis=1)
+    bc_start = blk & 0x3FF
+    bc_end = (blk >> 10) & 0x3FF
+    bc_accept = blk >> 20
+    bc_grep = jnp.sum(word_bytesum(gf).reshape(nb, bw), axis=1)
+
+    cum_start = jnp.cumsum(bc_start)
+    cum_end = jnp.cumsum(bc_end)
+    cum_accept = jnp.cumsum(bc_accept)
+    cum_grep = jnp.cumsum(bc_grep)
+    nruns = cum_start[-1]
+
+    k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    row_ok = k <= nruns
+
+    def expand(slab_words):  # (K, bw) words -> (K, 4*bw) byte fields
+        parts = [lsr(slab_words, 8 * j) & 0xFF for j in range(4)]
+        return jnp.stack(parts, axis=-1).reshape(slab_words.shape[0], bw * 4)
+
+    wm = w.reshape(nb, bw)
+
+    def locate(flag_bit_shift, blk_cum):
+        """Byte positions of the k-th set flags; flag extracted from the
+        gathered word slabs (bit `flag_bit_shift` of each byte field)."""
+        b = jnp.minimum(jnp.searchsorted(blk_cum, k, side="left"), nb - 1)
+        prev = jnp.where(b > 0, blk_cum[jnp.maximum(b - 1, 0)], 0)
+        local_k = k - prev
+        slab = expand(wm[b])  # (K, _BLOCK) byte fields
+        return b, slab, local_k
+
+    # run_start / run_end flags must be recomputed inside slabs; to
+    # avoid neighbor effects at slab edges, gather the *flag words*
+    # instead of recomputing: materialize them (2 streaming writes).
+    rs_m = run_start.reshape(nb, bw)
+    re_m = run_end.reshape(nb, bw)
+    acc_m = acc.reshape(nb, bw)
+    gf_m = gf.reshape(nb, bw)
+    lf_m = lf.reshape(nb, bw)
+
+    def locate2(flags_m, blk_cum):
+        b = jnp.minimum(jnp.searchsorted(blk_cum, k, side="left"), nb - 1)
+        prev = jnp.where(b > 0, blk_cum[jnp.maximum(b - 1, 0)], 0)
+        local_k = k - prev
+        slab = expand(flags_m[b])  # 0/1 per byte
+        local_cum = jnp.cumsum(slab, axis=1)
+        pos = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="left"))(
+            local_cum, local_k
+        ).astype(jnp.int32)
+        pos = jnp.minimum(pos, _BLOCK - 1)
+        return jnp.minimum(b * _BLOCK + pos, n - 1), b, pos
+
+    si_c, sb, sp = locate2(rs_m, cum_start)
+    ei_c, eb, ep = locate2(re_m, cum_end)
+
+    def pref_at(flags_m, blk_cum, bx, px):
+        prev = jnp.where(bx > 0, blk_cum[jnp.maximum(bx - 1, 0)], 0)
+        slab = expand(flags_m[bx])
+        idxs = jnp.arange(_BLOCK, dtype=jnp.int32)[None, :]
+        local = jnp.sum(jnp.where(idxs <= px[:, None], slab, 0), axis=1)
+        return prev + local
+
+    pc_e = pref_at(acc_m, cum_accept, eb, ep)
+    pc_s = pref_at(acc_m, cum_accept, sb, sp)
+    pg_e = pref_at(gf_m, cum_grep, eb, ep)
+    pg_s = pref_at(gf_m, cum_grep, sb, sp)
+
+    len_at_e = expand(lf_m[eb])[jnp.arange(capacity), ep]
+    g_at_s = expand(gf_m[sb])[jnp.arange(capacity), sp]
+
+    start = jnp.where(row_ok, si_c, jnp.int32(2**31 - 1))
+    end = jnp.where(row_ok, ei_c + len_at_e, 0)
+    chars = jnp.where(row_ok, pc_e - pc_s + 1, 0)
+    grep_hits = jnp.where(row_ok, pg_e - pg_s + g_at_s, 0)
+
+    return RunTable(
+        start=start,
+        end=end,
+        chars=chars,
+        grep_hits=grep_hits,
+        count=jnp.minimum(nruns, capacity),
+        overflow=nruns > capacity,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def extract_runs(
     lanes: Lanes,

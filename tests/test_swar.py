@@ -1,0 +1,141 @@
+"""SWAR flagship kernel: interpret-mode equivalence with the jnp lanes
+and run-table parity from word-packed fields."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stringsext_tpu.mission import Missions
+from stringsext_tpu.ops import classify, pallas_swar
+from stringsext_tpu.ops.runs import (
+    accept_mask,
+    extract_runs,
+    extract_runs_packed4,
+    filter_words,
+)
+
+rng = np.random.default_rng(41)
+
+
+def _missions(grep="63"):
+    return Missions.new(
+        flag_encoding=["UTF-8", "utf-16le", "utf-16be"], flag_grep_char=grep
+    )
+
+
+def _corpus(nwords_rows, seed=0):
+    r = np.random.default_rng(seed)
+    n = nwords_rows * 128 * 4
+    raw = r.integers(0, 256, size=n, dtype=np.uint8)
+    raw[:512] = 0
+    raw[-512:] = 0
+    plants = [
+        ("text ? déjà vu €uro here!".encode(), 3000),
+        ("utf16 ? string Жж".encode("utf-16-le"), 9000),
+        ("utf16 ? string Ωω".encode("utf-16-be"), 15000),
+        ("astral \U0001F600 ? pair".encode("utf-16-le"), 20002),
+    ]
+    for t, off in plants:
+        if off + len(t) < n - 512:
+            raw[off : off + len(t)] = np.frombuffer(t, np.uint8)
+    return raw
+
+
+def _unpack_bytes(ow, n):
+    out = np.zeros(n, np.int32)
+    for j in range(4):
+        out[j::4] = (ow >> (8 * j)) & 0xFF
+    return out
+
+
+def _unpack_units(ow, n):
+    out = np.zeros(n, np.int32)
+    out[0::4] = ow & 0xFF
+    out[2::4] = (ow >> 16) & 0xFF
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_swar_fields_match_jnp(seed):
+    ms = _missions()
+    params = pallas_swar.swar_params(ms.v)
+    assert params is not None
+    rows = 64
+    raw = _corpus(rows, seed)
+    n = len(raw)
+    words = raw.view(np.int32).reshape(rows, 128)
+    o8, ole, obe = pallas_swar.flagship_swar_lanes(
+        jnp.asarray(words), tile_rows=32, interpret=True, **params
+    )
+    sl = slice(512, n - 512)
+    for mi, ow in enumerate([o8, ole, obe]):
+        ow = np.asarray(ow).reshape(-1)
+        af_w, ubf_w = filter_words(ms[mi])
+        if mi == 0:
+            lanes = classify.utf8_lanes(jnp.asarray(raw), n)
+            f = _unpack_bytes(ow, n)
+        else:
+            lanes = classify.utf16_lanes(jnp.asarray(raw), mi == 2, n)
+            f = _unpack_units(ow, n)
+        acc = np.asarray(accept_mask(lanes, jnp.asarray(af_w), jnp.asarray(ubf_w)))
+        st = np.asarray(lanes.start & ~lanes.pending)
+        ln = np.asarray(lanes.length)
+        cp = np.asarray(lanes.cp)
+        np.testing.assert_array_equal(((f & 1) != 0)[sl], acc[sl], f"m{mi} accept")
+        np.testing.assert_array_equal(
+            (((f >> 5) & 1) != 0)[sl], st[sl], f"m{mi} start"
+        )
+        np.testing.assert_array_equal(
+            np.where(((f >> 5) & 1) != 0, (f >> 1) & 7, 0)[sl],
+            np.where(st, ln, 0)[sl],
+            f"m{mi} len",
+        )
+        np.testing.assert_array_equal(
+            ((f & 16) != 0)[sl], (acc & (cp == 63))[sl], f"m{mi} grep"
+        )
+
+
+def test_swar_runs_match_reference():
+    ms = _missions()
+    params = pallas_swar.swar_params(ms.v)
+    rows = 64
+    raw = _corpus(rows, 2)
+    n = len(raw)
+    words = raw.view(np.int32).reshape(rows, 128)
+    outs = pallas_swar.flagship_swar_lanes(
+        jnp.asarray(words), tile_rows=32, interpret=True, **params
+    )
+    for mi, ow in enumerate(outs):
+        af_w, ubf_w = filter_words(ms[mi])
+        lanes = (
+            classify.utf8_lanes(jnp.asarray(raw), n)
+            if mi == 0
+            else classify.utf16_lanes(jnp.asarray(raw), mi == 2, n)
+        )
+        rt_ref = extract_runs(
+            lanes, jnp.asarray(af_w), jnp.asarray(ubf_w), jnp.int32(63), capacity=512
+        )
+        rt_got = extract_runs_packed4(ow, capacity=512)
+        assert int(rt_ref.count) == int(rt_got.count), f"mission {mi}"
+        c = int(rt_ref.count)
+        for f in ("start", "end", "chars", "grep_hits"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(rt_ref, f))[:c],
+                np.asarray(getattr(rt_got, f))[:c],
+                f"m{mi} {f}",
+            )
+
+
+def test_interval_decomposition():
+    from stringsext_tpu.ops.pallas_swar import decompose_intervals
+
+    assert decompose_intervals(0b0, 8) == []
+    assert decompose_intervals(0b1, 8) == [(0, 0)]
+    assert decompose_intervals(0b0111_0110, 8) == [(1, 2), (4, 6)]
+    # AF default = all minus ctrl: bytes 0x20..0x7E
+    ms = _missions(grep=None)
+    af_iv, ubf_iv = pallas_swar.utf8_lead_intervals(ms[0])
+    assert af_iv == ((0x20, 0x7E),)
+    assert ubf_iv == ((0xC2, 0xDF),)  # UBF Common
