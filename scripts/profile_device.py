@@ -60,11 +60,39 @@ def main():
         rt = extract_runs_packed(packed, capacity=1024)
         return rt.count.astype(jnp.int32) + jnp.sum(rt.start[:8])
 
+    from stringsext_tpu.ops import pallas_swar
+    from stringsext_tpu.ops.runs import extract_runs_packed4
+
+    ms3 = Missions.new(flag_encoding=["UTF-8", "utf-16le", "utf-16be"])
+    swar_p = pallas_swar.swar_params(ms3.v)
+    wrows = size // 4 // 128
+
+    words0 = jax.device_put(
+        jnp.asarray(raw[: wrows * 512].view(np.int32).reshape(wrows, 128))
+    )
+
+    def v_swar_lanes(_, i):
+        w = jnp.bitwise_xor(words0, (i % 2) * 0x01010101)
+        o8, ole, obe = pallas_swar.flagship_swar_lanes(
+            w, tile_rows=256, **swar_p)
+        return jnp.sum(o8[:4, :4]) + jnp.sum(ole[:4, :4]) + jnp.sum(obe[:4, :4])
+
+    def v_swar_full(_, i):
+        w = jnp.bitwise_xor(words0, (i % 2) * 0x01010101)
+        outs = pallas_swar.flagship_swar_lanes(w, tile_rows=256, **swar_p)
+        acc = jnp.int32(0)
+        for ow in outs:
+            rt = extract_runs_packed4(ow, capacity=1024)
+            acc = acc + rt.count.astype(jnp.int32) + jnp.sum(rt.start[:8])
+        return acc
+
     variants = {
         "jnp_lanes": v_jnp_lanes,
         "jnp_lanes+runs": v_jnp_full,
         "pallas_lanes": v_pallas_lanes,
         "pallas_lanes+runs": v_pallas_full,
+        "swar3_lanes": v_swar_lanes,
+        "swar3_lanes+runs": v_swar_full,
     }
 
     data = jax.device_put(jnp.asarray(raw))

@@ -8,6 +8,7 @@ fall back to the pure-Python automaton (identical output, slower).
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 import subprocess
 import sys
@@ -35,6 +36,11 @@ class _SeMission(ctypes.Structure):
         ("counter_offset", ctypes.c_uint64),
         ("kind", ctypes.c_int32),
         ("table256", ctypes.POINTER(ctypes.c_int32)),
+        ("pair_cp", ctypes.POINTER(ctypes.c_int32)),
+        ("pair_cp2", ctypes.POINTER(ctypes.c_int32)),
+        ("gb_ptrs", ctypes.POINTER(ctypes.c_int64)),
+        ("gb_cps", ctypes.POINTER(ctypes.c_int32)),
+        ("gb_nranges", ctypes.c_int32),
     ]
 
 
@@ -97,12 +103,95 @@ def get_lib():
     return _lib
 
 
-# kind codes (emitter.cpp)
-KIND_CODE = {"utf8": 0, "utf16le": 1, "utf16be": 2, "single-byte": 3}
+# kind codes (emitter.cpp). Big5 stays on the Python path: four of its
+# WHATWG pointers decode to TWO codepoints, which the flat cp table
+# cannot represent.
+KIND_CODE = {
+    "utf8": 0,
+    "utf16le": 1,
+    "utf16be": 2,
+    "single-byte": 3,
+    "euc-kr": 4,
+    "shift_jis": 6,
+    "euc-jp": 7,
+    "gb18030": 8,
+}
 
 
 def native_supported(encoding_kind: str) -> bool:
     return encoding_kind in KIND_CODE and get_lib() is not None
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_cp_table(kind: str) -> np.ndarray:
+    """int32[256,256]: decoded cp per (lead, trail) pair, -1 invalid."""
+    import codecs
+
+    from ..engine.events_cjk import _CODEC, _pair_table
+
+    valid, multi = _pair_table(kind)
+    codec = _CODEC[kind]
+    out = np.full((256, 256), -1, dtype=np.int32)
+    ls, ts = np.nonzero(valid)
+    for l, t in zip(ls.tolist(), ts.tolist()):
+        key = l * 256 + t
+        if key in multi:
+            continue  # multi-cp pairs unsupported natively (Big5 only)
+        out[l, t] = ord(bytes([l, t]).decode(codec))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _eucjp_0212_cp_table() -> np.ndarray:
+    from ..engine.events_cjk import _eucjp_0212_table
+
+    valid = _eucjp_0212_table()
+    out = np.full((256, 256), -1, dtype=np.int32)
+    ls, ts = np.nonzero(valid)
+    for l, t in zip(ls.tolist(), ts.tolist()):
+        out[l, t] = ord(bytes([0x8F, l, t]).decode("euc_jp"))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _gb18030_ranges() -> "tuple[np.ndarray, np.ndarray]":
+    """(pointers, cps): breakpoints of the gb18030 four-byte linear
+    ranges, found by bisecting the codec-probed delta function."""
+
+    def cp_of(ptr: int) -> int:
+        b1 = 0x81 + ptr // 12600
+        r = ptr % 12600
+        b2 = 0x30 + r // 1260
+        r %= 1260
+        b3 = 0x81 + r // 10
+        b4 = 0x30 + r % 10
+        return ord(bytes([b1, b2, b3, b4]).decode("gb18030"))
+
+    breaks = []
+
+    def scan(lo, hi):  # delta(cp-ptr) constant? else bisect
+        dlo = cp_of(lo) - lo
+        dhi = cp_of(hi) - hi
+        if dlo == dhi:
+            return
+        if hi == lo + 1:
+            breaks.append(hi)
+            return
+        mid = (lo + hi) // 2
+        scan(lo, mid)
+        scan(mid, hi)
+
+    segs = [(0, 39419), (189000, 1237575)]
+    ptrs = []
+    cps = []
+    for lo, hi in segs:
+        breaks.clear()
+        scan(lo, hi)
+        pts = [lo] + sorted(breaks)
+        for p in pts:
+            ptrs.append(p)
+            cps.append(cp_of(p))
+    return np.array(ptrs, dtype=np.int64), np.array(cps, dtype=np.int32)
 
 
 def native_scan(
@@ -133,11 +222,33 @@ def native_scan(
     kind = encoding_kind(mission.encoding_name)
     code = KIND_CODE[kind]
 
-    table = None
-    table_ptr = None
+    P32 = ctypes.POINTER(ctypes.c_int32)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    keepalive = []
+
+    def p32(arr):
+        keepalive.append(arr)
+        return arr.ctypes.data_as(P32)
+
+    table_ptr = pair_ptr = pair2_ptr = gbp_ptr = gbc_ptr = None
+    gb_n = 0
     if kind == "single-byte":
-        table = np.ascontiguousarray(full_byte_table(mission.encoding_name), dtype=np.int32)
-        table_ptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        table_ptr = p32(np.ascontiguousarray(
+            full_byte_table(mission.encoding_name), dtype=np.int32))
+    elif kind in ("euc-kr", "shift_jis", "gb18030", "euc-jp"):
+        table_kind = {"euc-kr": "euc-kr", "shift_jis": "shift_jis",
+                      "gb18030": "gb18030", "euc-jp": "euc-jp"}[kind]
+        pair_ptr = p32(np.ascontiguousarray(_pair_cp_table(table_kind)))
+        if kind == "euc-jp":
+            pair2_ptr = p32(np.ascontiguousarray(_eucjp_0212_cp_table()))
+        if kind == "gb18030":
+            gp, gc = _gb18030_ranges()
+            gp = np.ascontiguousarray(gp)
+            gc = np.ascontiguousarray(gc)
+            keepalive += [gp, gc]
+            gbp_ptr = gp.ctypes.data_as(P64)
+            gbc_ptr = gc.ctypes.data_as(P32)
+            gb_n = len(gp)
 
     f = mission.filter
     sm = _SeMission(
@@ -151,6 +262,11 @@ def native_scan(
         counter_offset=mission.counter_offset,
         kind=code,
         table256=table_ptr,
+        pair_cp=pair_ptr,
+        pair_cp2=pair2_ptr,
+        gb_ptrs=gbp_ptr,
+        gb_cps=gbc_ptr,
+        gb_nranges=gb_n,
     )
 
     data = np.ascontiguousarray(data, dtype=np.uint8)

@@ -27,8 +27,16 @@ struct Mission {
     int32_t line_max;       // output_line_char_nb_max
     int32_t same_block;
     uint64_t counter_offset;
-    int32_t kind;  // 0 utf8, 1 utf16le, 2 utf16be, 3 single-byte
+    // 0 utf8, 1 utf16le, 2 utf16be, 3 single-byte,
+    // 4 euc-kr, 5 big5, 6 shift_jis (two-byte kinds, pair table),
+    // 7 euc-jp, 8 gb18030/gbk
+    int32_t kind;
     const int32_t* table256;
+    const int32_t* pair_cp;    // [256*256] cp or -1 (kinds 4-8 2-byte)
+    const int32_t* pair_cp2;   // EUC-JP jis0212 [256*256] via (t2,t3)
+    const int64_t* gb_ptrs;    // gb18030 4-byte range pointers (sorted)
+    const int32_t* gb_cps;     // cp at each range pointer
+    int32_t gb_nranges;
 };
 
 // Findings are stored struct-of-arrays for clean numpy interop.
@@ -118,12 +126,146 @@ static inline bool utf16_next(const uint8_t* d, int64_t n, int64_t p, bool be, E
     return true;
 }
 
+// Two-byte CJK kinds (EUC-KR / Big5 / Shift_JIS / GBK 2-byte): WHATWG
+// error semantics - an invalid pair with an ASCII trail pushes the
+// trail back (malformed = lead only); a non-ASCII trail is consumed.
+static inline bool cjk2_next(const Mission& m, const uint8_t* d, int64_t n,
+                             int64_t p, Event* ev) {
+    uint8_t b = d[p];
+    ev->pos = p; ev->pushback = 0;
+    if (m.kind == 6) {  // Shift_JIS singles
+        if (b <= 0x80) { ev->in_len = 1; ev->cp = b; ev->report = p; return true; }
+        if (b >= 0xA1 && b <= 0xDF) {
+            ev->in_len = 1; ev->cp = 0xFF61 - 0xA1 + b; ev->report = p; return true;
+        }
+        bool lead = (b >= 0x81 && b <= 0x9F) || (b >= 0xE0 && b <= 0xFC);
+        if (!lead) { ev->in_len = 1; ev->cp = -1; ev->report = p; return true; }
+    } else {
+        if (b < 0x80) { ev->in_len = 1; ev->cp = b; ev->report = p; return true; }
+        if (b < 0x81 || b > 0xFE) {
+            ev->in_len = 1; ev->cp = -1; ev->report = p; return true;
+        }
+    }
+    if (p + 1 >= n) return false;  // pending lead
+    uint8_t t = d[p + 1];
+    int32_t cp = m.pair_cp[(int32_t)b * 256 + t];
+    if (cp >= 0) { ev->in_len = 2; ev->cp = cp; ev->report = p + 1; return true; }
+    if (t < 0x80) {  // ASCII trail pushed back
+        ev->in_len = 1; ev->cp = -1; ev->report = p + 1; ev->pushback = 1;
+        return true;
+    }
+    ev->in_len = 2; ev->cp = -1; ev->report = p + 1; return true;
+}
+
+static inline bool eucjp_next(const Mission& m, const uint8_t* d, int64_t n,
+                              int64_t p, Event* ev) {
+    uint8_t b = d[p];
+    ev->pos = p; ev->pushback = 0;
+    if (b < 0x80) { ev->in_len = 1; ev->cp = b; ev->report = p; return true; }
+    if (b == 0x8E) {
+        if (p + 1 >= n) return false;
+        uint8_t t = d[p + 1];
+        if (t >= 0xA1 && t <= 0xDF) {
+            ev->in_len = 2; ev->cp = 0xFF61 - 0xA1 + t; ev->report = p + 1;
+            return true;
+        }
+        if (t < 0x80) { ev->in_len = 1; ev->cp = -1; ev->report = p + 1;
+                        ev->pushback = 1; return true; }
+        ev->in_len = 2; ev->cp = -1; ev->report = p + 1; return true;
+    }
+    if (b == 0x8F) {
+        if (p + 1 >= n) return false;
+        uint8_t t2 = d[p + 1];
+        if (!(t2 >= 0xA1 && t2 <= 0xFE)) {
+            if (t2 < 0x80) { ev->in_len = 1; ev->cp = -1; ev->report = p + 1;
+                             ev->pushback = 1; return true; }
+            ev->in_len = 2; ev->cp = -1; ev->report = p + 1; return true;
+        }
+        if (p + 2 >= n) return false;
+        uint8_t t3 = d[p + 2];
+        int32_t cp = m.pair_cp2 ? m.pair_cp2[(int32_t)t2 * 256 + t3] : -1;
+        if (cp >= 0) { ev->in_len = 3; ev->cp = cp; ev->report = p + 2;
+                       return true; }
+        if (t3 < 0x80) { ev->in_len = 2; ev->cp = -1; ev->report = p + 2;
+                         ev->pushback = 1; return true; }
+        ev->in_len = 3; ev->cp = -1; ev->report = p + 2; return true;
+    }
+    if (b >= 0xA1 && b <= 0xFE) {
+        if (p + 1 >= n) return false;
+        uint8_t t = d[p + 1];
+        int32_t cp = m.pair_cp[(int32_t)b * 256 + t];
+        if (cp >= 0) { ev->in_len = 2; ev->cp = cp; ev->report = p + 1;
+                       return true; }
+        if (t < 0x80) { ev->in_len = 1; ev->cp = -1; ev->report = p + 1;
+                        ev->pushback = 1; return true; }
+        ev->in_len = 2; ev->cp = -1; ev->report = p + 1; return true;
+    }
+    ev->in_len = 1; ev->cp = -1; ev->report = p; return true;
+}
+
+static inline bool gb18030_next(const Mission& m, const uint8_t* d, int64_t n,
+                                int64_t p, Event* ev) {
+    uint8_t b = d[p];
+    ev->pos = p; ev->pushback = 0;
+    if (b < 0x80) { ev->in_len = 1; ev->cp = b; ev->report = p; return true; }
+    if (b < 0x81 || b > 0xFE) {
+        ev->in_len = 1; ev->cp = -1; ev->report = p; return true;
+    }
+    if (p + 1 >= n) return false;
+    uint8_t b2 = d[p + 1];
+    if (b2 >= 0x30 && b2 <= 0x39) {  // four-byte form
+        if (p + 2 >= n) return false;
+        uint8_t b3 = d[p + 2];
+        if (!(b3 >= 0x81 && b3 <= 0xFE)) {
+            ev->in_len = 1; ev->cp = -1; ev->report = p + 2; ev->pushback = 2;
+            return true;
+        }
+        if (p + 3 >= n) return false;
+        uint8_t b4 = d[p + 3];
+        if (!(b4 >= 0x30 && b4 <= 0x39)) {
+            ev->in_len = 1; ev->cp = -1; ev->report = p + 3; ev->pushback = 3;
+            return true;
+        }
+        int64_t ptr = (int64_t)(b - 0x81) * 12600 + (b2 - 0x30) * 1260 +
+                      (b3 - 0x81) * 10 + (b4 - 0x30);
+        bool ok = (ptr <= 39419) || (ptr >= 189000 && ptr <= 1237575);
+        if (ok && m.gb_nranges > 0) {
+            // binary search the ranges table: last entry with
+            // range_ptr <= ptr; cp = cps[i] + (ptr - ptrs[i]).
+            int32_t lo = 0, hi = m.gb_nranges - 1;
+            while (lo < hi) {
+                int32_t mid = (lo + hi + 1) >> 1;
+                if (m.gb_ptrs[mid] <= ptr) lo = mid; else hi = mid - 1;
+            }
+            ev->in_len = 4; ev->cp = m.gb_cps[lo] + (int32_t)(ptr - m.gb_ptrs[lo]);
+            ev->report = p + 3; return true;
+        }
+        ev->in_len = 4; ev->cp = -1; ev->report = p + 3; return true;
+    }
+    if (b2 >= 0x40 && b2 <= 0xFE && b2 != 0x7F) {  // two-byte
+        int32_t cp = m.pair_cp[(int32_t)b * 256 + b2];
+        if (cp >= 0) { ev->in_len = 2; ev->cp = cp; ev->report = p + 1;
+                       return true; }
+        if (b2 < 0x80) { ev->in_len = 1; ev->cp = -1; ev->report = p + 1;
+                         ev->pushback = 1; return true; }
+        ev->in_len = 2; ev->cp = -1; ev->report = p + 1; return true;
+    }
+    if (b2 < 0x80) { ev->in_len = 1; ev->cp = -1; ev->report = p + 1;
+                     ev->pushback = 1; return true; }
+    ev->in_len = 2; ev->cp = -1; ev->report = p + 1; return true;
+}
+
 static inline bool next_event(const Mission& m, const uint8_t* d, int64_t n,
                               int64_t p, Event* ev) {
     switch (m.kind) {
         case 0: return utf8_next(d, n, p, ev);
         case 1: return utf16_next(d, n, p, false, ev);
         case 2: return utf16_next(d, n, p, true, ev);
+        case 4:
+        case 5:
+        case 6: return cjk2_next(m, d, n, p, ev);
+        case 7: return eucjp_next(m, d, n, p, ev);
+        case 8: return gb18030_next(m, d, n, p, ev);
         default: {
             ev->pos = p; ev->in_len = 1; ev->cp = m.table256[d[p]];
             ev->report = p; ev->pushback = 0; return true;
@@ -536,6 +678,11 @@ struct se_mission {
     uint64_t counter_offset;
     int32_t kind;
     const int32_t* table256;
+    const int32_t* pair_cp;
+    const int32_t* pair_cp2;
+    const int64_t* gb_ptrs;
+    const int32_t* gb_cps;
+    int32_t gb_nranges;
 };
 
 // Scans one mission over the sliced stream. Returns an opaque handle
@@ -564,6 +711,9 @@ void* se_scan(const uint8_t* data, int64_t total,
     m.line_max = sm->line_max; m.same_block = sm->same_block;
     m.counter_offset = sm->counter_offset; m.kind = sm->kind;
     m.table256 = sm->table256;
+    m.pair_cp = sm->pair_cp; m.pair_cp2 = sm->pair_cp2;
+    m.gb_ptrs = sm->gb_ptrs; m.gb_cps = sm->gb_cps;
+    m.gb_nranges = sm->gb_nranges;
 
     std::vector<int32_t> lo_in, lo_out;
     if (state_io && leftover_io && leftover_len_io && *leftover_len_io > 0)

@@ -40,6 +40,10 @@ def _corpus(i):
         "UTF16LE Кириллица text".encode("utf-16-le"),
         "UTF16BE Ελληνικά text".encode("utf-16-be"),
         "astral \U0001F600\U0001F601 chars".encode("utf-8"),
+        "한국어 테스트".encode("cp949"),
+        "日本語テスト".encode("cp932"),
+        "中文测试\U00020000".encode("gb18030"),
+        "日本語のテスト".encode("euc_jp"),
     ]
     for j, t in enumerate(texts):
         off = (j * 977 + i * 131) % max(1, size - len(t) - 1)
@@ -56,6 +60,9 @@ CONFIGS = [
     ["-e", "windows-1251", "-e", "KOI8-R", "-tx", "-n", "3"],
     ["-e", "UTF-8", "-c"],
     ["-e", "utf-16be", "-tx", "-s", "77777", "-q", "8"],
+    ["-e", "euc-kr", "-e", "shift_jis", "-tx", "-u", "Default", "-q", "12"],
+    ["-e", "gb18030", "-e", "euc-jp", "-tx", "-u", "Default"],
+    ["-e", "gbk", "-tx", "-u", "Asian", "-n", "2"],
 ]
 
 
