@@ -58,11 +58,14 @@ def build_bench_fn():
 
     def bench_fn(data, iters):
         def body(i, acc):
-            # XOR with a loop-dependent byte: fuses into the lanes
+            # XOR with a loop-dependent value: fuses into the lanes
             # computation (no extra memory pass) but makes every
             # iteration's input distinct, so XLA cannot hoist the scan
             # out of the loop.
-            d = jnp.bitwise_xor(data, (i % 2).astype(jnp.uint8))
+            if data.dtype == jnp.uint8:
+                d = jnp.bitwise_xor(data, (i % 2).astype(jnp.uint8))
+            else:
+                d = jnp.bitwise_xor(data, (i % 2) * 0x01010101)
             out = scan_step(d)
             chk = acc
             for rt in out:
@@ -84,7 +87,8 @@ def main():
 
     sys.path.insert(0, ".")
     bench = build_bench_fn()
-    data = jax.device_put(jnp.asarray(make_corpus(size)))
+    # Resident as packed int32 words (the kernels' native layout).
+    data = jax.device_put(jnp.asarray(make_corpus(size).view(np.int32)))
 
     # Warmup / compile both iteration counts.
     int(bench(data, 1))

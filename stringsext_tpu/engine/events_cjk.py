@@ -201,6 +201,12 @@ def generate(data: np.ndarray, kind: str) -> Events:
             [r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows],
             [r[3] for r in rows], [r[4] for r in rows],
         )
+    # A byte pushed back by an error (e.g. the digit after a bad gb18030
+    # four-byte form) is re-decoded only after the error was detected:
+    # clamp reports to the running maximum so the stream matches the
+    # sequential decoder's emission clock.
+    if len(ev):
+        ev.report = np.maximum.accumulate(ev.report)
     return ev
 
 

@@ -205,11 +205,12 @@ def generate(data: np.ndarray) -> Events:
             # covering the whole sequence (WHATWG output flag).
             acc.add(esc, 3, -1, esc + 2)
 
-    # Sort by (report, pos) to restore stream order across the
-    # vectorized segment batches (they are appended per segment, already
-    # ordered; sorting is a stable safeguard).
+    # Events are appended in true decode order (segments, then escape
+    # events, then re-decoded pushback bytes). Reports must be
+    # non-decreasing along that order: a pushed-back byte only becomes
+    # available at the moment the invalid escape was detected, so clamp
+    # each report to the running maximum (matching the sequential
+    # decoder's emission clock).
     ev = Events(acc.pos, acc.in_len, acc.cp, acc.report, acc.pushback)
-    order = np.lexsort((ev.pos, ev.report))
-    return Events(
-        ev.pos[order], ev.in_len[order], ev.cp[order], ev.report[order], ev.pushback[order]
-    )
+    ev.report = np.maximum.accumulate(ev.report) if len(ev) else ev.report
+    return ev

@@ -115,6 +115,7 @@ KIND_CODE = {
     "shift_jis": 6,
     "euc-jp": 7,
     "gb18030": 8,
+    "iso-2022-jp": 9,  # jis0208 cps via the EUC-JP pair table
 }
 
 
@@ -235,9 +236,10 @@ def native_scan(
     if kind == "single-byte":
         table_ptr = p32(np.ascontiguousarray(
             full_byte_table(mission.encoding_name), dtype=np.int32))
-    elif kind in ("euc-kr", "shift_jis", "gb18030", "euc-jp"):
+    elif kind in ("euc-kr", "shift_jis", "gb18030", "euc-jp", "iso-2022-jp"):
         table_kind = {"euc-kr": "euc-kr", "shift_jis": "shift_jis",
-                      "gb18030": "gb18030", "euc-jp": "euc-jp"}[kind]
+                      "gb18030": "gb18030", "euc-jp": "euc-jp",
+                      "iso-2022-jp": "euc-jp"}[kind]
         pair_ptr = p32(np.ascontiguousarray(_pair_cp_table(table_kind)))
         if kind == "euc-jp":
             pair2_ptr = p32(np.ascontiguousarray(_eucjp_0212_cp_table()))

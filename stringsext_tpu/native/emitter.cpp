@@ -50,6 +50,13 @@ struct Event {
     int32_t pushback;
 };
 
+// Decoder state for modal encodings (ISO-2022-JP). Stateless kinds
+// ignore it. mode: 0 ASCII, 1 Roman, 2 Katakana, 3 jis0208 lead.
+struct DecState {
+    int32_t mode = 0;
+    bool output_flag = false;
+};
+
 // ---------- scalar event classifiers (mirror engine/events.py) ----------
 
 // UTF-8: sequential walk; returns false when the event at p would need
@@ -255,6 +262,96 @@ static inline bool gb18030_next(const Mission& m, const uint8_t* d, int64_t n,
     ev->in_len = 2; ev->cp = -1; ev->report = p + 1; return true;
 }
 
+// ISO-2022-JP (kind 9): modal; may consume escape sequences silently,
+// so it loops until an event materializes or input runs out. `p` is
+// advanced past silently-consumed escapes via *p_io.
+static inline bool iso2022_next(const Mission& m, const uint8_t* d, int64_t n,
+                                int64_t* p_io, DecState* st, Event* ev) {
+    for (;;) {
+        int64_t p = *p_io;
+        if (p >= n) return false;
+        uint8_t b = d[p];
+        ev->pos = p; ev->pushback = 0;
+        if (b == 0x1B) {
+            if (p + 1 >= n) return false;  // pending escape
+            uint8_t e1 = d[p + 1];
+            if (e1 != 0x24 && e1 != 0x28) {
+                ev->in_len = 1; ev->cp = -1; ev->report = p + 1; ev->pushback = 1;
+                return true;
+            }
+            if (p + 2 >= n) return false;
+            uint8_t e2 = d[p + 2];
+            int32_t new_mode = -1;
+            if (e1 == 0x28) {
+                if (e2 == 0x42) new_mode = 0;
+                else if (e2 == 0x4A) new_mode = 1;
+                else if (e2 == 0x49) new_mode = 2;
+            } else if (e2 == 0x40 || e2 == 0x42) new_mode = 3;
+            if (new_mode < 0) {
+                ev->in_len = 1; ev->cp = -1; ev->report = p + 2; ev->pushback = 2;
+                return true;
+            }
+            bool was = st->output_flag;
+            st->output_flag = true;
+            st->mode = new_mode;
+            *p_io = p + 3;
+            if (was) {  // redundant escape -> error covering it
+                ev->in_len = 3; ev->cp = -1; ev->report = p + 2;
+                return true;
+            }
+            continue;  // silent transition
+        }
+        switch (st->mode) {
+            case 0:
+            case 1: {
+                if (b < 0x80 && b != 0x0E && b != 0x0F) {
+                    int32_t cp = b;
+                    if (st->mode == 1) {
+                        if (b == 0x5C) cp = 0x00A5;
+                        else if (b == 0x7E) cp = 0x203E;
+                    }
+                    ev->in_len = 1; ev->cp = cp; ev->report = p;
+                    st->output_flag = false;
+                    return true;
+                }
+                ev->in_len = 1; ev->cp = -1; ev->report = p;
+                return true;
+            }
+            case 2: {
+                if (b >= 0x21 && b <= 0x5F) {
+                    ev->in_len = 1; ev->cp = 0xFF61 - 0x21 + b; ev->report = p;
+                    st->output_flag = false;
+                    return true;
+                }
+                ev->in_len = 1; ev->cp = -1; ev->report = p;
+                return true;
+            }
+            default: {  // jis0208 two-byte
+                if (!(b >= 0x21 && b <= 0x7E)) {
+                    ev->in_len = 1; ev->cp = -1; ev->report = p;
+                    return true;
+                }
+                if (p + 1 >= n) return false;  // trail pending
+                uint8_t t = d[p + 1];
+                if (t == 0x1B) {  // ESC in trail state: incomplete pair
+                    ev->in_len = 1; ev->cp = -1; ev->report = p + 1;
+                    return true;
+                }
+                if (t >= 0x21 && t <= 0x7E && m.pair_cp) {
+                    int32_t cp = m.pair_cp[((int32_t)b | 0x80) * 256 + (t | 0x80)];
+                    if (cp >= 0) {
+                        ev->in_len = 2; ev->cp = cp; ev->report = p + 1;
+                        st->output_flag = false;
+                        return true;
+                    }
+                }
+                ev->in_len = 2; ev->cp = -1; ev->report = p + 1;
+                return true;
+            }
+        }
+    }
+}
+
 static inline bool next_event(const Mission& m, const uint8_t* d, int64_t n,
                               int64_t p, Event* ev) {
     switch (m.kind) {
@@ -392,9 +489,13 @@ static void fresh_decode_prefix(const Mission& m, const uint8_t* d, int64_t n,
     out.clear();
     int64_t limit = n < 64 ? n : 64;
     int64_t p = 0;
+    DecState fresh_state;
     while (p < limit) {
         Event ev;
-        if (!next_event(m, d, limit, p, &ev)) break;  // pending == flush stop
+        bool ok;
+        if (m.kind == 9) ok = iso2022_next(m, d, limit, &p, &fresh_state, &ev);
+        else ok = next_event(m, d, limit, p, &ev);
+        if (!ok) break;  // pending == flush stop
         if (ev.cp < 0) break;
         int l = utf8_len_of(ev.cp);
         if ((int)out.size() + l > 8) break;
@@ -484,10 +585,19 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     int64_t cursor = cursor0;  // next un-consumed event start position
     Event ev;
     bool ev_ok = false;  // ev holds the next event
+    DecState dstate;
     auto advance = [&]() {
         ev_ok = false;
         if (cursor >= total) return;
-        if (!next_event(m, data, total, cursor, &ev)) { cursor = total; return; }
+        if (m.kind == 9) {
+            if (!iso2022_next(m, data, total, &cursor, &dstate, &ev)) {
+                cursor = total;
+                return;
+            }
+        } else if (!next_event(m, data, total, cursor, &ev)) {
+            cursor = total;
+            return;
+        }
         ev_ok = true;
     };
     advance();

@@ -110,75 +110,73 @@ def extract_runs_packed(
 _M01 = 0x01010101
 
 
+def _swar_flags(w, w_prev, w_next):
+    """Derive (acc, lf, gf, run_start, run_end) 0x01/byte-field words
+    from packed-lane words, with one word of context on each side.
+    Works on 1-D or (K, bw) arrays (context arrays same shape)."""
+
+    def lsr(x, k):
+        return (x >> k) & ((1 << (32 - k)) - 1) if k else x
+
+    m80 = jnp.int32(0x80808080 - (1 << 32))
+    acc = w & _M01
+    lf = lsr(w, 1) & (7 * _M01)
+    gf = lsr(w, 4) & _M01
+    acc_p = w_prev & _M01
+    lf_p = lsr(w_prev, 1) & (7 * _M01)
+    acc_n = w_next & _M01
+
+    def zero_bytes(y):
+        return lsr((y - _M01) & ~y & m80, 7)
+
+    cont_prev = jnp.zeros_like(w)
+    joins_next = jnp.zeros_like(w)
+    for L in (1, 2, 3, 4):
+        eL = zero_bytes(lf ^ (L * _M01)) & acc
+        eL_p = zero_bytes(lf_p ^ (L * _M01)) & acc_p
+        # byte-slot shift toward higher positions (lookback by L)
+        cont_prev |= ((eL << (8 * L)) | lsr(eL_p, 32 - 8 * L)) & _M01
+        # accept L bytes ahead (lookahead by L)
+        acc_fwd = (lsr(acc, 8 * L) | (acc_n << (32 - 8 * L))) & _M01
+        joins_next |= zero_bytes(lf ^ (L * _M01)) & acc_fwd
+    run_start = acc & ~cont_prev & _M01
+    run_end = acc & ~joins_next & _M01
+    return acc, lf, gf, run_start, run_end
+
+
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def extract_runs_packed4(words: jax.Array, capacity: int = 4096) -> RunTable:
     """Run compaction from SWAR word-packed lanes (ops/pallas_swar.py):
     one int32 word per 4 stream bytes, an 8-bit field per byte slot
     (UTF-16 words populate slots 0 and 2 only, which is exactly the
-    per-byte view of unit starts). Stage 1 stays in SWAR form - no
-    per-byte unpacking of the full stream; only the capacity-sized
-    boundary slabs are expanded."""
+    per-byte view of unit starts).
+
+    Nothing full-length is materialized: stage 1 derives boundary flags
+    inline and reduces per-block counts (a fused streaming pass over the
+    packed words); stage 3 gathers only the capacity-sized boundary
+    slabs (plus one context word each side) and re-derives the flags
+    locally."""
     w = words.reshape(-1)
-    nw = w.shape[0]
-    n = nw * 4  # byte positions
 
     def lsr(x, k):
         return (x >> k) & ((1 << (32 - k)) - 1) if k else x
 
-    acc = w & _M01
-    lf = lsr(w, 1) & (7 * _M01)
-    gf = lsr(w, 4) & _M01
-
-    m80 = jnp.int32(0x80808080 - (1 << 32))  # 0x80808080 as signed i32
-
-    def zero_bytes(y):
-        """0x01 per zero byte of y (y byte values < 0x80)."""
-        return lsr((y - _M01) & ~y & m80, 7)
-
-    def eq_len(L):
-        return zero_bytes(lf ^ (L * _M01)) & acc  # accepted with len L
-
-    def wshift(x, k):  # word lookbehind/ahead on the flat array
-        if k > 0:
-            return jnp.concatenate([jnp.zeros(k, x.dtype), x[: nw - k]])
-        return jnp.concatenate([x[-k:], jnp.zeros(-k, x.dtype)])
-
-    def bshift_back(x, kb):  # byte-slot shift toward higher positions
-        xp = wshift(x, 1)
-        return ((x << (8 * kb)) | lsr(xp, 32 - 8 * kb)) & _M01
-
-    def bshift_fwd(x, kb):
-        xn = wshift(x, -1)
-        return (lsr(x, 8 * kb) | (xn << (32 - 8 * kb))) & _M01
-
-    cont_prev = jnp.zeros_like(w)
-    joins_next = jnp.zeros_like(w)
-    for L in (1, 2, 3, 4):
-        eL = eq_len(L)
-        cont_prev |= bshift_back(eL, L)
-        joins_next |= zero_bytes(lf ^ (L * _M01)) & bshift_fwd(acc, L)
-    run_start = acc & ~cont_prev & _M01
-    run_end = acc & ~joins_next & _M01
-
-    # Stage 1: per-block counts; byte-sums per word via the multiply
-    # trick, three quantities per reduce via 10-bit packing.
     bw = _BLOCK // 4  # words per block
-    nb = nw // bw if nw % bw == 0 else None
-    if nb is None:
-        pad = bw - nw % bw
-        z = jnp.zeros(pad, w.dtype)
-        run_start = jnp.concatenate([run_start, z])
-        run_end = jnp.concatenate([run_end, z])
-        acc = jnp.concatenate([acc, z])
-        gf = jnp.concatenate([gf, z])
-        lf = jnp.concatenate([lf, z])
-        w = jnp.concatenate([w, z])
-        nw = w.shape[0]
-        nb = nw // bw
+    nw0 = w.shape[0]
+    if nw0 % bw:
+        w = jnp.concatenate([w, jnp.zeros(bw - nw0 % bw, w.dtype)])
+    nw = w.shape[0]
+    n = nw * 4
+    nb = nw // bw
 
-    def word_bytesum(x):  # sum of the 4 byte slots (values <= 4)
+    w_prev = jnp.concatenate([jnp.zeros(1, w.dtype), w[:-1]])
+    w_next = jnp.concatenate([w[1:], jnp.zeros(1, w.dtype)])
+    acc, lf, gf, run_start, run_end = _swar_flags(w, w_prev, w_next)
+
+    def word_bytesum(x):  # sum of the 4 byte slots (values <= 7)
         return lsr(x * _M01, 24)
 
+    # Stage 1: three counts per reduce via 10-bit fields (block <= 512).
     enc = (
         word_bytesum(run_start)
         + (word_bytesum(run_end) << 10)
@@ -199,59 +197,56 @@ def extract_runs_packed4(words: jax.Array, capacity: int = 4096) -> RunTable:
     k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
     row_ok = k <= nruns
 
-    def expand(slab_words):  # (K, bw) words -> (K, 4*bw) byte fields
+    def expand(slab_words):  # (K, m) words -> (K, 4m) byte fields
+        m = slab_words.shape[1]
         parts = [lsr(slab_words, 8 * j) & 0xFF for j in range(4)]
-        return jnp.stack(parts, axis=-1).reshape(slab_words.shape[0], bw * 4)
+        return jnp.stack(parts, axis=-1).reshape(slab_words.shape[0], m * 4)
 
     wm = w.reshape(nb, bw)
+    w_flat = w
 
-    def locate(flag_bit_shift, blk_cum):
-        """Byte positions of the k-th set flags; flag extracted from the
-        gathered word slabs (bit `flag_bit_shift` of each byte field)."""
+    def slab_flags(b):
+        """Gather block b's words + 1 context word each side and derive
+        the per-byte flag slabs (K, _BLOCK)."""
+        base = b * bw
+        slabW = wm[b]  # (K, bw)
+        prevW = jnp.where(base > 0, w_flat[jnp.maximum(base - 1, 0)], 0)
+        nextW = jnp.where(base + bw < nw, w_flat[jnp.minimum(base + bw, nw - 1)], 0)
+        pW = jnp.concatenate([prevW[:, None], slabW[:, :-1]], axis=1)
+        nW = jnp.concatenate([slabW[:, 1:], nextW[:, None]], axis=1)
+        a, l, g, rs, re = _swar_flags(slabW, pW, nW)
+        return tuple(expand(x) for x in (a, l, g, rs, re))
+
+    def locate(blk_cum, which):
         b = jnp.minimum(jnp.searchsorted(blk_cum, k, side="left"), nb - 1)
         prev = jnp.where(b > 0, blk_cum[jnp.maximum(b - 1, 0)], 0)
         local_k = k - prev
-        slab = expand(wm[b])  # (K, _BLOCK) byte fields
-        return b, slab, local_k
-
-    # run_start / run_end flags must be recomputed inside slabs; to
-    # avoid neighbor effects at slab edges, gather the *flag words*
-    # instead of recomputing: materialize them (2 streaming writes).
-    rs_m = run_start.reshape(nb, bw)
-    re_m = run_end.reshape(nb, bw)
-    acc_m = acc.reshape(nb, bw)
-    gf_m = gf.reshape(nb, bw)
-    lf_m = lf.reshape(nb, bw)
-
-    def locate2(flags_m, blk_cum):
-        b = jnp.minimum(jnp.searchsorted(blk_cum, k, side="left"), nb - 1)
-        prev = jnp.where(b > 0, blk_cum[jnp.maximum(b - 1, 0)], 0)
-        local_k = k - prev
-        slab = expand(flags_m[b])  # 0/1 per byte
-        local_cum = jnp.cumsum(slab, axis=1)
+        a_e, l_e, g_e, rs_e, re_e = slab_flags(b)
+        flags = {"rs": rs_e, "re": re_e}[which]
+        local_cum = jnp.cumsum(flags, axis=1)
         pos = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="left"))(
             local_cum, local_k
         ).astype(jnp.int32)
         pos = jnp.minimum(pos, _BLOCK - 1)
-        return jnp.minimum(b * _BLOCK + pos, n - 1), b, pos
+        return jnp.minimum(b * _BLOCK + pos, n - 1), b, pos, (a_e, l_e, g_e)
 
-    si_c, sb, sp = locate2(rs_m, cum_start)
-    ei_c, eb, ep = locate2(re_m, cum_end)
+    si_c, sb, sp, s_slabs = locate(cum_start, "rs")
+    ei_c, eb, ep, e_slabs = locate(cum_end, "re")
 
-    def pref_at(flags_m, blk_cum, bx, px):
+    def pref_at(slab, blk_cum, bx, px):
         prev = jnp.where(bx > 0, blk_cum[jnp.maximum(bx - 1, 0)], 0)
-        slab = expand(flags_m[bx])
         idxs = jnp.arange(_BLOCK, dtype=jnp.int32)[None, :]
         local = jnp.sum(jnp.where(idxs <= px[:, None], slab, 0), axis=1)
         return prev + local
 
-    pc_e = pref_at(acc_m, cum_accept, eb, ep)
-    pc_s = pref_at(acc_m, cum_accept, sb, sp)
-    pg_e = pref_at(gf_m, cum_grep, eb, ep)
-    pg_s = pref_at(gf_m, cum_grep, sb, sp)
+    pc_e = pref_at(e_slabs[0], cum_accept, eb, ep)
+    pc_s = pref_at(s_slabs[0], cum_accept, sb, sp)
+    pg_e = pref_at(e_slabs[2], cum_grep, eb, ep)
+    pg_s = pref_at(s_slabs[2], cum_grep, sb, sp)
 
-    len_at_e = expand(lf_m[eb])[jnp.arange(capacity), ep]
-    g_at_s = expand(gf_m[sb])[jnp.arange(capacity), sp]
+    rowk = jnp.arange(capacity)
+    len_at_e = e_slabs[1][rowk, ep]
+    g_at_s = s_slabs[2][rowk, sp]
 
     start = jnp.where(row_ok, si_c, jnp.int32(2**31 - 1))
     end = jnp.where(row_ok, ei_c + len_at_e, 0)

@@ -63,6 +63,7 @@ CONFIGS = [
     ["-e", "euc-kr", "-e", "shift_jis", "-tx", "-u", "Default", "-q", "12"],
     ["-e", "gb18030", "-e", "euc-jp", "-tx", "-u", "Default"],
     ["-e", "gbk", "-tx", "-u", "Asian", "-n", "2"],
+    ["-e", "iso-2022-jp", "-tx", "-u", "Default"],
 ]
 
 
