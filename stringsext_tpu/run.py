@@ -101,7 +101,10 @@ def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 10
     af_w, ubf_w = runs_mod.filter_words(mission)
     g = -1 if mission.filter.grep_char is None else mission.filter.grep_char
 
-    raw_ranges = []
+    # Double-buffered dispatch (SURVEY.md section 2 "lock-step batch
+    # pipeline" analog): launch all chunk scans asynchronously, then
+    # collect - H2D of chunk k+1 overlaps the device scan of chunk k.
+    launched = []
     pos = 0
     while pos < n:
         m_end = min(pos + chunk, n)
@@ -109,7 +112,7 @@ def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 10
         # keeping one compile per bucket); overflow falls back to
         # marking the whole chunk hot.
         capacity = int(min(32768, max(1024, (m_end - pos) // 256)))
-        with profiling.scope("device.lanes", m_end - pos):
+        with profiling.scope("device.dispatch", m_end - pos):
             lanes = compute_lanes(stream.data[pos:m_end], mission.encoding_name)
             if lanes is None:
                 return None
@@ -117,8 +120,15 @@ def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 10
                 lanes, jnp.asarray(af_w), jnp.asarray(ubf_w), jnp.int32(g),
                 capacity=capacity,
             )
-        cnt = int(rt.count)
-        if bool(rt.overflow):
+        launched.append((pos, m_end, rt))
+        pos = m_end
+
+    raw_ranges = []
+    for pos, m_end, rt in launched:
+        with profiling.scope("device.collect"):
+            cnt = int(rt.count)
+            overflow = bool(rt.overflow)
+        if overflow:
             raw_ranges.append((pos, m_end))  # conservative: all hot
         elif cnt:
             s = np.asarray(rt.start)[:cnt].astype(np.int64) + pos
@@ -127,7 +137,6 @@ def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 10
         # chunk seam always hot (boundary-spanning chars)
         if m_end < n:
             raw_ranges.append((m_end - 8, m_end + 8))
-        pos = m_end
 
     # Flatten, expand by a safety margin, merge.
     starts, ends = [], []
