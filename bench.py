@@ -79,7 +79,7 @@ def build_bench_fn():
 
 
 def main():
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 16 * 1024 * 1024
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 32 * 1024 * 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     import jax
