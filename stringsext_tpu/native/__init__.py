@@ -41,6 +41,10 @@ class _SeMission(ctypes.Structure):
         ("gb_ptrs", ctypes.POINTER(ctypes.c_int64)),
         ("gb_cps", ctypes.POINTER(ctypes.c_int32)),
         ("gb_nranges", ctypes.c_int32),
+        ("multi_keys", ctypes.POINTER(ctypes.c_int32)),
+        ("multi_cp1", ctypes.POINTER(ctypes.c_int32)),
+        ("multi_cp2", ctypes.POINTER(ctypes.c_int32)),
+        ("n_multi", ctypes.c_int32),
     ]
 
 
@@ -116,6 +120,7 @@ KIND_CODE = {
     "euc-jp": 7,
     "gb18030": 8,
     "iso-2022-jp": 9,  # jis0208 cps via the EUC-JP pair table
+    "big5": 5,  # double-cp pairs via the sparse multi table
 }
 
 
@@ -232,17 +237,33 @@ def native_scan(
         return arr.ctypes.data_as(P32)
 
     table_ptr = pair_ptr = pair2_ptr = gbp_ptr = gbc_ptr = None
-    gb_n = 0
+    mk_ptr = m1_ptr = m2_ptr = None
+    gb_n = n_multi = 0
     if kind == "single-byte":
         table_ptr = p32(np.ascontiguousarray(
             full_byte_table(mission.encoding_name), dtype=np.int32))
-    elif kind in ("euc-kr", "shift_jis", "gb18030", "euc-jp", "iso-2022-jp"):
+    elif kind in ("euc-kr", "shift_jis", "gb18030", "euc-jp", "iso-2022-jp",
+                  "big5"):
         table_kind = {"euc-kr": "euc-kr", "shift_jis": "shift_jis",
                       "gb18030": "gb18030", "euc-jp": "euc-jp",
-                      "iso-2022-jp": "euc-jp"}[kind]
+                      "iso-2022-jp": "euc-jp", "big5": "big5"}[kind]
         pair_ptr = p32(np.ascontiguousarray(_pair_cp_table(table_kind)))
         if kind == "euc-jp":
             pair2_ptr = p32(np.ascontiguousarray(_eucjp_0212_cp_table()))
+        if kind == "big5":
+            from ..engine.events_cjk import _pair_table
+
+            _, multi = _pair_table("big5")
+            keys = sorted(multi.keys())
+            mk = np.array(keys, dtype=np.int32)
+            m1 = np.array([multi[k][0] for k in keys], dtype=np.int32)
+            m2 = np.array([multi[k][1] if len(multi[k]) > 1 else 0 for k in keys],
+                          dtype=np.int32)
+            keepalive += [mk, m1, m2]
+            mk_ptr = mk.ctypes.data_as(P32)
+            m1_ptr = m1.ctypes.data_as(P32)
+            m2_ptr = m2.ctypes.data_as(P32)
+            n_multi = len(keys)
         if kind == "gb18030":
             gp, gc = _gb18030_ranges()
             gp = np.ascontiguousarray(gp)
@@ -269,6 +290,10 @@ def native_scan(
         gb_ptrs=gbp_ptr,
         gb_cps=gbc_ptr,
         gb_nranges=gb_n,
+        multi_keys=mk_ptr,
+        multi_cp1=m1_ptr,
+        multi_cp2=m2_ptr,
+        n_multi=n_multi,
     )
 
     data = np.ascontiguousarray(data, dtype=np.uint8)

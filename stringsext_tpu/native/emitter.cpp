@@ -37,6 +37,10 @@ struct Mission {
     const int64_t* gb_ptrs;    // gb18030 4-byte range pointers (sorted)
     const int32_t* gb_cps;     // cp at each range pointer
     int32_t gb_nranges;
+    const int32_t* multi_keys; // sorted lead*256+trail of double-cp pairs
+    const int32_t* multi_cp1;
+    const int32_t* multi_cp2;
+    int32_t n_multi;
 };
 
 // Findings are stored struct-of-arrays for clean numpy interop.
@@ -46,6 +50,7 @@ struct Event {
     int64_t pos;
     int32_t in_len;
     int32_t cp;  // -1 malformed
+    int32_t cp2 = 0;  // second codepoint (rare Big5 double-cp pairs)
     int64_t report;
     int32_t pushback;
 };
@@ -65,6 +70,7 @@ static inline bool utf8_next(const uint8_t* d, int64_t n, int64_t p, Event* ev) 
     uint8_t b = d[p];
     ev->pos = p;
     ev->pushback = 0;
+    ev->cp2 = 0;
     if (b < 0x80) {
         ev->in_len = 1; ev->cp = b; ev->report = p; return true;
     }
@@ -116,7 +122,7 @@ static inline bool utf8_next(const uint8_t* d, int64_t n, int64_t p, Event* ev) 
 static inline bool utf16_next(const uint8_t* d, int64_t n, int64_t p, bool be, Event* ev) {
     if (p + 1 >= n) return false;  // half unit pending
     uint32_t u = be ? (d[p] << 8) | d[p + 1] : (d[p + 1] << 8) | d[p];
-    ev->pos = p; ev->pushback = 0;
+    ev->pos = p; ev->pushback = 0; ev->cp2 = 0;
     bool high = u >= 0xD800 && u <= 0xDBFF;
     bool low = u >= 0xDC00 && u <= 0xDFFF;
     if (!high && !low) { ev->in_len = 2; ev->cp = (int32_t)u; ev->report = p + 1; return true; }
@@ -139,7 +145,7 @@ static inline bool utf16_next(const uint8_t* d, int64_t n, int64_t p, bool be, E
 static inline bool cjk2_next(const Mission& m, const uint8_t* d, int64_t n,
                              int64_t p, Event* ev) {
     uint8_t b = d[p];
-    ev->pos = p; ev->pushback = 0;
+    ev->pos = p; ev->pushback = 0; ev->cp2 = 0;
     if (m.kind == 6) {  // Shift_JIS singles
         if (b <= 0x80) { ev->in_len = 1; ev->cp = b; ev->report = p; return true; }
         if (b >= 0xA1 && b <= 0xDF) {
@@ -157,6 +163,16 @@ static inline bool cjk2_next(const Mission& m, const uint8_t* d, int64_t n,
     uint8_t t = d[p + 1];
     int32_t cp = m.pair_cp[(int32_t)b * 256 + t];
     if (cp >= 0) { ev->in_len = 2; ev->cp = cp; ev->report = p + 1; return true; }
+    if (m.n_multi > 0) {  // Big5 double-codepoint pairs
+        int32_t key = (int32_t)b * 256 + t;
+        for (int32_t i = 0; i < m.n_multi; i++) {
+            if (m.multi_keys[i] == key) {
+                ev->in_len = 2; ev->cp = m.multi_cp1[i];
+                ev->cp2 = m.multi_cp2[i]; ev->report = p + 1;
+                return true;
+            }
+        }
+    }
     if (t < 0x80) {  // ASCII trail pushed back
         ev->in_len = 1; ev->cp = -1; ev->report = p + 1; ev->pushback = 1;
         return true;
@@ -167,7 +183,7 @@ static inline bool cjk2_next(const Mission& m, const uint8_t* d, int64_t n,
 static inline bool eucjp_next(const Mission& m, const uint8_t* d, int64_t n,
                               int64_t p, Event* ev) {
     uint8_t b = d[p];
-    ev->pos = p; ev->pushback = 0;
+    ev->pos = p; ev->pushback = 0; ev->cp2 = 0;
     if (b < 0x80) { ev->in_len = 1; ev->cp = b; ev->report = p; return true; }
     if (b == 0x8E) {
         if (p + 1 >= n) return false;
@@ -213,7 +229,7 @@ static inline bool eucjp_next(const Mission& m, const uint8_t* d, int64_t n,
 static inline bool gb18030_next(const Mission& m, const uint8_t* d, int64_t n,
                                 int64_t p, Event* ev) {
     uint8_t b = d[p];
-    ev->pos = p; ev->pushback = 0;
+    ev->pos = p; ev->pushback = 0; ev->cp2 = 0;
     if (b < 0x80) { ev->in_len = 1; ev->cp = b; ev->report = p; return true; }
     if (b < 0x81 || b > 0xFE) {
         ev->in_len = 1; ev->cp = -1; ev->report = p; return true;
@@ -271,7 +287,7 @@ static inline bool iso2022_next(const Mission& m, const uint8_t* d, int64_t n,
         int64_t p = *p_io;
         if (p >= n) return false;
         uint8_t b = d[p];
-        ev->pos = p; ev->pushback = 0;
+        ev->pos = p; ev->pushback = 0; ev->cp2 = 0;
         if (b == 0x1B) {
             if (p + 1 >= n) return false;  // pending escape
             uint8_t e1 = d[p + 1];
@@ -497,9 +513,14 @@ static void fresh_decode_prefix(const Mission& m, const uint8_t* d, int64_t n,
         else ok = next_event(m, d, limit, p, &ev);
         if (!ok) break;  // pending == flush stop
         if (ev.cp < 0) break;
-        int l = utf8_len_of(ev.cp);
-        if ((int)out.size() + l > 8) break;
+        // Budget per char (matches the Python oracle, which models
+        // double-cp pairs as two events).
+        if ((int)out.size() + utf8_len_of(ev.cp) > 8) break;
         utf8_append(out, ev.cp);
+        if (ev.cp2) {
+            if ((int)out.size() + utf8_len_of(ev.cp2) > 8) break;
+            utf8_append(out, ev.cp2);
+        }
         p = ev.pos + ev.in_len;
     }
 }
@@ -588,6 +609,7 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     DecState dstate;
     auto advance = [&]() {
         ev_ok = false;
+        ev.cp2 = 0;
         if (cursor >= total) return;
         if (m.kind == 9) {
             if (!iso2022_next(m, data, total, &cursor, &dstate, &ev)) {
@@ -727,6 +749,7 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                         break;
                     }
                     call_chars.push_back(ev.cp);
+                    if (ev.cp2) call_chars.push_back(ev.cp2);
                     cursor = ev.pos + ev.in_len;
                     advance();
                 }
@@ -793,6 +816,10 @@ struct se_mission {
     const int64_t* gb_ptrs;
     const int32_t* gb_cps;
     int32_t gb_nranges;
+    const int32_t* multi_keys;
+    const int32_t* multi_cp1;
+    const int32_t* multi_cp2;
+    int32_t n_multi;
 };
 
 // Scans one mission over the sliced stream. Returns an opaque handle
@@ -824,6 +851,8 @@ void* se_scan(const uint8_t* data, int64_t total,
     m.pair_cp = sm->pair_cp; m.pair_cp2 = sm->pair_cp2;
     m.gb_ptrs = sm->gb_ptrs; m.gb_cps = sm->gb_cps;
     m.gb_nranges = sm->gb_nranges;
+    m.multi_keys = sm->multi_keys; m.multi_cp1 = sm->multi_cp1;
+    m.multi_cp2 = sm->multi_cp2; m.n_multi = sm->n_multi;
 
     std::vector<int32_t> lo_in, lo_out;
     if (state_io && leftover_io && leftover_len_io && *leftover_len_io > 0)

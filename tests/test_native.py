@@ -44,6 +44,7 @@ def _corpus(i):
         "日本語テスト".encode("cp932"),
         "中文测试\U00020000".encode("gb18030"),
         "日本語のテスト".encode("euc_jp"),
+        "中文字元測試".encode("big5hkscs") + b"\x88\x62tail",
     ]
     for j, t in enumerate(texts):
         off = (j * 977 + i * 131) % max(1, size - len(t) - 1)
@@ -64,6 +65,7 @@ CONFIGS = [
     ["-e", "gb18030", "-e", "euc-jp", "-tx", "-u", "Default"],
     ["-e", "gbk", "-tx", "-u", "Asian", "-n", "2"],
     ["-e", "iso-2022-jp", "-tx", "-u", "Default"],
+    ["-e", "big5", "-tx", "-u", "Default", "-n", "3"],
 ]
 
 
