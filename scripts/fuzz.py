@@ -1,0 +1,136 @@
+"""Differential fuzz: python vs native vs tpu engines must agree
+byte-for-byte on random configs and corpora.
+
+Usage: python scripts/fuzz.py [seconds] [seed]
+Prints PASS/FAIL summary; saves any failing repro to /tmp/fuzz_fail_*.
+"""
+
+import io
+import os
+import random
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+from stringsext_tpu.cli import parse_args
+from stringsext_tpu.run import run
+
+ENCODINGS = [
+    "UTF-8", "utf-16le", "utf-16be", "ascii", "windows-1252", "KOI8-R",
+    "IBM866", "iso-8859-7", "euc-kr", "shift_jis", "gb18030", "euc-jp",
+    "big5", "iso-2022-jp", "windows-874", "x-mac-cyrillic",
+]
+PLANTS = [
+    ("utf-8", "déjà vu €uro ? text with spaces"),
+    ("utf-16-le", "UTF16 Кириллица ? string"),
+    ("utf-16-be", "BE Ελληνικά ? string"),
+    ("cp949", "한국어 ? 테스트"),
+    ("cp932", "日本語?テスト"),
+    ("gb18030", "中文?测试\U00020000"),
+    ("euc_jp", "日本語の?テスト"),
+    ("big5hkscs", "中文?字元測試"),
+    ("iso2022_jp", "mode ? 日本語 switch"),
+]
+
+
+def random_config(rng):
+    encs = rng.sample(ENCODINGS, rng.randint(1, 3))
+    argv = []
+    for e in encs:
+        if rng.random() < 0.2:
+            e = f"{e},{rng.randint(2, 8)}"
+        argv += ["-e", e]
+    argv += ["-t", rng.choice("xdo")]
+    if rng.random() < 0.5:
+        argv += ["-u", rng.choice(["Default", "Common", "Cyrillic", "Asian",
+                                   "Latin", "0xfffffffffffc"])]
+    if rng.random() < 0.3:
+        argv += ["-a", rng.choice(["All-Ctrl", "All-Ctrl+Wsp", "All"])]
+    if rng.random() < 0.3:
+        argv += ["-g", str(rng.choice([63, 47, 32, 58]))]
+    if rng.random() < 0.3:
+        argv += ["-n", str(rng.randint(2, 12))]
+    if rng.random() < 0.3:
+        argv += ["-q", str(rng.randint(6, 40))]
+    if rng.random() < 0.2:
+        argv += ["-r"]
+    if rng.random() < 0.2:
+        argv += ["-s", str(rng.randint(0, 100000))]
+    if rng.random() < 0.1:
+        argv += ["-c"]
+    return argv
+
+
+def random_corpus(rng, nprng):
+    size = rng.choice([64, 700, 4095, 4096, 4097, 9000, 20000])
+    data = bytearray(nprng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
+    for _ in range(rng.randint(0, 8)):
+        codec, text = rng.choice(PLANTS)
+        t = text.encode(codec)
+        if size > len(t) + 2:
+            off = rng.randint(0, size - len(t) - 1)
+            data[off : off + len(t)] = t
+    # sprinkle structure: zeros runs, escapes, surrogate-ish bytes
+    for _ in range(rng.randint(0, 5)):
+        off = rng.randint(0, max(0, size - 20))
+        kind = rng.random()
+        if kind < 0.3:
+            data[off : off + 16] = b"\x00" * 16
+        elif kind < 0.6 and size > 24:
+            data[off] = 0x1B
+        else:
+            data[off : off + 4] = bytes([0x41, 0xD8, 0x42, 0xDC])
+    return bytes(data)
+
+
+def main():
+    seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 300
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+
+    t0 = time.time()
+    trials = 0
+    fails = 0
+    while time.time() - t0 < seconds:
+        argv = random_config(rng)
+        blob = random_corpus(rng, nprng)
+        nfiles = rng.randint(1, 3)
+        paths = []
+        try:
+            for k in range(nfiles):
+                f = tempfile.NamedTemporaryFile(delete=False)
+                f.write(blob[k::nfiles] if nfiles > 1 else blob)
+                f.close()
+                paths.append(f.name)
+            outs = {}
+            for engine in ("python", "auto", "tpu"):
+                args = parse_args(argv + paths)
+                buf = io.BytesIO()
+                run(args, out=buf, engine=engine)
+                outs[engine] = buf.getvalue()
+            if not (outs["python"] == outs["auto"] == outs["tpu"]):
+                fails += 1
+                fn = f"/tmp/fuzz_fail_{trials}.bin"
+                with open(fn, "wb") as f:
+                    f.write(blob)
+                bad = [e for e in ("auto", "tpu") if outs[e] != outs["python"]]
+                print(f"FAIL trial={trials} argv={argv} engines={bad} repro={fn}",
+                      flush=True)
+        finally:
+            for p in paths:
+                os.unlink(p)
+        trials += 1
+    print(f"fuzz done: {trials} trials, {fails} failures, "
+          f"{time.time() - t0:.0f}s")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

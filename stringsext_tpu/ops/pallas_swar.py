@@ -42,7 +42,9 @@ from .pallas_scan import (
     _roll,
 )
 
-HALO_ROWS = 32  # in WORD rows: 32*128 words = 16 KiB halo per side
+# Halo in WORD rows. int32 blocks tile at (8, 128), and the kernel only
+# needs one word of context each side, so 8 rows (4 KiB) suffice.
+HALO_ROWS = 8
 
 L16 = 0x00010001  # per-16-bit-slot one
 G16 = 0x01000100  # per-slot carry guard (bit 8 of each slot)
