@@ -212,7 +212,7 @@ def generate(data: np.ndarray, kind: str) -> Events:
 
 def _lookup2(valid: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
     """valid[b[i], b[i+1]] with False beyond the end."""
-    t = np.concatenate([b[1:], np.zeros(1, np.int32)])
+    t = np.concatenate([b[1:], np.zeros(1, np.int32)])[:n]
     v = valid[b, t]
     v[n - 1 :] = False
     return v
@@ -250,8 +250,8 @@ def _classify_two_byte(b: np.ndarray, kind: str) -> _Classified:
         c.cp = np.where(kana, 0xFF61 - 0xA1 + b, c.cp)
 
     # Pairs.
-    t = np.concatenate([b[1:], np.zeros(1, np.int32)])
-    have_t = np.concatenate([np.ones(n - 1, bool), [False]])
+    t = np.concatenate([b[1:], np.zeros(1, np.int32)])[:n]
+    have_t = np.arange(n) < n - 1
     pair_ok = _lookup2(valid, b, n) & lead
     trail_ascii = t < 0x80
 
@@ -285,10 +285,10 @@ def _classify_eucjp(b: np.ndarray) -> _Classified:
     idx = np.arange(n, dtype=np.int64)
     c.report[:] = idx
 
-    t1 = np.concatenate([b[1:], np.zeros(1, np.int32)])
-    t2 = np.concatenate([b[2:], np.zeros(2, np.int32)])
-    have1 = np.concatenate([np.ones(n - 1, bool), [False]])
-    have2 = np.concatenate([np.ones(n - 2, bool), [False, False]])
+    t1 = np.concatenate([b[1:], np.zeros(1, np.int32)])[:n]
+    t2 = np.concatenate([b[2:], np.zeros(2, np.int32)])[:n]
+    have1 = np.arange(n) < n - 1
+    have2 = np.arange(n) < n - 2
 
     ascii_ = b < 0x80
     c.is_char |= ascii_
@@ -371,12 +371,12 @@ def _classify_gb18030(b: np.ndarray) -> _Classified:
     idx = np.arange(n, dtype=np.int64)
     c.report[:] = idx
 
-    t1 = np.concatenate([b[1:], np.zeros(1, np.int32)])
-    t2 = np.concatenate([b[2:], np.zeros(2, np.int32)])
-    t3 = np.concatenate([b[3:], np.zeros(3, np.int32)])
-    have1 = np.concatenate([np.ones(n - 1, bool), [False]])
-    have2 = np.concatenate([np.ones(n - 2, bool), [False] * 2])
-    have3 = np.concatenate([np.ones(n - 3, bool), [False] * 3])
+    t1 = np.concatenate([b[1:], np.zeros(1, np.int32)])[:n]
+    t2 = np.concatenate([b[2:], np.zeros(2, np.int32)])[:n]
+    t3 = np.concatenate([b[3:], np.zeros(3, np.int32)])[:n]
+    have1 = np.arange(n) < n - 1
+    have2 = np.arange(n) < n - 2
+    have3 = np.arange(n) < n - 3
 
     ascii_ = b < 0x80
     c.is_char |= ascii_
