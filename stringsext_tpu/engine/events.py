@@ -33,8 +33,6 @@ classification logic is mirrored on-device in `stringsext_tpu.ops`.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from ..encodings import (

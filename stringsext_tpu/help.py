@@ -5,8 +5,6 @@ Parity reference: /root/reference/src/help.rs:16-145.
 
 from __future__ import annotations
 
-import sys
-
 from . import __version__, AUTHOR
 from .mission import ASCII_FILTER_ALIASSE, Missions, UNICODE_BLOCK_FILTER_ALIASSE
 from .encodings import ALL_ENCODING_NAMES

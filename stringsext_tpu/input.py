@@ -20,7 +20,6 @@ feeding device-sized chunks to the classification kernels).
 from __future__ import annotations
 
 import dataclasses
-import io
 import os
 import sys
 from typing import Iterator, List, Optional, Tuple

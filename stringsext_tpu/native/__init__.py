@@ -12,7 +12,7 @@ import functools
 import os
 import subprocess
 import sys
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -131,8 +131,6 @@ def native_supported(encoding_kind: str) -> bool:
 @functools.lru_cache(maxsize=None)
 def _pair_cp_table(kind: str) -> np.ndarray:
     """int32[256,256]: decoded cp per (lead, trail) pair, -1 invalid."""
-    import codecs
-
     from ..engine.events_cjk import _CODEC, _pair_table
 
     valid, multi = _pair_table(kind)

@@ -29,12 +29,12 @@ Design (TPU-native, not a port):
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..encodings import (
     KIND_SINGLE_BYTE,
@@ -45,7 +45,7 @@ from ..encodings import (
 )
 from ..mission import Mission
 from ..ops import classify
-from ..ops.runs import RunTable, extract_runs, filter_words
+from ..ops.runs import extract_runs, filter_words
 
 LEFT_CTX = 4  # bytes of left-neighbor context (max char span - 1, parity-safe)
 RIGHT_HALO = 8  # bytes of right-neighbor lookahead

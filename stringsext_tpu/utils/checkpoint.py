@@ -15,7 +15,7 @@ stream offset where scanning should resume.
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional
+from typing import List
 
 from ..mission import Missions
 
