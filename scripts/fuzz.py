@@ -16,7 +16,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# The axon TPU plugin overrides the env var; force the CPU backend via
+# the config so fuzzing never touches (or waits on) real hardware.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 from stringsext_tpu.cli import parse_args
 from stringsext_tpu.run import run

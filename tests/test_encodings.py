@@ -107,6 +107,17 @@ def test_event_round_trip(name):
     assert (ev.cp >= 0).all(), f"{name} produced malformed events"
 
 
+@pytest.mark.parametrize("name", [n for n in ALL_ENCODING_NAMES if n != "replacement"])
+def test_tiny_streams(name):
+    """0-5 byte streams must classify without errors (regression: the
+    CJK classifiers built negative-size lookahead masks for n < 4)."""
+    probes = [b"", b"\xa1", b"\xa1\xa2", b"\x8f\xa1", b"\x1b$", b"A\xff\xfe\x00\x41"]
+    for blob in probes:
+        for n in range(len(blob) + 1):
+            ev = generate_events(np.frombuffer(blob[:n], np.uint8), name)
+            assert (np.diff(ev.report) >= 0).all() if len(ev) > 1 else True
+
+
 def test_replacement_yields_nothing():
     ev = generate_events(np.frombuffer(b"anything at all", np.uint8), "replacement")
     assert (ev.cp < 0).all()
