@@ -1,0 +1,71 @@
+"""CLI behaviors: stdin, -p FILE, exit codes, error messages."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+
+
+def _cli(args, stdin=b"", check=True):
+    return subprocess.run(
+        [sys.executable, "-m", "stringsext_tpu.cli", *args],
+        input=stdin, capture_output=True, env=ENV, cwd="/root/repo",
+    )
+
+
+def test_stdin_dash():
+    r = _cli(["-e", "UTF-8", "-tx", "-"], stdin=b"\x00\x01hello stdin world\x02")
+    assert r.returncode == 0
+    assert b"hello stdin world" in r.stdout
+    assert r.stdout.startswith(b"\xef\xbb\xbf")
+    assert r.stdout.endswith(b"\n")
+
+
+def test_no_files_reads_stdin():
+    r = _cli(["-e", "ascii"], stdin=b"\xffplain text here\xff")
+    assert r.returncode == 0
+    assert b"plain text here" in r.stdout
+
+
+def test_output_file(tmp_path):
+    out = tmp_path / "out.txt"
+    inp = tmp_path / "in.bin"
+    inp.write_bytes(b"\x00find me please\x00")
+    r = _cli(["-e", "UTF-8", "-p", str(out), str(inp)])
+    assert r.returncode == 0
+    assert r.stdout == b""
+    assert b"find me please" in out.read_bytes()
+
+
+def test_bad_encoding_exit_code():
+    r = _cli(["-e", "no-such-enc", "/dev/null"])
+    assert r.returncode == 1
+    assert b"invalid input encoding name" in r.stderr
+
+
+def test_bad_filter_alias():
+    r = _cli(["-e", "UTF-8", "-u", "Klingon", "/dev/null"])
+    assert r.returncode == 1
+    assert b"not valid" in r.stderr
+
+
+def test_unreadable_file_warns_and_continues(tmp_path):
+    inp = tmp_path / "in.bin"
+    inp.write_bytes(b"\x00real data string\x00")
+    r = _cli(["-e", "UTF-8", "-tx", str(tmp_path / "missing.bin"), str(inp)])
+    assert r.returncode == 0
+    assert b"can not read file" in r.stderr
+    assert b"real data string" in r.stdout
+
+
+def test_grep_out_of_range():
+    r = _cli(["-e", "UTF-8", "-g", "200", "/dev/null"])
+    assert r.returncode == 1
+
+
+def test_line_len_minimum():
+    r = _cli(["-e", "UTF-8", "-q", "5", "/dev/null"])
+    assert r.returncode == 1
