@@ -45,7 +45,7 @@ def make_corpus(size: int, seed: int = 0) -> np.ndarray:
     return data
 
 
-def build_bench_fn():
+def build_bench_fn(use_pallas=None):
     import jax
     import jax.numpy as jnp
 
@@ -54,7 +54,7 @@ def build_bench_fn():
     spec = importlib.util.spec_from_file_location("graft", "__graft_entry__.py")
     g = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(g)
-    scan_step, _ = g.entry()
+    scan_step, _ = g.entry(use_pallas=use_pallas)
 
     def bench_fn(data, iters):
         def body(i, acc):
@@ -90,8 +90,17 @@ def main():
     # Resident as packed int32 words (the kernels' native layout).
     data = jax.device_put(jnp.asarray(make_corpus(size).view(np.int32)))
 
-    # Warmup / compile both iteration counts.
-    int(bench(data, 1))
+    # Warmup / compile both iteration counts. If the Pallas path fails
+    # to compile in this environment, fall back to the jnp kernels
+    # (slower, but the benchmark still reports).
+    try:
+        int(bench(data, 1))
+    except Exception as e:
+        print(f"pallas path failed ({type(e).__name__}); jnp fallback",
+              file=sys.stderr)
+        bench = build_bench_fn(use_pallas=False)
+        data = jax.device_put(jnp.asarray(make_corpus(size)))  # uint8 path
+        int(bench(data, 1))
     int(bench(data, iters))
 
     def timed(k):
