@@ -49,16 +49,21 @@ class _SeMission(ctypes.Structure):
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
-            check=True,
-            capture_output=True,
-        )
-        return True
-    except (OSError, subprocess.CalledProcessError) as e:
-        sys.stderr.write(f"stringsext-tpu: native emitter build failed: {e}\n")
-        return False
+    # Built on the machine that runs it, so -march=native is safe; fall
+    # back to plain -O3 for toolchains that reject it.
+    for extra in (["-O3", "-march=native", "-funroll-loops"], ["-O3"]):
+        try:
+            subprocess.run(
+                ["g++", *extra, "-shared", "-fPIC", "-std=c++17",
+                 "-o", _LIB, _SRC],
+                check=True,
+                capture_output=True,
+            )
+            return True
+        except (OSError, subprocess.CalledProcessError) as e:
+            err = e
+    sys.stderr.write(f"stringsext-tpu: native emitter build failed: {err}\n")
+    return False
 
 
 def get_lib():

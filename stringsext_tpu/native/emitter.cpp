@@ -626,6 +626,7 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
 
     std::vector<int32_t> chars;
     std::vector<uint8_t> fresh, refpfx;
+    chars.reserve(4096);
     int64_t hot_cursor = 0;
 
     for (int64_t s = 0; s < nslices; s++) {
@@ -670,7 +671,7 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
             }
             chars.clear();
             if (have_pending) {
-                chars = pending;
+                chars.insert(chars.end(), pending.begin(), pending.end());
                 precision = -1;
                 have_pending = false;
                 pending.clear();
@@ -707,6 +708,7 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
         };
 
         std::vector<int32_t> call_chars;
+        call_chars.reserve(4096);
         int64_t ws = 0;
         while (ws < slen) {
             int64_t we = ws + w < slen ? ws + w : slen;
