@@ -360,6 +360,10 @@ def _classify_eucjp(b: np.ndarray) -> _Classified:
     pend8f = (is8f & ~have1) | (second_ok & ~have2)
 
     c.pending = pend8e | pend_lead | pend8f
+    # Pending sequences consume through the stream end (see gb18030
+    # note; for EUC-JP the tail bytes are A1-FE and would cascade into
+    # further pendings anyway, but make it explicit).
+    c.step = np.where(c.pending, np.maximum(n - idx, 1).astype(np.int32), c.step)
     return c
 
 
@@ -443,5 +447,8 @@ def _classify_gb18030(b: np.ndarray) -> _Classified:
     c.pending = (lead & ~have1) | (four_start & ~have2) | (
         four_start & have2 & third_ok & ~have3
     )
-    c.step = np.where(c.pending, 1, c.step)
+    # A pending (truncated) sequence has consumed every remaining byte
+    # into the decoder: the orbit must not walk through its tail bytes
+    # and emit phantom events from them.
+    c.step = np.where(c.pending, np.maximum(n - idx, 1).astype(np.int32), c.step)
     return c

@@ -76,20 +76,36 @@ def _decode_segment(acc: _Acc, b: np.ndarray, start: int, end: int, mode: int) -
         acc.add_many(idx, np.ones(len(seg), np.int32), cp, idx)
         emitted = bool(ok.any())
     else:  # LEAD: two-byte jis0208 pairs
-        n = len(seg)
-        valid08, _ = _pair_table(KIND_EUC_JP)
-        i = 0
-        # Pairs at even offsets within the segment (errors consume the
-        # same bytes as chars, so parity is static).
-        lead_idx = np.arange(0, n - 1, 2)
-        if len(lead_idx):
+        raise AssertionError("LEAD segments go through _decode_lead_segment")
+    return emitted
+
+
+def _decode_lead_segment(
+    acc: _Acc, b: np.ndarray, start: int, end: int, esc_follows: bool
+) -> bool:
+    """Decode a LEAD-mode segment (no 0x1B inside).
+
+    A byte left pending in trail-byte state at the segment end becomes
+    an error when an escape follows (WHATWG trail-byte state on 0x1B),
+    reported at the escape; at the true stream end it stays pending.
+    Bad (out-of-range) bytes shift pair parity, so the vectorized path
+    applies only when every byte is in 0x21-0x7E.
+    """
+    if end <= start:
+        return False
+    seg = b[start:end]
+    n = len(seg)
+    valid08, _ = _pair_table(KIND_EUC_JP)
+    emitted = False
+
+    if bool(((seg >= 0x21) & (seg <= 0x7E)).all()):
+        npairs = n // 2
+        if npairs:
+            lead_idx = np.arange(0, 2 * npairs, 2)
             l = seg[lead_idx]
             t = seg[lead_idx + 1]
-            l_ok = (l >= 0x21) & (l <= 0x7E)
-            t_ok = (t >= 0x21) & (t <= 0x7E)
-            pair_ok = l_ok & t_ok & valid08[(l | 0x80), (t | 0x80)]
-            # Batch-decode valid pairs via the equivalent EUC-JP bytes.
-            cp = np.full(len(lead_idx), -1, dtype=np.int32)
+            pair_ok = valid08[(l | 0x80), (t | 0x80)]
+            cp = np.full(npairs, -1, dtype=np.int32)
             vi = np.flatnonzero(pair_ok)
             if len(vi):
                 eb = np.empty((len(vi), 2), dtype=np.uint8)
@@ -100,29 +116,14 @@ def _decode_segment(acc: _Acc, b: np.ndarray, start: int, end: int, mode: int) -
                     decoded.encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int32)
                 emitted = True
-            # Bad lead byte: 1-byte error; the trail byte is then
-            # treated as a fresh lead, shifting parity - handled by
-            # falling back to a scalar walk when any lead is bad.
-            if not l_ok.all():
-                return _decode_lead_scalar(acc, seg, start, valid08) or emitted
-            in_len = np.full(len(lead_idx), 2, dtype=np.int32)
-            report = idx[lead_idx + 1]
-            acc.add_many(idx[lead_idx], in_len, cp, report)
-        if n % 2 == 1:
-            # Trailing lead byte: stays pending in trail-byte state; the
-            # caller decides (escape follows -> error; EOF -> nothing).
-            return emitted
+            idx = start + lead_idx.astype(np.int64)
+            acc.add_many(idx, np.full(npairs, 2, np.int32), cp, idx + 1)
+        if n % 2 == 1 and esc_follows:
+            acc.add(start + n - 1, 1, -1, end)  # trail state hit by ESC
         return emitted
-    return emitted
 
-
-def _decode_lead_scalar(acc: _Acc, seg: np.ndarray, start: int, valid08) -> bool:
-    """Scalar walk for LEAD-mode segments containing bad lead bytes
-    (rare): a bad lead consumes one byte and errors; the next byte
-    becomes a lead."""
-    emitted = False
+    # Scalar walk (bad bytes shift parity).
     i = 0
-    n = len(seg)
     while i < n:
         l = int(seg[i])
         if not (0x21 <= l <= 0x7E):
@@ -130,7 +131,9 @@ def _decode_lead_scalar(acc: _Acc, seg: np.ndarray, start: int, valid08) -> bool
             i += 1
             continue
         if i + 1 >= n:
-            return emitted  # pending trail
+            if esc_follows:
+                acc.add(start + i, 1, -1, end)  # trail state hit by ESC
+            return emitted  # else: pending at stream end
         t = int(seg[i + 1])
         if 0x21 <= t <= 0x7E and valid08[l | 0x80, t | 0x80]:
             cp = ord(bytes([l | 0x80, t | 0x80]).decode("euc_jp"))
@@ -160,14 +163,9 @@ def generate(data: np.ndarray) -> Events:
 
         # Decode the segment before the escape in the current mode.
         seg_end = esc
-        if mode == LEAD and (seg_end - pos) % 2 == 1 and seg_end < n:
-            # Odd-length LEAD segment before an escape: the trailing
-            # lead byte is in trail-byte state when 0x1B arrives ->
-            # error for the incomplete pair (WHATWG trail byte state).
-            if _decode_segment(acc, b, pos, seg_end - 1, LEAD):
+        if mode == LEAD:
+            if _decode_lead_segment(acc, b, pos, seg_end, seg_end < n):
                 output_flag = False
-            acc.add(seg_end - 1, 1, -1, esc)
-            pos = seg_end
         else:
             if _decode_segment(acc, b, pos, seg_end, mode):
                 output_flag = False
