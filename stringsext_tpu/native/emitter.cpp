@@ -550,6 +550,10 @@ struct ScanState {
 // REPORT can fall at or after `t` is generated.
 static int64_t align_cursor(const Mission& m, const uint8_t* d, int64_t total,
                             int64_t t) {
+    // Must return a true event-start position <= the first event whose
+    // REPORT can fall at or after `t`: an event *spanning* t belongs to
+    // the resumed region (its report/label effects land there), so it
+    // must be regenerated, never skipped past.
     if (t >= total) return total;
     switch (m.kind) {
         case 0: {  // UTF-8: local claim rule (<=3 bytes lookback)
@@ -563,14 +567,14 @@ static int64_t align_cursor(const Mission& m, const uint8_t* d, int64_t total,
                 int64_t c;
                 if (utf8_next(d, total, t - j, &ev)) c = ev.in_len;
                 else c = 4;  // pending claims its remaining bytes
-                if (t - j + c > t) return t - j + c;
+                if (t - j + c > t) return t - j;  // spans t: regenerate
                 return t;  // unclaimed cont byte: its own malformed start
             }
             return t;  // >=3 preceding cont bytes: t is a start
         }
         case 1:
-        case 2: {  // UTF-16: unit parity + surrogate lookbehind
-            int64_t u = t + (t & 1);  // parity-align (units start even)
+        case 2: {  // UTF-16: unit containing t + surrogate lookbehind
+            int64_t u = t - (t & 1);  // round DOWN to the unit start
             if (u >= 2 && u + 1 < total) {
                 bool be = m.kind == 2;
                 uint32_t prev = be ? (d[u - 2] << 8) | d[u - 1]
