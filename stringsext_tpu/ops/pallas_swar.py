@@ -108,8 +108,44 @@ class _Panel:
 
     def back_mask(self, m, kb):
         """0x01-mask panel shifted back (lookback) by kb bytes."""
-        mp = _elem_shift(m, -1)
+        mp = self.back_elem(m)
         return ((m << (8 * kb)) | _lsr(mp, 32 - 8 * kb)) & M01
+
+    def back_elem(self, x):
+        """Array shifted back (lookback) by one ELEMENT (4 bytes)."""
+        return _elem_shift(x, -1)
+
+    def fwd_elem(self, x):
+        return _elem_shift(x, +1)
+
+
+class _SlabPanel:
+    """Byte-shift helpers over (K, m) word slabs whose ROWS are
+    independent windows of the stream (zero context outside each row).
+
+    Derived mission fields are only valid at columns [1, m-1); run
+    boundary flags derived from those fields are valid at [2, m-2).
+    Used by the stage-3 slab re-derivation in ops/runs.py (the
+    fixed-capacity gather path of extract_runs_swar_blocks)."""
+
+    def __init__(self, W):
+        self.W = W
+        z = jnp.zeros_like(W[:, :1])
+        self.Wn = jnp.concatenate([W[:, 1:], z], axis=1)
+        self.Wp = jnp.concatenate([z, W[:, :-1]], axis=1)
+
+    def fwd(self, kb):
+        return _lsr(self.W, 8 * kb) | (self.Wn << (32 - 8 * kb))
+
+    def back_mask(self, m, kb):
+        mp = self.back_elem(m)
+        return ((m << (8 * kb)) | _lsr(mp, 32 - 8 * kb)) & M01
+
+    def back_elem(self, x):
+        return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+
+    def fwd_elem(self, x):
+        return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
 
 
 def swar_utf8_panel(P: _Panel, af_iv, ubf_iv, grep_char: int):
@@ -223,7 +259,7 @@ def swar_utf16_panel(P: _Panel, cp_iv, grep_char: int, be: bool):
 
     pair0 = h0 & l1
     pair1 = h1 & l2
-    pair1_prev = _elem_shift(pair1.astype(jnp.int32), -1) != 0
+    pair1_prev = P.back_elem(pair1.astype(jnp.int32)) != 0
     trail0 = pair1_prev  # previous word's unit1 started a pair into u0
     trail1 = pair0
 
@@ -252,6 +288,44 @@ def swar_utf16_panel(P: _Panel, cp_iv, grep_char: int, be: bool):
     f0 = field(u0, u1, pair0, h0, l0, trail0)
     f1 = field(u1, u2, pair1, h1, l1, trail1)
     return f0 | (f1 << 16)
+
+
+def swar_flags(w, w_prev, w_next):
+    """Derive (acc, lf, gf, run_start, run_end) 0x01/byte-field words
+    from packed-lane field words, with one word of context each side.
+    Works on any array shape (context arrays same shape).
+
+    The run-boundary rules are the word-packed form of the reference's
+    run adjacency (chars are 1-4 bytes, so <=4 static byte shifts
+    decide whether an accepted char continues a run or starts one)."""
+
+    def lsr(x, k):
+        return (x >> k) & ((1 << (32 - k)) - 1) if k else x
+
+    m80 = jnp.int32(0x80808080 - (1 << 32))
+    acc = w & M01
+    lf = lsr(w, 1) & (7 * M01)
+    gf = lsr(w, 4) & M01
+    acc_p = w_prev & M01
+    lf_p = lsr(w_prev, 1) & (7 * M01)
+    acc_n = w_next & M01
+
+    def zero_bytes(y):
+        return lsr((y - M01) & ~y & m80, 7)
+
+    cont_prev = jnp.zeros_like(w)
+    joins_next = jnp.zeros_like(w)
+    for L in (1, 2, 3, 4):
+        eL = zero_bytes(lf ^ (L * M01)) & acc
+        eL_p = zero_bytes(lf_p ^ (L * M01)) & acc_p
+        # byte-slot shift toward higher positions (lookback by L)
+        cont_prev |= ((eL << (8 * L)) | lsr(eL_p, 32 - 8 * L)) & M01
+        # accept L bytes ahead (lookahead by L)
+        acc_fwd = (lsr(acc, 8 * L) | (acc_n << (32 - 8 * L))) & M01
+        joins_next |= zero_bytes(lf ^ (L * M01)) & acc_fwd
+    run_start = acc & ~cont_prev & M01
+    run_end = acc & ~joins_next & M01
+    return acc, lf, gf, run_start, run_end
 
 
 # ---------------------------------------------------------------- kernels
@@ -321,6 +395,105 @@ def flagship_swar_lanes(
             jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
             jax.ShapeDtypeStruct((rows, LANE), jnp.int32),
         ),
+        interpret=interpret,
+    )(words_2d, words_2d, words_2d)
+
+
+def _flagship_swar_counts_kernel(af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
+    def kernel(prev_ref, cur_ref, next_ref, out_ref):
+        W = jnp.concatenate(
+            [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
+        )
+        P = _Panel(W)
+        rows = cur_ref.shape[0]
+        sl = slice(HALO_ROWS, HALO_ROWS + rows)
+        fields = (
+            swar_utf8_panel(P, af_iv, ubf_iv, greps[0]),
+            swar_utf16_panel(P, cp_iv_le, greps[1], False),
+            swar_utf16_panel(P, cp_iv_be, greps[2], True),
+        )
+
+        def bytesum(x):  # sum of the 4 byte slots (each <= 1 here)
+            return _lsr(x * M01, 24)
+
+        cols = []
+        for F in fields:
+            acc, _lf, gf, rs, re = swar_flags(
+                F, P.back_elem(F), P.fwd_elem(F)
+            )
+            # One row of the word panel = 128 words = 512 bytes = one
+            # compaction block, so a lane reduction per interior row
+            # gives the per-block counts directly. Counts <= 512 fit
+            # 10-bit fields, so three quantities ride one reduce.
+            enc = (
+                bytesum(rs[sl]) + (bytesum(re[sl]) << 10) + (bytesum(acc[sl]) << 20)
+            )
+            cols.append(jnp.sum(enc, axis=1))
+            cols.append(jnp.sum(bytesum(gf[sl]), axis=1))
+        z = jnp.zeros_like(cols[0])
+        out_ref[...] = jnp.stack(cols + [z, z], axis=0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("af_iv", "ubf_iv", "cp_iv_le", "cp_iv_be", "greps",
+                     "tile_rows", "interpret"),
+)
+def flagship_swar_counts(
+    words_2d: jax.Array,  # (rows, 128) int32: packed little-endian bytes
+    af_iv: tuple,
+    ubf_iv: tuple,
+    cp_iv_le: tuple,
+    cp_iv_be: tuple,
+    greps: tuple,
+    tile_rows: int = 512,
+    interpret: bool = False,
+):
+    """All three flagship missions fused with run-compaction stage 1:
+    one SWAR pass computes the mission fields, derives the run-boundary
+    flags in-register, and reduces them to per-512-byte-block counts -
+    the full-size lane arrays never leave VMEM (vs. flagship_swar_lanes
+    + extract_runs_packed4, which round-trips 3x the input through HBM).
+
+    Returns int32[8, rows]: rows 2*m / 2*m+1 are mission m's packed
+    block counts (run_start | run_end<<10 | accept<<20) and grep
+    counts; rows 6-7 are zero padding. Consumed by
+    ops/runs.py:extract_runs_swar_blocks (stages 2-3).
+
+    Same zero-padding caller contract as flagship_swar_lanes. At the
+    stream edges the halo wraps (first tile's left context is the
+    stream's bytes 4064..4095, symmetrically on the right); the stage-3
+    slab re-derivation replicates that wrap so counts and slabs always
+    agree."""
+    rows = words_2d.shape[0]
+    assert words_2d.shape[1] == LANE and rows % tile_rows == 0
+    grid = (rows // tile_rows,)
+
+    halo_spec_prev = pl.BlockSpec(
+        (HALO_ROWS, LANE),
+        lambda i: (jnp.maximum(i * tile_rows - HALO_ROWS, 0) // HALO_ROWS, 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo_spec_next = pl.BlockSpec(
+        (HALO_ROWS, LANE),
+        lambda i: (
+            jnp.minimum((i + 1) * tile_rows, rows - HALO_ROWS) // HALO_ROWS, 0
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    tile_spec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((8, tile_rows), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _flagship_swar_counts_kernel(af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps),
+        grid=grid,
+        in_specs=[halo_spec_prev, tile_spec, halo_spec_next],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((8, rows), jnp.int32),
         interpret=interpret,
     )(words_2d, words_2d, words_2d)
 

@@ -111,37 +111,11 @@ _M01 = 0x01010101
 
 
 def _swar_flags(w, w_prev, w_next):
-    """Derive (acc, lf, gf, run_start, run_end) 0x01/byte-field words
-    from packed-lane words, with one word of context on each side.
-    Works on 1-D or (K, bw) arrays (context arrays same shape)."""
+    """Boundary flags from packed-lane field words (implementation
+    shared with the fused counts kernel - see pallas_swar.swar_flags)."""
+    from .pallas_swar import swar_flags
 
-    def lsr(x, k):
-        return (x >> k) & ((1 << (32 - k)) - 1) if k else x
-
-    m80 = jnp.int32(0x80808080 - (1 << 32))
-    acc = w & _M01
-    lf = lsr(w, 1) & (7 * _M01)
-    gf = lsr(w, 4) & _M01
-    acc_p = w_prev & _M01
-    lf_p = lsr(w_prev, 1) & (7 * _M01)
-    acc_n = w_next & _M01
-
-    def zero_bytes(y):
-        return lsr((y - _M01) & ~y & m80, 7)
-
-    cont_prev = jnp.zeros_like(w)
-    joins_next = jnp.zeros_like(w)
-    for L in (1, 2, 3, 4):
-        eL = zero_bytes(lf ^ (L * _M01)) & acc
-        eL_p = zero_bytes(lf_p ^ (L * _M01)) & acc_p
-        # byte-slot shift toward higher positions (lookback by L)
-        cont_prev |= ((eL << (8 * L)) | lsr(eL_p, 32 - 8 * L)) & _M01
-        # accept L bytes ahead (lookahead by L)
-        acc_fwd = (lsr(acc, 8 * L) | (acc_n << (32 - 8 * L))) & _M01
-        joins_next |= zero_bytes(lf ^ (L * _M01)) & acc_fwd
-    run_start = acc & ~cont_prev & _M01
-    run_end = acc & ~joins_next & _M01
-    return acc, lf, gf, run_start, run_end
+    return swar_flags(w, w_prev, w_next)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -182,20 +156,8 @@ def extract_runs_packed4(words: jax.Array, capacity: int = 4096) -> RunTable:
         + (word_bytesum(run_end) << 10)
         + (word_bytesum(acc) << 20)
     )
-    blk = jnp.sum(enc.reshape(nb, bw), axis=1)
-    bc_start = blk & 0x3FF
-    bc_end = (blk >> 10) & 0x3FF
-    bc_accept = blk >> 20
-    bc_grep = jnp.sum(word_bytesum(gf).reshape(nb, bw), axis=1)
-
-    cum_start = jnp.cumsum(bc_start)
-    cum_end = jnp.cumsum(bc_end)
-    cum_accept = jnp.cumsum(bc_accept)
-    cum_grep = jnp.cumsum(bc_grep)
-    nruns = cum_start[-1]
-
-    k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    row_ok = k <= nruns
+    enc_blk = jnp.sum(enc.reshape(nb, bw), axis=1)
+    grep_blk = jnp.sum(word_bytesum(gf).reshape(nb, bw), axis=1)
 
     def expand(slab_words):  # (K, m) words -> (K, 4m) byte fields
         m = slab_words.shape[1]
@@ -216,6 +178,114 @@ def extract_runs_packed4(words: jax.Array, capacity: int = 4096) -> RunTable:
         nW = jnp.concatenate([slabW[:, 1:], nextW[:, None]], axis=1)
         a, l, g, rs, re = _swar_flags(slabW, pW, nW)
         return tuple(expand(x) for x in (a, l, g, rs, re))
+
+    return _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "af_iv", "ubf_iv", "cp_iv", "grep", "be",
+                     "capacity"),
+)
+def extract_runs_swar_blocks(
+    words: jax.Array,  # int32 packed LE words, flat or (rows, 128)
+    enc_blk: jax.Array,  # int32[nb]: run_start | run_end<<10 | accept<<20
+    grep_blk: jax.Array,  # int32[nb]
+    *,
+    kind: str,  # "utf8" | "utf16"
+    af_iv: tuple = (),
+    ubf_iv: tuple = (),
+    cp_iv: tuple = (),
+    grep: int = -1,
+    be: bool = False,
+    capacity: int = 4096,
+) -> RunTable:
+    """Run compaction stages 2-3 from the fused counts kernel
+    (pallas_swar.flagship_swar_counts): stage 1 (boundary flags +
+    per-512-byte-block counts) already ran inside the Pallas pass, so
+    no full-size lane array ever exists. This locates each of the
+    <=capacity runs with tiny block cumsums and re-derives the boundary
+    slabs from the RAW input words - a capacity-sized gather plus the
+    same SWAR field math on (K, 132)-word slabs.
+
+    Interval/grep parameters are the per-mission pieces of
+    pallas_swar.swar_params (static)."""
+    from .pallas_swar import (
+        HALO_ROWS,
+        _SlabPanel,
+        swar_utf8_panel,
+        swar_utf16_panel,
+    )
+
+    w = words.reshape(-1)
+    nw = w.shape[0]
+    nb = enc_blk.shape[0]
+    bw = _BLOCK // 4
+    n = nb * _BLOCK
+    halo_w = HALO_ROWS * 128
+
+    def lsr(x, k):
+        return (x >> k) & ((1 << (32 - k)) - 1) if k else x
+
+    def expand(slab_words):  # (K, m) words -> (K, 4m) byte fields
+        m = slab_words.shape[1]
+        parts = [lsr(slab_words, 8 * j) & 0xFF for j in range(4)]
+        return jnp.stack(parts, axis=-1).reshape(slab_words.shape[0], m * 4)
+
+    wm = w.reshape(nb, bw)
+
+    def slab_flags(b):
+        """Gather block b's raw words + 2 context words each side,
+        recompute the mission fields on the slab, and derive the
+        per-byte flag slabs (K, _BLOCK). Fields need +-1 word of raw
+        context and flags +-1 word of field context, so with a 2-word
+        margin the interior block columns are exact.
+
+        The block body is one contiguous ROW gather (K x 512 B rows -
+        cheap on TPU); only the 4 margin words use K-element point
+        gathers. An arbitrary (K, 132) index gather is ~20x slower."""
+        base = b * bw
+        body = wm[b]  # (K, bw) contiguous rows
+
+        def margin(off):
+            idx = base + off
+            # Replicate the kernel's stream-edge halo wrap (see
+            # flagship_swar_counts docstring) so slab fields equal
+            # kernel fields at the first/last blocks too.
+            idx = jnp.where(idx < 0, idx + halo_w, idx)
+            idx = jnp.where(idx >= nw, idx - halo_w, idx)
+            return w[jnp.clip(idx, 0, nw - 1)][:, None]
+
+        slabW = jnp.concatenate(
+            [margin(-2), margin(-1), body, margin(bw), margin(bw + 1)], axis=1
+        )
+        P = _SlabPanel(slabW)
+        if kind == "utf8":
+            F = swar_utf8_panel(P, af_iv, ubf_iv, grep)
+        else:
+            F = swar_utf16_panel(P, cp_iv, grep, be)
+        z = jnp.zeros_like(F[:, :1])
+        Fp = jnp.concatenate([z, F[:, :-1]], axis=1)
+        Fn = jnp.concatenate([F[:, 1:], z], axis=1)
+        a, l, g, rs, re = _swar_flags(F, Fp, Fn)
+        return tuple(expand(x[:, 2 : 2 + bw]) for x in (a, l, g, rs, re))
+
+    return _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n)
+
+
+def _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n):
+    """Shared stages 2-3: block cumsums locate each run's block, the
+    caller's slab_flags(b) materializes only the selected (K, _BLOCK)
+    flag slabs, and per-run aggregates come from prefix differences."""
+    nb = enc_blk.shape[0]
+    cum_start = jnp.cumsum(enc_blk & 0x3FF)
+    cum_end = jnp.cumsum((enc_blk >> 10) & 0x3FF)
+    cum_accept = jnp.cumsum((enc_blk >> 20) & 0x3FF)
+    cum_grep = jnp.cumsum(grep_blk)
+    nruns = cum_start[-1]
+
+    k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    row_ok = k <= nruns
 
     def locate(blk_cum, which):
         b = jnp.minimum(jnp.searchsorted(blk_cum, k, side="left"), nb - 1)

@@ -128,6 +128,47 @@ def test_swar_runs_match_reference():
             )
 
 
+def test_swar_counts_path_matches_lanes_path():
+    """The fused counts kernel + raw-word slab re-derivation
+    (flagship_swar_counts + extract_runs_swar_blocks) must produce the
+    exact run tables of the lanes kernel + packed4 extraction."""
+    from stringsext_tpu.ops.runs import extract_runs_swar_blocks
+
+    ms = _missions()
+    params = pallas_swar.swar_params(ms.v)
+    rows = 64
+    raw = _corpus(rows, 7)
+    words = jnp.asarray(raw.view(np.int32).reshape(rows, 128))
+    outs = pallas_swar.flagship_swar_lanes(
+        words, tile_rows=32, interpret=True, **params
+    )
+    counts = pallas_swar.flagship_swar_counts(
+        words, tile_rows=32, interpret=True, **params
+    )
+    eps = (
+        dict(kind="utf8", af_iv=params["af_iv"], ubf_iv=params["ubf_iv"],
+             grep=params["greps"][0]),
+        dict(kind="utf16", cp_iv=params["cp_iv_le"], grep=params["greps"][1],
+             be=False),
+        dict(kind="utf16", cp_iv=params["cp_iv_be"], grep=params["greps"][2],
+             be=True),
+    )
+    for mi, (ow, ep) in enumerate(zip(outs, eps)):
+        ref = extract_runs_packed4(ow, capacity=512)
+        got = extract_runs_swar_blocks(
+            words, counts[2 * mi], counts[2 * mi + 1], capacity=512, **ep
+        )
+        assert int(ref.count) == int(got.count), f"mission {mi}"
+        assert bool(ref.overflow) == bool(got.overflow)
+        c = int(ref.count)
+        for f in ("start", "end", "chars", "grep_hits"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, f))[:c],
+                np.asarray(getattr(got, f))[:c],
+                f"m{mi} {f}",
+            )
+
+
 def test_interval_decomposition():
     from stringsext_tpu.ops.pallas_swar import decompose_intervals
 
