@@ -52,16 +52,15 @@ MFF_EVEN = 0x00FF00FF
 
 
 def _elem_shift(x, k):
-    """Shift by one lane ELEMENT (4 bytes) in stream order, k=+1/-1."""
+    """Shift by one lane ELEMENT (4 bytes) in stream order, k=+1/-1.
+
+    Slice+concat (a lane SHIFT) lowers ~25% cheaper in Mosaic than the
+    lane roll + iota + select formulation."""
     if k > 0:  # lookahead
-        first_up = _roll(x[:, 0:1], -1, 0)
-        y2 = _roll(x, -1, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        return jnp.where(col == LANE - 1, first_up, y2)
-    last_down = _roll(x[:, LANE - 1 :], 1, 0)
-    y2 = _roll(x, 1, 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(col == 0, last_down, y2)
+        first_up = _roll(x[:, 0:1], -1, 0)  # next row's col 0
+        return jnp.concatenate([x[:, 1:], first_up], axis=1)
+    last_down = _roll(x[:, LANE - 1 :], 1, 0)  # prev row's col 127
+    return jnp.concatenate([last_down, x[:, : LANE - 1]], axis=1)
 
 
 def _lsr(x, k):
@@ -100,7 +99,6 @@ class _Panel:
     def __init__(self, W):
         self.W = W
         self.Wn = _elem_shift(W, +1)
-        self.Wp = _elem_shift(W, -1)
 
     def fwd(self, kb):
         """Panel shifted forward (lookahead) by kb bytes (1..3)."""
@@ -130,9 +128,9 @@ class _SlabPanel:
 
     def __init__(self, W):
         self.W = W
-        z = jnp.zeros_like(W[:, :1])
-        self.Wn = jnp.concatenate([W[:, 1:], z], axis=1)
-        self.Wp = jnp.concatenate([z, W[:, :-1]], axis=1)
+        self.Wn = jnp.concatenate(
+            [W[:, 1:], jnp.zeros_like(W[:, :1])], axis=1
+        )
 
     def fwd(self, kb):
         return _lsr(self.W, 8 * kb) | (self.Wn << (32 - 8 * kb))
@@ -148,31 +146,59 @@ class _SlabPanel:
         return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
 
 
-def swar_utf8_panel(P: _Panel, af_iv, ubf_iv, grep_char: int):
-    """Packed 4x8-bit UTF-8 mission fields for the panel."""
+def _utf8_masks(P, af_iv, ubf_iv, grep_char: int):
+    """All per-byte UTF-8 mission masks (0x01-per-byte words) for the
+    panel: accept/grep/is_start/ev_valid plus the length-class masks.
+
+    The UTF-8 byte classes are bit PATTERNS, not arbitrary ranges, so
+    they are computed with per-byte-bit algebra (2-6 ops each) instead
+    of the 16-bit-channel range test (~12 ops): continuation = top bits
+    10, 3-byte lead = top nibble 1110, and the second-byte special
+    ranges (0xA0-0xBF etc.) reduce to single bit tests once gated on
+    continuation. Only the caller-supplied filter intervals and the
+    grep byte use the generic range test."""
     W = P.W
     b1 = P.fwd(1)
     b2 = P.fwd(2)
     b3 = P.fwd(3)
 
-    cont = _range_mask(W, 0x80, 0xBF)
-    cont1 = _range_mask(b1, 0x80, 0xBF)
-    cont2 = _range_mask(b2, 0x80, 0xBF)
-    cont3 = _range_mask(b3, 0x80, 0xBF)
+    def bit(x, k):  # bit k of each byte as a 0x01 mask
+        return (x >> k) & M01
 
-    lead1 = _range_mask(W, 0x00, 0x7F)
-    lead2 = _range_mask(W, 0xC2, 0xDF)
-    lead3 = _range_mask(W, 0xE0, 0xEF)
-    lead4 = _range_mask(W, 0xF0, 0xF4)
+    def contm(x):  # byte is 0b10xxxxxx
+        return bit(x, 7) & ~bit(x, 6) & M01
 
-    e0 = _eq_mask(W, 0xE0)
-    ed = _eq_mask(W, 0xED)
-    f0 = _eq_mask(W, 0xF0)
-    f4 = _eq_mask(W, 0xF4)
-    b1_ge_a0 = _range_mask(b1, 0xA0, 0xBF)
-    b1_le_9f = _range_mask(b1, 0x80, 0x9F)
-    b1_ge_90 = _range_mask(b1, 0x90, 0xBF)
-    b1_le_8f = _range_mask(b1, 0x80, 0x8F)
+    cont = contm(W)
+    cont1 = contm(b1)
+    cont2 = contm(b2)
+    cont3 = contm(b3)
+
+    t7, t6, t5, t4 = bit(W, 7), bit(W, 6), bit(W, 5), bit(W, 4)
+    k0, k1, k2, k3 = bit(W, 0), bit(W, 1), bit(W, 2), bit(W, 3)
+
+    lead1 = ~t7 & M01
+    # 0xC2-0xDF: top bits 110, low 5 bits >= 2
+    lead2 = t7 & t6 & ~t5 & (k1 | k2 | k3 | t4) & M01
+    top3 = t7 & t6 & t5
+    lead3 = top3 & ~t4 & M01  # 0xE0-0xEF: top nibble 1110
+    top4 = top3 & t4
+    # 0xF0-0xF4: top nibble 1111, low nibble <= 4
+    lead4 = top4 & ~k3 & (~k2 | (~k1 & ~k0)) & M01
+
+    low4_zero = ~(k0 | k1 | k2 | k3) & M01
+    e0 = lead3 & low4_zero
+    ed = lead3 & k0 & ~k1 & k2 & k3 & M01  # low nibble 1101
+    f0 = top4 & low4_zero
+    f4 = top4 & ~k0 & ~k1 & k2 & ~k3 & M01  # low nibble 0100
+
+    # Second-byte ranges, all within continuation space (0b10xxxxxx),
+    # reduce to bits 5/4 of the following byte.
+    n5 = bit(b1, 5)
+    n45 = (n5 | bit(b1, 4)) & M01
+    b1_ge_a0 = cont1 & n5
+    b1_le_9f = cont1 & ~n5 & M01
+    b1_ge_90 = cont1 & n45
+    b1_le_8f = cont1 & ~n45 & M01
 
     c1ok3 = cont1 & (~(e0 & (b1_ge_a0 ^ M01)) & ~(ed & (b1_le_9f ^ M01))) & M01
     c1ok4 = cont1 & (~(f0 & (b1_ge_90 ^ M01)) & ~(f4 & (b1_le_8f ^ M01))) & M01
@@ -192,11 +218,16 @@ def swar_utf8_panel(P: _Panel, af_iv, ubf_iv, grep_char: int):
     ge4 = valid4
 
     noncont = cont ^ M01
+    # The three claim lookbacks (1-3 bytes) ride ONE element shift:
+    # pack the claim masks into bits 0-2 per byte, shift the packed
+    # word back once, then extract each lookback distance's bit.
+    C = (noncont & ge2) | ((noncont & ge3) << 1) | ((noncont & ge4) << 2)
+    Cp = P.back_elem(C)
     claimed = (
-        P.back_mask(noncont & ge2, 1)
-        | P.back_mask(noncont & ge3, 2)
-        | P.back_mask(noncont & ge4, 3)
-    )
+        ((C << 8) | _lsr(Cp, 24))
+        | _lsr((C << 16) | _lsr(Cp, 16), 1)
+        | _lsr((C << 24) | _lsr(Cp, 8), 2)
+    ) & M01
     is_start = noncont | (cont & (claimed ^ M01))
 
     passes = jnp.zeros_like(W)
@@ -208,11 +239,31 @@ def swar_utf8_panel(P: _Panel, af_iv, ubf_iv, grep_char: int):
     accept = is_start & ev_valid & passes
     grep = accept & _eq_mask(W, grep_char) if grep_char >= 0 else jnp.zeros_like(W)
 
+    return dict(
+        accept=accept,
+        grep=grep,
+        is_start=is_start,
+        ev_valid=ev_valid,
+        valid2=valid2,
+        valid3=valid3,
+        valid4=valid4,
+        bad2=bad2,
+        bad3=bad3,
+    )
+
+
+def swar_utf8_panel(P: _Panel, af_iv, ubf_iv, grep_char: int):
+    """Packed 4x8-bit UTF-8 mission fields for the panel."""
+    m = _utf8_masks(P, af_iv, ubf_iv, grep_char)
+    accept, grep, is_start = m["accept"], m["grep"], m["is_start"]
     # per-byte 3-bit length: 1 + v2 + 2*v3 + 3*v4 + bad2 + 2*bad3
     # (exactly one of v2/v3/v4/bad2/bad3 per byte; max value 4, no
     # cross-byte carries). Zeroed at non-starts via a 0x07-per-start
     # mask (0x01-mask * 7 cannot carry).
-    ln = M01 + valid2 + (valid3 << 1) + valid4 + (valid4 << 1) + bad2 + (bad3 << 1)
+    ln = (
+        M01 + m["valid2"] + (m["valid3"] << 1) + m["valid4"]
+        + (m["valid4"] << 1) + m["bad2"] + (m["bad3"] << 1)
+    )
     len_bits = (ln << LEN_SHIFT) & ((is_start * 0x07) << LEN_SHIFT)
 
     packed = (
@@ -220,32 +271,60 @@ def swar_utf8_panel(P: _Panel, af_iv, ubf_iv, grep_char: int):
         | len_bits
         | (grep << 4)
         | (is_start << 5)
-        | ((is_start & ev_valid) << 6)
+        | ((is_start & m["ev_valid"]) << 6)
     )
     return packed
 
 
-def swar_utf16_panel(P: _Panel, cp_iv, grep_char: int, be: bool):
-    """UTF-16 mission field word: unit0 field at bits 0-7, unit1 at
-    bits 16-23 (units are 2 bytes; fields sit at the unit's first
-    byte)."""
+def _utf8_len_masks(m):
+    """is_start-gated length-class masks s1..s4 from _utf8_masks output
+    (sL == "byte starts a char whose decoded field length is L", the
+    exact per-byte values of the packed lf field)."""
+    s2 = m["valid2"] | m["bad2"]
+    s3 = m["valid3"] | m["bad3"]
+    s4 = m["valid4"]
+    s1 = (s2 | s3 | s4) ^ M01  # everything else decodes as length 1
+    st = m["is_start"]
+    return st & s1, st & s2, st & s3, st & s4
+
+
+def _byteswap16(x):
+    """Swap the two bytes of each 16-bit half of every int32 word."""
+    return ((x & MFF_EVEN) << 8) | (_lsr(x, 8) & MFF_EVEN)
+
+
+def _utf16_units(P, be: bool):
+    """(u0, u1, u2): the panel's code units - u0 = bytes 0-1 of each
+    word, u1 = bytes 2-3, u2 = bytes 0-1 of the next word."""
     W, Wn = P.W, P.Wn
+    if be:
+        W = _byteswap16(W)
+        Wn = _byteswap16(Wn)
+    return W & 0xFFFF, _lsr(W, 16), Wn & 0xFFFF
 
-    def unit_lo(x):  # bytes 0-1 as a code unit
-        v = x & 0xFFFF
-        if be:
-            v = ((x & 0xFF) << 8) | (_lsr(x, 8) & 0xFF)
-        return v
 
-    def unit_hi(x):  # bytes 2-3
-        v = _lsr(x, 16)
-        if be:
-            v = ((_lsr(x, 16) & 0xFF) << 8) | (_lsr(x, 24) & 0xFF)
-        return v
+def _utf16_slot_masks(u, un, pair, h, l, l_next, trail, cp_iv, grep_char):
+    """Boolean mission masks for one unit slot: accept/start/valid/grep
+    (mission.rs:307-348 filter semantics on the decoded codepoint)."""
+    bmp = ~h & ~l
+    lone_h = h & ~l_next
+    lone_l = l & ~trail
+    astral = 0x10000 + ((u & 0x3FF) << 10) + (un & 0x3FF)
+    cp = jnp.where(pair, astral, u)
+    valid = (bmp | pair) & ~trail
+    start = (bmp | pair | lone_h | lone_l) & ~trail
+    passes = jnp.zeros_like(u) != 0
+    for lo, hi in cp_iv:
+        passes = passes | ((cp >= lo) & (cp <= hi))
+    accept = start & valid & passes
+    grep = accept & (cp == grep_char)
+    return dict(start=start, valid=valid, accept=accept, grep=grep)
 
-    u0 = unit_lo(W)
-    u1 = unit_hi(W)
-    u2 = unit_lo(Wn)
+
+def _utf16_pair_structure(P, be: bool):
+    """Surrogate structure of the panel (everything except the
+    pair1-lookback, which callers batch into one element shift)."""
+    u0, u1, u2 = _utf16_units(P, be)
 
     def is_high(u):
         return (u >= 0xD800) & (u <= 0xDBFF)
@@ -256,37 +335,47 @@ def swar_utf16_panel(P: _Panel, cp_iv, grep_char: int, be: bool):
     h0, h1 = is_high(u0), is_high(u1)
     l0, l1 = is_low(u0), is_low(u1)
     l2 = is_low(u2)
+    return dict(
+        u0=u0, u1=u1, u2=u2, h0=h0, h1=h1, l0=l0, l1=l1, l2=l2,
+        pair0=h0 & l1, pair1=h1 & l2,
+    )
 
-    pair0 = h0 & l1
-    pair1 = h1 & l2
-    pair1_prev = P.back_elem(pair1.astype(jnp.int32)) != 0
-    trail0 = pair1_prev  # previous word's unit1 started a pair into u0
-    trail1 = pair0
 
-    def field(u, un, pair, h, l, trail):
-        bmp = ~h & ~l
-        lone_h = h & ~((un >= 0xDC00) & (un <= 0xDFFF))
-        lone_l = l & ~trail
-        astral = 0x10000 + ((u & 0x3FF) << 10) + (un & 0x3FF)
-        cp = jnp.where(pair, astral, u)
-        valid = (bmp | pair) & ~trail
-        start = (bmp | pair | lone_h | lone_l) & ~trail
+def _utf16_mission_masks(P, s, trail0, cp_iv, grep_char: int):
+    """Per-slot mission masks from pair structure `s` + the
+    previous-word trail flag."""
+    m0 = _utf16_slot_masks(
+        s["u0"], s["u1"], s["pair0"], s["h0"], s["l0"], s["l1"], trail0,
+        cp_iv, grep_char,
+    )
+    m1 = _utf16_slot_masks(
+        s["u1"], s["u2"], s["pair1"], s["h1"], s["l1"], s["l2"], s["pair0"],
+        cp_iv, grep_char,
+    )
+    return m0, m1
+
+
+def swar_utf16_panel(P: _Panel, cp_iv, grep_char: int, be: bool):
+    """UTF-16 mission field word: unit0 field at bits 0-7, unit1 at
+    bits 16-23 (units are 2 bytes; fields sit at the unit's first
+    byte)."""
+    s = _utf16_pair_structure(P, be)
+    trail0 = P.back_elem(s["pair1"].astype(jnp.int32)) != 0
+    m0, m1 = _utf16_mission_masks(P, s, trail0, cp_iv, grep_char)
+
+    def field(m, pair):
+        start = m["start"]
         ln = jnp.where(pair, 4, 2)
-        passes = jnp.zeros_like(u) != 0
-        for lo, hi in cp_iv:
-            passes = passes | ((cp >= lo) & (cp <= hi))
-        accept = start & valid & passes
-        grep = accept & (cp == grep_char)
         return (
-            accept.astype(jnp.int32) * ACCEPT_BIT
+            m["accept"].astype(jnp.int32) * ACCEPT_BIT
             | (jnp.where(start, ln, 0) << LEN_SHIFT)
-            | grep.astype(jnp.int32) * GREP_BIT
+            | m["grep"].astype(jnp.int32) * GREP_BIT
             | start.astype(jnp.int32) * START_BIT
-            | (start & valid).astype(jnp.int32) * VALID_BIT
+            | (start & m["valid"]).astype(jnp.int32) * VALID_BIT
         )
 
-    f0 = field(u0, u1, pair0, h0, l0, trail0)
-    f1 = field(u1, u2, pair1, h1, l1, trail1)
+    f0 = field(m0, s["pair0"])
+    f1 = field(m1, s["pair1"])
     return f0 | (f1 << 16)
 
 
@@ -399,6 +488,86 @@ def flagship_swar_lanes(
     )(words_2d, words_2d, words_2d)
 
 
+def _flagship_boundary_masks(P, af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
+    """(rs, re, acc, gf) 0x01-per-byte mask words for all three
+    flagship missions, computed at mask level (no packed field words).
+
+    Element shifts (cross-word lane shifts) are the kernel's dominant
+    cost, so every lookback/lookahead is BATCHED: the two UTF-16
+    missions' pair trails share one shift, and all three missions'
+    length-class masks (for run starts) and accept masks (for run
+    ends) ride one packed back-shift and one packed forward-shift.
+    Total: 4 element shifts beyond the panel's own lookahead, vs. 11
+    for per-mission swar_flags on packed fields."""
+    m8 = _utf8_masks(P, af_iv, ubf_iv, greps[0])
+    sle = _utf16_pair_structure(P, False)
+    sbe = _utf16_pair_structure(P, True)
+
+    # One shift for both missions' pair trails.
+    pair_pack = sle["pair1"].astype(jnp.int32) | (sbe["pair1"].astype(jnp.int32) << 1)
+    pp = P.back_elem(pair_pack)
+    mle0, mle1 = _utf16_mission_masks(P, sle, (pp & 1) != 0, cp_iv_le, greps[1])
+    mbe0, mbe1 = _utf16_mission_masks(P, sbe, (pp & 2) != 0, cp_iv_be, greps[2])
+
+    def slots(a0, a1):  # two unit-slot bools -> byte-slot 0x01 word
+        return a0.astype(jnp.int32) | (a1.astype(jnp.int32) << 16)
+
+    s1, s2, s3, s4 = _utf8_len_masks(m8)
+    acc8 = m8["accept"]
+    acc_le = slots(mle0["accept"], mle1["accept"])
+    acc_be = slots(mbe0["accept"], mbe1["accept"])
+    s2_le = slots(mle0["start"] & ~sle["pair0"], mle1["start"] & ~sle["pair1"])
+    s4_le = slots(mle0["start"] & sle["pair0"], mle1["start"] & sle["pair1"])
+    s2_be = slots(mbe0["start"] & ~sbe["pair0"], mbe1["start"] & ~sbe["pair1"])
+    s4_be = slots(mbe0["start"] & sbe["pair0"], mbe1["start"] & sbe["pair1"])
+
+    # E: accepted char of length L ends L bytes later (per-mission
+    # bits); S: char of length L starts here (is_start-gated, matching
+    # the packed lf field); A: accept bits. One back-shift of E and
+    # one forward-shift of A serve every mission and length.
+    E = (
+        (acc8 & s1) | ((acc8 & s2) << 1) | ((acc8 & s3) << 2) | ((acc8 & s4) << 3)
+        | ((acc_le & s2_le) << 4) | ((acc_le & s4_le) << 5)
+        | ((acc_be & s2_be) << 6) | ((acc_be & s4_be) << 7)
+    )
+    S = (
+        s1 | (s2 << 1) | (s3 << 2) | (s4 << 3)
+        | (s2_le << 4) | (s4_le << 5) | (s2_be << 6) | (s4_be << 7)
+    )
+    A = acc8 | (acc_le << 1) | (acc_be << 2)
+    Ep = P.back_elem(E)
+    An = P.fwd_elem(A)
+
+    # Byte-shifted composites, shared across missions.
+    E_back = {
+        L: (E << (8 * L)) | _lsr(Ep, 32 - 8 * L) for L in (1, 2, 3, 4)
+    }
+    A_fwd = {
+        L: _lsr(A, 8 * L) | (An << (32 - 8 * L)) for L in (1, 2, 3, 4)
+    }
+
+    def bit(x, k):
+        return (_lsr(x, k) if k else x) & M01
+
+    # (length L -> E/S bit, A bit) per mission.
+    specs = [
+        (acc8, m8["grep"], [(1, 0), (2, 1), (3, 2), (4, 3)], 0),
+        (acc_le, slots(mle0["grep"], mle1["grep"]), [(2, 4), (4, 5)], 1),
+        (acc_be, slots(mbe0["grep"], mbe1["grep"]), [(2, 6), (4, 7)], 2),
+    ]
+    out = []
+    for acc, gf, lens, abit in specs:
+        cont = jnp.zeros_like(acc)
+        joins = jnp.zeros_like(acc)
+        for L, ebit in lens:
+            cont = cont | bit(E_back[L], ebit)
+            joins = joins | (bit(S, ebit) & bit(A_fwd[L], abit))
+        rs = acc & ~cont & M01
+        re = acc & ~joins & M01
+        out.append((rs, re, acc, gf))
+    return out
+
+
 def _flagship_swar_counts_kernel(af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
     def kernel(prev_ref, cur_ref, next_ref, out_ref):
         W = jnp.concatenate(
@@ -407,20 +576,15 @@ def _flagship_swar_counts_kernel(af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
         P = _Panel(W)
         rows = cur_ref.shape[0]
         sl = slice(HALO_ROWS, HALO_ROWS + rows)
-        fields = (
-            swar_utf8_panel(P, af_iv, ubf_iv, greps[0]),
-            swar_utf16_panel(P, cp_iv_le, greps[1], False),
-            swar_utf16_panel(P, cp_iv_be, greps[2], True),
+        masks = _flagship_boundary_masks(
+            P, af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps
         )
 
         def bytesum(x):  # sum of the 4 byte slots (each <= 1 here)
             return _lsr(x * M01, 24)
 
         cols = []
-        for F in fields:
-            acc, _lf, gf, rs, re = swar_flags(
-                F, P.back_elem(F), P.fwd_elem(F)
-            )
+        for rs, re, acc, gf in masks:
             # One row of the word panel = 128 words = 512 bytes = one
             # compaction block, so a lane reduction per interior row
             # gives the per-block counts directly. Counts <= 512 fit

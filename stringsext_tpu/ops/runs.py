@@ -273,11 +273,26 @@ def extract_runs_swar_blocks(
     return _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n)
 
 
+_SB = 64  # superblock size (in blocks) for the two-level locate
+
+
 def _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n):
     """Shared stages 2-3: block cumsums locate each run's block, the
     caller's slab_flags(b) materializes only the selected (K, _BLOCK)
-    flag slabs, and per-run aggregates come from prefix differences."""
+    flag slabs, and per-run aggregates come from prefix differences.
+
+    All rank lookups are branchless compare-sums over two levels
+    (superblocks of 64 blocks, then a 64-wide window): a binary-search
+    searchsorted over the 10^4-10^5-element block cumsum costs ~17
+    dependent gather rounds on TPU, while the two-level form is three
+    wide vector ops."""
+    nb0 = enc_blk.shape[0]
+    pad = (-nb0) % _SB
+    if pad:
+        enc_blk = jnp.concatenate([enc_blk, jnp.zeros(pad, enc_blk.dtype)])
+        grep_blk = jnp.concatenate([grep_blk, jnp.zeros(pad, grep_blk.dtype)])
     nb = enc_blk.shape[0]
+    nsb = nb // _SB
     cum_start = jnp.cumsum(enc_blk & 0x3FF)
     cum_end = jnp.cumsum((enc_blk >> 10) & 0x3FF)
     cum_accept = jnp.cumsum((enc_blk >> 20) & 0x3FF)
@@ -287,16 +302,27 @@ def _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n):
     k = jnp.arange(1, capacity + 1, dtype=jnp.int32)
     row_ok = k <= nruns
 
+    def rank_lookup(blk_cum):
+        """(block index, #items before that block) of the k-th item."""
+        c2 = blk_cum.reshape(nsb, _SB)
+        sb_last = c2[:, -1]
+        lt_sb = sb_last[None, :] < k[:, None]  # (K, nsb)
+        b_sb = jnp.minimum(jnp.sum(lt_sb.astype(jnp.int32), 1), nsb - 1)
+        sb_prev = jnp.max(jnp.where(lt_sb, sb_last[None, :], 0), 1)
+        win = c2[b_sb]  # (K, SB) contiguous row gather
+        lt_w = win < k[:, None]
+        pos_sb = jnp.sum(lt_w.astype(jnp.int32), 1)
+        b = jnp.minimum(b_sb * _SB + pos_sb, nb0 - 1)
+        prev = jnp.maximum(jnp.max(jnp.where(lt_w, win, 0), 1), sb_prev)
+        return b, prev
+
     def locate(blk_cum, which):
-        b = jnp.minimum(jnp.searchsorted(blk_cum, k, side="left"), nb - 1)
-        prev = jnp.where(b > 0, blk_cum[jnp.maximum(b - 1, 0)], 0)
+        b, prev = rank_lookup(blk_cum)
         local_k = k - prev
         a_e, l_e, g_e, rs_e, re_e = slab_flags(b)
         flags = {"rs": rs_e, "re": re_e}[which]
         local_cum = jnp.cumsum(flags, axis=1)
-        pos = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="left"))(
-            local_cum, local_k
-        ).astype(jnp.int32)
+        pos = jnp.sum((local_cum < local_k[:, None]).astype(jnp.int32), axis=1)
         pos = jnp.minimum(pos, _BLOCK - 1)
         return jnp.minimum(b * _BLOCK + pos, n - 1), b, pos, (a_e, l_e, g_e)
 
