@@ -488,78 +488,91 @@ def flagship_swar_lanes(
     )(words_2d, words_2d, words_2d)
 
 
-def _flagship_boundary_masks(P, af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
-    """(rs, re, acc, gf) 0x01-per-byte mask words for all three
-    flagship missions, computed at mask level (no packed field words).
+def _swar_boundary_masks(P, specs):
+    """(rs, re, acc, gf) 0x01-per-byte mask words for each mission in
+    `specs`, computed at mask level (no packed field words).
+
+    `specs` is a tuple of static mission specs:
+      ("utf8", af_iv, ubf_iv, grep)   - 4 length-class bits
+      ("utf16", be, cp_iv, grep)      - 2 length-class bits
+    The per-byte bit budget is 8 length-class bits and 8 accept bits,
+    so any combination with sum(bits) <= 8 fits one kernel (e.g. the
+    flagship utf8 + 2x utf16 uses exactly 8).
 
     Element shifts (cross-word lane shifts) are the kernel's dominant
-    cost, so every lookback/lookahead is BATCHED: the two UTF-16
-    missions' pair trails share one shift, and all three missions'
-    length-class masks (for run starts) and accept masks (for run
-    ends) ride one packed back-shift and one packed forward-shift.
-    Total: 4 element shifts beyond the panel's own lookahead, vs. 11
-    for per-mission swar_flags on packed fields."""
-    m8 = _utf8_masks(P, af_iv, ubf_iv, greps[0])
-    sle = _utf16_pair_structure(P, False)
-    sbe = _utf16_pair_structure(P, True)
-
-    # One shift for both missions' pair trails.
-    pair_pack = sle["pair1"].astype(jnp.int32) | (sbe["pair1"].astype(jnp.int32) << 1)
-    pp = P.back_elem(pair_pack)
-    mle0, mle1 = _utf16_mission_masks(P, sle, (pp & 1) != 0, cp_iv_le, greps[1])
-    mbe0, mbe1 = _utf16_mission_masks(P, sbe, (pp & 2) != 0, cp_iv_be, greps[2])
+    cost, so every lookback/lookahead is BATCHED: all UTF-16 missions'
+    pair trails share one shift, and every mission's length-class
+    masks (for run starts) and accept masks (for run ends) ride one
+    packed back-shift and one packed forward-shift."""
 
     def slots(a0, a1):  # two unit-slot bools -> byte-slot 0x01 word
         return a0.astype(jnp.int32) | (a1.astype(jnp.int32) << 16)
 
-    s1, s2, s3, s4 = _utf8_len_masks(m8)
-    acc8 = m8["accept"]
-    acc_le = slots(mle0["accept"], mle1["accept"])
-    acc_be = slots(mbe0["accept"], mbe1["accept"])
-    s2_le = slots(mle0["start"] & ~sle["pair0"], mle1["start"] & ~sle["pair1"])
-    s4_le = slots(mle0["start"] & sle["pair0"], mle1["start"] & sle["pair1"])
-    s2_be = slots(mbe0["start"] & ~sbe["pair0"], mbe1["start"] & ~sbe["pair1"])
-    s4_be = slots(mbe0["start"] & sbe["pair0"], mbe1["start"] & sbe["pair1"])
+    # Phase 1: per-mission structure; batch the utf16 pair trails.
+    u16 = {}  # spec index -> (trail bit, pair structure)
+    for i, sp in enumerate(specs):
+        if sp[0] == "utf16":
+            u16[i] = (len(u16), _utf16_pair_structure(P, sp[1]))
+    if u16:
+        pair_pack = jnp.zeros_like(P.W)
+        for j, s in u16.values():
+            pair_pack = pair_pack | (s["pair1"].astype(jnp.int32) << j)
+        pp = P.back_elem(pair_pack)
 
-    # E: accepted char of length L ends L bytes later (per-mission
-    # bits); S: char of length L starts here (is_start-gated, matching
-    # the packed lf field); A: accept bits. One back-shift of E and
-    # one forward-shift of A serve every mission and length.
-    E = (
-        (acc8 & s1) | ((acc8 & s2) << 1) | ((acc8 & s3) << 2) | ((acc8 & s4) << 3)
-        | ((acc_le & s2_le) << 4) | ((acc_le & s4_le) << 5)
-        | ((acc_be & s2_be) << 6) | ((acc_be & s4_be) << 7)
-    )
-    S = (
-        s1 | (s2 << 1) | (s3 << 2) | (s4 << 3)
-        | (s2_le << 4) | (s4_le << 5) | (s2_be << 6) | (s4_be << 7)
-    )
-    A = acc8 | (acc_le << 1) | (acc_be << 2)
+    # Phase 2: mission masks + (acc, gf, length-class masks) per spec.
+    per = []  # (acc, gf, [(L, sL)])
+    for i, sp in enumerate(specs):
+        if sp[0] == "utf8":
+            _kind, af_iv, ubf_iv, grep = sp
+            m8 = _utf8_masks(P, af_iv, ubf_iv, grep)
+            s1, s2, s3, s4 = _utf8_len_masks(m8)
+            per.append((m8["accept"], m8["grep"],
+                        [(1, s1), (2, s2), (3, s3), (4, s4)]))
+        else:
+            _kind, be, cp_iv, grep = sp
+            j, s = u16[i]
+            trail0 = ((pp >> j) & 1) != 0
+            m0, m1 = _utf16_mission_masks(P, s, trail0, cp_iv, grep)
+            acc = slots(m0["accept"], m1["accept"])
+            gf = slots(m0["grep"], m1["grep"])
+            s2u = slots(m0["start"] & ~s["pair0"], m1["start"] & ~s["pair1"])
+            s4u = slots(m0["start"] & s["pair0"], m1["start"] & s["pair1"])
+            per.append((acc, gf, [(2, s2u), (4, s4u)]))
+
+    # Phase 3: packed boundary shifts shared across missions.
+    # E: accepted char of length L ends L bytes later; S: char of
+    # length L starts here (is_start-gated, matching the packed lf
+    # field); A: accept bits.
+    E = jnp.zeros_like(P.W)
+    S = jnp.zeros_like(P.W)
+    A = jnp.zeros_like(P.W)
+    bitmap = []  # per mission: (abit, [(L, ebit)])
+    nbit = 0
+    for mi, (acc, _gf, lens) in enumerate(per):
+        ebits = []
+        for L, sL in lens:
+            E = E | ((acc & sL) << nbit)
+            S = S | (sL << nbit)
+            ebits.append((L, nbit))
+            nbit += 1
+        A = A | (acc << mi)
+        bitmap.append((mi, ebits))
+    assert nbit <= 8, "mission set exceeds the 8-bit length-class budget"
     Ep = P.back_elem(E)
     An = P.fwd_elem(A)
 
-    # Byte-shifted composites, shared across missions.
-    E_back = {
-        L: (E << (8 * L)) | _lsr(Ep, 32 - 8 * L) for L in (1, 2, 3, 4)
-    }
-    A_fwd = {
-        L: _lsr(A, 8 * L) | (An << (32 - 8 * L)) for L in (1, 2, 3, 4)
-    }
+    lengths = sorted({L for _mi, eb in bitmap for L, _b in eb})
+    E_back = {L: (E << (8 * L)) | _lsr(Ep, 32 - 8 * L) for L in lengths}
+    A_fwd = {L: _lsr(A, 8 * L) | (An << (32 - 8 * L)) for L in lengths}
 
     def bit(x, k):
         return (_lsr(x, k) if k else x) & M01
 
-    # (length L -> E/S bit, A bit) per mission.
-    specs = [
-        (acc8, m8["grep"], [(1, 0), (2, 1), (3, 2), (4, 3)], 0),
-        (acc_le, slots(mle0["grep"], mle1["grep"]), [(2, 4), (4, 5)], 1),
-        (acc_be, slots(mbe0["grep"], mbe1["grep"]), [(2, 6), (4, 7)], 2),
-    ]
     out = []
-    for acc, gf, lens, abit in specs:
+    for (acc, gf, _lens), (abit, ebits) in zip(per, bitmap):
         cont = jnp.zeros_like(acc)
         joins = jnp.zeros_like(acc)
-        for L, ebit in lens:
+        for L, ebit in ebits:
             cont = cont | bit(E_back[L], ebit)
             joins = joins | (bit(S, ebit) & bit(A_fwd[L], abit))
         rs = acc & ~cont & M01
@@ -568,7 +581,7 @@ def _flagship_boundary_masks(P, af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
     return out
 
 
-def _flagship_swar_counts_kernel(af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
+def _swar_counts_kernel(specs, out_rows):
     def kernel(prev_ref, cur_ref, next_ref, out_ref):
         W = jnp.concatenate(
             [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
@@ -576,9 +589,7 @@ def _flagship_swar_counts_kernel(af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
         P = _Panel(W)
         rows = cur_ref.shape[0]
         sl = slice(HALO_ROWS, HALO_ROWS + rows)
-        masks = _flagship_boundary_masks(
-            P, af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps
-        )
+        masks = _swar_boundary_masks(P, specs)
 
         def bytesum(x):  # sum of the 4 byte slots (each <= 1 here)
             return _lsr(x * M01, 24)
@@ -595,36 +606,31 @@ def _flagship_swar_counts_kernel(af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
             cols.append(jnp.sum(enc, axis=1))
             cols.append(jnp.sum(bytesum(gf[sl]), axis=1))
         z = jnp.zeros_like(cols[0])
-        out_ref[...] = jnp.stack(cols + [z, z], axis=0)
+        out_ref[...] = jnp.stack(cols + [z] * (out_rows - len(cols)), axis=0)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("af_iv", "ubf_iv", "cp_iv_le", "cp_iv_be", "greps",
-                     "tile_rows", "interpret"),
+    jax.jit, static_argnames=("specs", "tile_rows", "interpret")
 )
-def flagship_swar_counts(
+def swar_counts(
     words_2d: jax.Array,  # (rows, 128) int32: packed little-endian bytes
-    af_iv: tuple,
-    ubf_iv: tuple,
-    cp_iv_le: tuple,
-    cp_iv_be: tuple,
-    greps: tuple,
+    specs: tuple,  # mission specs, see _swar_boundary_masks
     tile_rows: int = 512,
     interpret: bool = False,
 ):
-    """All three flagship missions fused with run-compaction stage 1:
-    one SWAR pass computes the mission fields, derives the run-boundary
-    flags in-register, and reduces them to per-512-byte-block counts -
-    the full-size lane arrays never leave VMEM (vs. flagship_swar_lanes
-    + extract_runs_packed4, which round-trips 3x the input through HBM).
+    """Mission scans fused with run-compaction stage 1: one SWAR pass
+    computes the mission masks, derives the run-boundary flags
+    in-register, and reduces them to per-512-byte-block counts - no
+    full-size lane array ever leaves VMEM (vs. flagship_swar_lanes +
+    extract_runs_packed4, which round-trips 3x the input through HBM).
 
-    Returns int32[8, rows]: rows 2*m / 2*m+1 are mission m's packed
-    block counts (run_start | run_end<<10 | accept<<20) and grep
-    counts; rows 6-7 are zero padding. Consumed by
-    ops/runs.py:extract_runs_swar_blocks (stages 2-3).
+    Returns int32[R, rows] (R = 2*len(specs) padded up to a multiple
+    of 8): rows 2*m / 2*m+1 are mission m's packed block counts
+    (run_start | run_end<<10 | accept<<20) and grep counts. Consumed
+    by ops/runs.py:extract_runs_swar_blocks (stages 2-3) or used
+    directly as a hot-block map (accept>0) by the engine=tpu scan.
 
     Same zero-padding caller contract as flagship_swar_lanes. At the
     stream edges the halo wraps (first tile's left context is the
@@ -634,6 +640,7 @@ def flagship_swar_counts(
     rows = words_2d.shape[0]
     assert words_2d.shape[1] == LANE and rows % tile_rows == 0
     grid = (rows // tile_rows,)
+    out_rows = ((2 * len(specs) + 7) // 8) * 8
 
     halo_spec_prev = pl.BlockSpec(
         (HALO_ROWS, LANE),
@@ -649,17 +656,39 @@ def flagship_swar_counts(
     )
     tile_spec = pl.BlockSpec((tile_rows, LANE), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((8, tile_rows), lambda i: (0, i),
+    out_spec = pl.BlockSpec((out_rows, tile_rows), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _flagship_swar_counts_kernel(af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps),
+        _swar_counts_kernel(specs, out_rows),
         grid=grid,
         in_specs=[halo_spec_prev, tile_spec, halo_spec_next],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((8, rows), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, rows), jnp.int32),
         interpret=interpret,
     )(words_2d, words_2d, words_2d)
+
+
+def flagship_swar_counts(
+    words_2d: jax.Array,
+    af_iv: tuple,
+    ubf_iv: tuple,
+    cp_iv_le: tuple,
+    cp_iv_be: tuple,
+    greps: tuple,
+    tile_rows: int = 512,
+    interpret: bool = False,
+):
+    """The flagship 3-mission (UTF-8 + UTF-16LE/BE) counts pass - a
+    swar_counts specialization kept as the bench/entry entry point."""
+    specs = (
+        ("utf8", af_iv, ubf_iv, greps[0]),
+        ("utf16", False, cp_iv_le, greps[1]),
+        ("utf16", True, cp_iv_be, greps[2]),
+    )
+    return swar_counts(
+        words_2d, specs, tile_rows=tile_rows, interpret=interpret
+    )
 
 
 # ------------------------------------------------------- host-side helpers
@@ -717,6 +746,30 @@ def utf16_cp_intervals(mission) -> tuple:
         else:
             out.append((lo, hi))
     return tuple(out)
+
+
+def swar_mission_spec(mission):
+    """Static swar_counts spec for one mission, or None when the
+    encoding or its filters don't fit the SWAR kernel (too many filter
+    intervals, or a non-UTF encoding)."""
+    from ..encodings import encoding_kind
+
+    kind = encoding_kind(mission.encoding_name)
+    g = (
+        -1 if mission.filter.grep_char is None
+        else int(mission.filter.grep_char)
+    )
+    if kind == "utf8":
+        af_iv, ubf_iv = utf8_lead_intervals(mission)
+        if len(af_iv) + len(ubf_iv) > 12:
+            return None
+        return ("utf8", af_iv, ubf_iv, g)
+    if kind in ("utf16le", "utf16be"):
+        cp_iv = utf16_cp_intervals(mission)
+        if len(cp_iv) > 12:
+            return None
+        return ("utf16", kind == "utf16be", cp_iv, g)
+    return None
 
 
 def swar_params(missions):

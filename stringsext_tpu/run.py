@@ -82,13 +82,124 @@ def scan_stream_batches(
         yield list(heapq_merge(*per_mission, key=lambda f: f.sort_key()))
 
 
+_HOT_BLOCK = 512  # hot-map granularity (one SWAR compaction block)
+
+
+def _merge_ranges(starts, ends, n):
+    """Merge possibly-overlapping (starts, ends) intervals, clipped to
+    [0, n]. Returns sorted disjoint int64 arrays."""
+    import numpy as np
+
+    if len(starts) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    order = np.argsort(starts, kind="stable")
+    s = starts[order]
+    e = np.maximum.accumulate(ends[order])  # running max end
+    new_group = s[1:] > e[:-1]  # vectorized interval merge
+    first = np.concatenate([[True], new_group])
+    last = np.concatenate([new_group, [True]])
+    return np.maximum(s[first], 0), np.minimum(e[last], n)
+
+
+def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 * 1024):
+    """Hot byte ranges for every SWAR-able mission at once, from the
+    fused counts kernel's per-512-byte-block accept counts.
+
+    Exact run tables are NOT extracted: a block is hot iff any accepted
+    char starts in it, which (with an 8-byte spill margin) is already a
+    superset of every finding - the exactness the emitter needs. This
+    removes the run-table capacity/overflow fallback entirely and costs
+    one fused pass per <=8-length-bit mission group per chunk.
+
+    `jobs` is [(mission_index, swar_mission_spec)]. Returns
+    {mission_index: (starts, ends)} sorted disjoint int64 arrays."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.pallas_swar import swar_counts
+    from .utils import profiling
+
+    interpret = jax.default_backend() == "cpu"  # no Mosaic off-TPU
+    n = len(stream.data)
+
+    def spec_bits(sp):
+        return 4 if sp[0] == "utf8" else 2
+
+    groups, cur, used = [], [], 0
+    for idx, sp in jobs:
+        b = spec_bits(sp)
+        if used + b > 8:
+            groups.append(cur)
+            cur, used = [], 0
+        cur.append((idx, sp))
+        used += b
+    if cur:
+        groups.append(cur)
+
+    launched = []
+    pos = 0
+    while pos < n:
+        m_end = min(pos + chunk, n)
+        raw = stream.data[pos:m_end]
+        # Pad to whole kernel tiles: 512-row (256 KiB) tiles for real
+        # chunks, a single 8-row-multiple tile for small inputs.
+        if len(raw) > 512 * _HOT_BLOCK:
+            tile_rows = 512
+        else:
+            tile_rows = -(-len(raw) // (8 * _HOT_BLOCK)) * 8
+        tile_bytes = tile_rows * _HOT_BLOCK
+        padded = ((len(raw) + tile_bytes - 1) // tile_bytes) * tile_bytes
+        buf = np.zeros(padded, np.uint8)
+        buf[: len(raw)] = raw
+        w2 = jnp.asarray(buf.view(np.int32).reshape(-1, 128))
+        with profiling.scope("device.dispatch", len(raw)):
+            for grp in groups:
+                counts = swar_counts(
+                    w2, tuple(sp for _, sp in grp), tile_rows=tile_rows,
+                    interpret=interpret,
+                )
+                hot = [(counts[2 * j] >> 20) > 0 for j in range(len(grp))]
+                launched.append((pos, m_end, grp, hot))
+        pos = m_end
+
+    raw_ranges = {idx: [] for idx, _sp in jobs}
+    for pos, m_end, grp, hots in launched:
+        nblocks = -(-(m_end - pos) // _HOT_BLOCK)
+        for (idx, _sp), h in zip(grp, hots):
+            with profiling.scope("device.collect"):
+                hb = np.asarray(h)[:nblocks].copy()
+            if len(hb):
+                # chunk-edge blocks are always hot: boundary-spanning
+                # chars + the kernel's stream-edge halo wrap.
+                hb[0] = True
+                hb[-1] = True
+            d = np.diff(hb.astype(np.int8), prepend=0, append=0)
+            s_blk = np.flatnonzero(d == 1).astype(np.int64)
+            e_blk = np.flatnonzero(d == -1).astype(np.int64)
+            raw_ranges[idx].append(
+                (pos + s_blk * _HOT_BLOCK - 8, pos + e_blk * _HOT_BLOCK + 8)
+            )
+
+    out = {}
+    for idx, parts in raw_ranges.items():
+        s = np.concatenate([p[0] for p in parts])
+        e = np.concatenate([p[1] for p in parts])
+        out[idx] = _merge_ranges(s, e, n)
+    return out
+
+
 def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 1024):
     """Compute conservative 'hot' byte ranges (superset of all accepted
     char runs) for one mission with the device scan kernels, processing
     the stream in chunks. Chunk edges are force-marked hot so chunk-
     local classification can never exclude a boundary-spanning char.
     Returns (starts, ends) sorted disjoint int64 arrays, or None when
-    the encoding has no device kernel."""
+    the encoding has no device kernel.
+
+    Fallback path for encodings without a SWAR spec; SWAR-able missions
+    go through _device_hot_ranges_swar (no run-table extraction)."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -146,15 +257,9 @@ def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 10
         ends.append(np.atleast_1d(np.asarray(e, np.int64)))
     if not starts:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    s = np.concatenate(starts) - 8
-    e = np.concatenate(ends) + 8
-    order = np.argsort(s, kind="stable")
-    s = s[order]
-    e = np.maximum.accumulate(e[order])  # running max end
-    new_group = s[1:] > e[:-1]  # vectorized interval merge
-    first = np.concatenate([[True], new_group])
-    last = np.concatenate([new_group, [True]])
-    return np.maximum(s[first], 0), np.minimum(e[last], n)
+    return _merge_ranges(
+        np.concatenate(starts) - 8, np.concatenate(ends) + 8, n
+    )
 
 
 def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
@@ -190,7 +295,21 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
 
         hot_by_mission = {}
         if engine == "tpu":
+            from .ops.pallas_swar import swar_mission_spec
+
+            swar_jobs, lanes_jobs = [], []
             for i, m in native_jobs:
+                spec = swar_mission_spec(m)
+                (swar_jobs if spec is not None else lanes_jobs).append(
+                    (i, m, spec)
+                )
+            if swar_jobs:
+                hot_by_mission.update(
+                    _device_hot_ranges_swar(
+                        stream, [(i, sp) for i, _m, sp in swar_jobs]
+                    )
+                )
+            for i, m, _sp in lanes_jobs:
                 hot_by_mission[i] = _device_hot_ranges(stream, m)
 
         def job(im):
