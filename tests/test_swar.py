@@ -169,6 +169,52 @@ def test_swar_counts_path_matches_lanes_path():
             )
 
 
+def test_swar_counts_mission_subsets():
+    """swar_counts accepts arbitrary mission subsets (the generalized
+    spec form used by the engine=tpu hot-block path) and must produce
+    the same run tables as the flagship lanes path for each mission."""
+    from stringsext_tpu.ops.pallas_swar import swar_counts, swar_mission_spec
+    from stringsext_tpu.ops.runs import extract_runs_swar_blocks
+
+    ms = _missions()
+    params = pallas_swar.swar_params(ms.v)
+    rows = 64
+    raw = _corpus(rows, 11)
+    words = jnp.asarray(raw.view(np.int32).reshape(rows, 128))
+    outs = pallas_swar.flagship_swar_lanes(
+        words, tile_rows=32, interpret=True, **params
+    )
+    specs = [swar_mission_spec(m) for m in ms.v]
+    assert all(sp is not None for sp in specs)
+    eps = (
+        dict(kind="utf8", af_iv=specs[0][1], ubf_iv=specs[0][2],
+             grep=specs[0][3]),
+        dict(kind="utf16", cp_iv=specs[1][2], grep=specs[1][3], be=False),
+        dict(kind="utf16", cp_iv=specs[2][2], grep=specs[2][3], be=True),
+    )
+    # subsets: single utf8, single utf16be, utf8+utf16le pair
+    for subset in ([0], [2], [0, 1]):
+        counts = swar_counts(
+            words, tuple(specs[i] for i in subset), tile_rows=32,
+            interpret=True,
+        )
+        assert counts.shape[0] == 8
+        for j, mi in enumerate(subset):
+            ref = extract_runs_packed4(outs[mi], capacity=512)
+            got = extract_runs_swar_blocks(
+                words, counts[2 * j], counts[2 * j + 1], capacity=512,
+                **eps[mi],
+            )
+            c = int(ref.count)
+            assert c == int(got.count), f"subset {subset} mission {mi}"
+            for f in ("start", "end", "chars", "grep_hits"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ref, f))[:c],
+                    np.asarray(getattr(got, f))[:c],
+                    f"subset {subset} m{mi} {f}",
+                )
+
+
 def test_interval_decomposition():
     from stringsext_tpu.ops.pallas_swar import decompose_intervals
 
