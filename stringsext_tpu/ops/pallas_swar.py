@@ -379,6 +379,29 @@ def swar_utf16_panel(P: _Panel, cp_iv, grep_char: int, be: bool):
     return f0 | (f1 << 16)
 
 
+def _sbyte_masks(P, acc_iv, grep_iv):
+    """(accept, grep) 0x01-per-byte masks for a single-byte-encoding
+    mission: the decoded-codepoint filter collapses to byte intervals
+    computed on the host from the WHATWG index table (undefined bytes
+    are simply absent from acc_iv - malformed and filter-rejected bytes
+    break runs identically)."""
+    W = P.W
+    acc = jnp.zeros_like(W)
+    for lo, hi in acc_iv:
+        acc = acc | _range_mask(W, lo, hi)
+    gf = jnp.zeros_like(W)
+    for lo, hi in grep_iv:
+        gf = gf | _range_mask(W, lo, hi)
+    return acc, acc & gf
+
+
+def swar_sbyte_panel(P, acc_iv, grep_iv):
+    """Packed field words for a single-byte mission (slab re-derivation
+    form): every byte is a length-1 char start."""
+    acc, gf = _sbyte_masks(P, acc_iv, grep_iv)
+    return acc * ACCEPT_BIT | (M01 << LEN_SHIFT) | (gf << 4) | (M01 << 5)
+
+
 def swar_flags(w, w_prev, w_next):
     """Derive (acc, lf, gf, run_start, run_end) 0x01/byte-field words
     from packed-lane field words, with one word of context each side.
@@ -495,6 +518,7 @@ def _swar_boundary_masks(P, specs):
     `specs` is a tuple of static mission specs:
       ("utf8", af_iv, ubf_iv, grep)   - 4 length-class bits
       ("utf16", be, cp_iv, grep)      - 2 length-class bits
+      ("sbyte", acc_iv, grep_iv)      - 1 length-class bit
     The per-byte bit budget is 8 length-class bits and 8 accept bits,
     so any combination with sum(bits) <= 8 fits one kernel (e.g. the
     flagship utf8 + 2x utf16 uses exactly 8).
@@ -528,6 +552,9 @@ def _swar_boundary_masks(P, specs):
             s1, s2, s3, s4 = _utf8_len_masks(m8)
             per.append((m8["accept"], m8["grep"],
                         [(1, s1), (2, s2), (3, s3), (4, s4)]))
+        elif sp[0] == "sbyte":
+            acc, gf = _sbyte_masks(P, sp[1], sp[2])
+            per.append((acc, gf, [(1, jnp.full_like(P.W, M01))]))
         else:
             _kind, be, cp_iv, grep = sp
             j, s = u16[i]
@@ -769,6 +796,35 @@ def swar_mission_spec(mission):
         if len(cp_iv) > 12:
             return None
         return ("utf16", kind == "utf16be", cp_iv, g)
+    if kind == "single-byte":
+        from ..encodings import full_byte_table
+
+        tbl = full_byte_table(mission.encoding_name)
+        acc_bits = 0
+        grep_bits = 0
+        for b in range(256):
+            cp = int(tbl[b])
+            if cp < 0:
+                continue  # undefined byte: malformed, breaks runs
+            if cp < 0x80:
+                ok = (mission.filter.af >> cp) & 1
+            else:
+                if cp < 0x800:
+                    lead = 0xC0 | (cp >> 6)
+                elif cp < 0x10000:
+                    lead = 0xE0 | (cp >> 12)
+                else:
+                    lead = 0xF0 | (cp >> 18)
+                ok = (mission.filter.ubf >> (lead & 0x3F)) & 1
+            if ok:
+                acc_bits |= 1 << b
+                if g >= 0 and cp == g:
+                    grep_bits |= 1 << b
+        acc_iv = decompose_intervals(acc_bits, 256)
+        grep_iv = decompose_intervals(grep_bits, 256)
+        if len(acc_iv) > 16 or len(grep_iv) > 4:
+            return None
+        return ("sbyte", tuple(acc_iv), tuple(grep_iv))
     return None
 
 

@@ -184,18 +184,20 @@ def extract_runs_packed4(words: jax.Array, capacity: int = 4096) -> RunTable:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "af_iv", "ubf_iv", "cp_iv", "grep", "be",
-                     "capacity"),
+    static_argnames=("kind", "af_iv", "ubf_iv", "cp_iv", "acc_iv",
+                     "grep_iv", "grep", "be", "capacity"),
 )
 def extract_runs_swar_blocks(
     words: jax.Array,  # int32 packed LE words, flat or (rows, 128)
     enc_blk: jax.Array,  # int32[nb]: run_start | run_end<<10 | accept<<20
     grep_blk: jax.Array,  # int32[nb]
     *,
-    kind: str,  # "utf8" | "utf16"
+    kind: str,  # "utf8" | "utf16" | "sbyte"
     af_iv: tuple = (),
     ubf_iv: tuple = (),
     cp_iv: tuple = (),
+    acc_iv: tuple = (),
+    grep_iv: tuple = (),
     grep: int = -1,
     be: bool = False,
     capacity: int = 4096,
@@ -213,6 +215,7 @@ def extract_runs_swar_blocks(
     from .pallas_swar import (
         HALO_ROWS,
         _SlabPanel,
+        swar_sbyte_panel,
         swar_utf8_panel,
         swar_utf16_panel,
     )
@@ -262,6 +265,8 @@ def extract_runs_swar_blocks(
         P = _SlabPanel(slabW)
         if kind == "utf8":
             F = swar_utf8_panel(P, af_iv, ubf_iv, grep)
+        elif kind == "sbyte":
+            F = swar_sbyte_panel(P, acc_iv, grep_iv)
         else:
             F = swar_utf16_panel(P, cp_iv, grep, be)
         z = jnp.zeros_like(F[:, :1])

@@ -125,7 +125,7 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
     n = len(stream.data)
 
     def spec_bits(sp):
-        return 4 if sp[0] == "utf8" else 2
+        return {"utf8": 4, "utf16": 2, "sbyte": 1}[sp[0]]
 
     groups, cur, used = [], [], 0
     for idx, sp in jobs:

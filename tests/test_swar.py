@@ -215,6 +215,53 @@ def test_swar_counts_mission_subsets():
                 )
 
 
+def test_swar_sbyte_spec_matches_jnp_lanes():
+    """Single-byte-encoding specs ("sbyte"): counts kernel + slab
+    re-derivation must match the jnp single_byte_lanes + extract_runs
+    reference run tables."""
+    from stringsext_tpu.ops.pallas_swar import swar_counts, swar_mission_spec
+    from stringsext_tpu.ops.runs import extract_runs_swar_blocks
+
+    ms = Missions.new(
+        flag_encoding=["KOI8-R", "x-user-defined"], flag_grep_char="63",
+        flag_chars_min_nb="3",
+    )
+    rows = 32
+    r = np.random.default_rng(13)
+    raw = r.integers(0, 256, size=rows * 512, dtype=np.uint8)
+    raw[:512] = 0
+    raw[-512:] = 0
+    msg = "Русский текст? here".encode("koi8-r")
+    raw[3000 : 3000 + len(msg)] = np.frombuffer(msg, np.uint8)
+    words = jnp.asarray(raw.view(np.int32).reshape(rows, 128))
+
+    specs = tuple(swar_mission_spec(m) for m in ms.v)
+    assert all(sp is not None and sp[0] == "sbyte" for sp in specs)
+    counts = swar_counts(words, specs, tile_rows=8, interpret=True)
+    for j, m in enumerate(ms.v):
+        af_w, ubf_w = filter_words(m)
+        lanes = classify.single_byte_lanes(
+            jnp.asarray(raw), m.encoding_name, len(raw)
+        )
+        ref = extract_runs(
+            lanes, jnp.asarray(af_w), jnp.asarray(ubf_w), jnp.int32(63),
+            capacity=512,
+        )
+        got = extract_runs_swar_blocks(
+            words, counts[2 * j], counts[2 * j + 1], kind="sbyte",
+            acc_iv=specs[j][1], grep_iv=specs[j][2], capacity=512,
+        )
+        c = int(ref.count)
+        assert c == int(got.count), f"{m.encoding_name}: {c} vs {int(got.count)}"
+        assert c > 0
+        for f in ("start", "end", "chars", "grep_hits"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, f))[:c],
+                np.asarray(getattr(got, f))[:c],
+                f"{m.encoding_name} {f}",
+            )
+
+
 def test_interval_decomposition():
     from stringsext_tpu.ops.pallas_swar import decompose_intervals
 
