@@ -74,7 +74,27 @@ def random_config(rng):
 
 def random_corpus(rng, nprng):
     size = rng.choice([64, 700, 4095, 4096, 4097, 9000, 20000])
-    data = bytearray(nprng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
+    if rng.random() < 0.35:
+        # Sparse corpus: mostly zeros (cold blocks for the engine=tpu
+        # hot-range skipper) with random hot islands and CJK chain-byte
+        # noise (0x81-0xFE runs) that lands lead/trail bytes right at
+        # skip-window boundaries - the align_cursor stress case.
+        data = bytearray(size)
+        for _ in range(rng.randint(1, 6)):
+            off = rng.randint(0, max(0, size - 24))
+            ln = rng.randint(1, 24)
+            if rng.random() < 0.5:
+                data[off : off + ln] = nprng.integers(
+                    0x81, 0xFF, size=ln, dtype=np.uint8
+                ).tobytes()
+            else:
+                data[off : off + ln] = nprng.integers(
+                    0, 256, size=ln, dtype=np.uint8
+                ).tobytes()
+    else:
+        data = bytearray(
+            nprng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        )
     for _ in range(rng.randint(0, 8)):
         codec, text = rng.choice(PLANTS)
         t = text.encode(codec)

@@ -112,9 +112,9 @@ def get_lib():
     return _lib
 
 
-# kind codes (emitter.cpp). Big5 stays on the Python path: four of its
-# WHATWG pointers decode to TWO codepoints, which the flat cp table
-# cannot represent.
+# kind codes (emitter.cpp). Big5's four WHATWG double-codepoint
+# pointers ride a sparse (key, cp1, cp2) side table next to the flat
+# pair-cp table.
 KIND_CODE = {
     "utf8": 0,
     "utf16le": 1,

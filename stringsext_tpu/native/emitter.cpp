@@ -548,8 +548,25 @@ struct ScanState {
 // mission's encoding (used by hot-range window skipping): returns the
 // stream offset the event cursor should take so that every event whose
 // REPORT can fall at or after `t` is generated.
+// Smallest byte value that can appear as a NON-FIRST byte of any event
+// for the CJK kinds (conservative per WHATWG trail/continuation ranges:
+// euc-kr consumed trails >= 0x41, big5/shift_jis trails >= 0x40,
+// euc-jp consumed second/third bytes >= 0x80 (any >= 0x80 byte after a
+// lead is consumed, even malformed), gb18030 second bytes are digits
+// >= 0x30). Any byte below this can never be spanned by an event, so
+// an event starts exactly there ("ground" byte).
+static inline uint8_t cjk_ground_limit(int32_t kind) {
+    switch (kind) {
+        case 4: return 0x41;   // EUC-KR
+        case 5: return 0x40;   // Big5
+        case 6: return 0x40;   // Shift_JIS
+        case 7: return 0x80;   // EUC-JP
+        default: return 0x30;  // gb18030/GBK
+    }
+}
+
 static int64_t align_cursor(const Mission& m, const uint8_t* d, int64_t total,
-                            int64_t t) {
+                            int64_t t, int64_t cur) {
     // Must return a true event-start position <= the first event whose
     // REPORT can fall at or after `t`: an event *spanning* t belongs to
     // the resumed region (its report/label effects land there), so it
@@ -582,6 +599,36 @@ static int64_t align_cursor(const Mission& m, const uint8_t* d, int64_t total,
                 if (prev >= 0xD800 && prev <= 0xDBFF) return u - 2;
             }
             return u;
+        }
+        case 4:
+        case 5:
+        case 6:
+        case 7:
+        case 8: {
+            // CJK multi-byte kinds are not self-synchronizing, so find
+            // a provable event start and decode forward: scan back (a
+            // bounded window) for a "ground" byte - one that can never
+            // be a non-first event byte, hence never spanned - else
+            // fall back to the current cursor `cur`, which is a true
+            // event start by construction (amortized linear: `cur`
+            // only moves forward). Then walk events until the first
+            // one whose report lands at or after `t` - exactly the set
+            // the resumed window must regenerate (events are
+            // partitioned across windows by report).
+            const uint8_t lim = cjk_ground_limit(m.kind);
+            int64_t g = cur;
+            const int64_t back_stop = t - 4096 > cur ? t - 4096 : cur;
+            for (int64_t j = t - 1; j >= back_stop; j--) {
+                if (d[j] < lim) { g = j; break; }
+            }
+            int64_t p = g;
+            Event e2;
+            while (p < total) {
+                if (!next_event(m, d, total, p, &e2)) return p;  // pending
+                if (e2.report >= t) return e2.pos;
+                p = e2.pos + e2.in_len;
+            }
+            return total;
         }
         default:
             return t;
@@ -727,7 +774,8 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     hot_cursor++;
                 if (hot_cursor == n_hot || hot_start[hot_cursor] >= sstart + we) {
                     if (cursor < sstart + we) {
-                        cursor = align_cursor(m, data, total, sstart + we);
+                        cursor = align_cursor(m, data, total, sstart + we,
+                                              cursor);
                         advance();
                     }
                     label = we;

@@ -828,6 +828,119 @@ def swar_mission_spec(mission):
     return None
 
 
+def _merge_to_max(iv, cap):
+    """Coarsen a sorted interval list to <= cap intervals by repeatedly
+    filling the smallest gap (a conservative superset)."""
+    iv = list(iv)
+    while len(iv) > cap:
+        gaps = [
+            (iv[k + 1][0] - iv[k][1], k) for k in range(len(iv) - 1)
+        ]
+        _g, k = min(gaps)
+        iv[k : k + 2] = [(iv[k][0], iv[k + 1][1])]
+    return tuple(iv)
+
+
+def cjk_hot_spec(mission):
+    """Conservative hot-block SWAR spec for a CJK multi-byte mission:
+    an "sbyte"-style spec whose accept set is every byte value that can
+    occur ANYWHERE inside a filter-accepted char ("plausible" bytes).
+    Every byte of every finding is plausible, so a 512-byte block whose
+    plausible-byte count is zero provably contains no finding byte and
+    is cold. Used ONLY as a hot/cold block map (run.py engine=tpu) -
+    never for run tables; the native emitter rescans hot ranges exactly
+    (emitter.cpp align_cursor resumes the non-self-synchronizing
+    decoders from a ground byte). Returns None for non-CJK encodings
+    and for modal ISO-2022-JP, where window skipping is unsound (the
+    decode mode at a window depends on arbitrarily distant escapes)."""
+    import numpy as np
+
+    from ..encodings import encoding_kind
+
+    kind = encoding_kind(mission.encoding_name)
+    if kind not in ("euc-kr", "big5", "shift_jis", "euc-jp", "gb18030"):
+        return None
+
+    f = mission.filter
+    af_bits = np.array([(f.af >> i) & 1 for i in range(128)], bool)
+    ubf_bits = np.array([(f.ubf >> i) & 1 for i in range(64)], bool)
+
+    def acc(cps):
+        cps = np.asarray(cps, np.int64)
+        lead = np.where(
+            cps < 0x800, 0xC0 | (cps >> 6),
+            np.where(cps < 0x10000, 0xE0 | (cps >> 12), 0xF0 | (cps >> 18)),
+        )
+        ok = np.where(
+            cps < 0x80,
+            af_bits[np.clip(cps, 0, 127)],
+            ubf_bits[np.clip(lead & 0x3F, 0, 63)],
+        )
+        return ok & (cps >= 0)
+
+    plausible = np.zeros(256, bool)
+    bts = np.arange(128)
+    plausible[:128] |= acc(bts)  # 1-byte ASCII events (all kinds)
+
+    from ..native import _pair_cp_table
+
+    tbl = np.asarray(_pair_cp_table(kind))
+    okm = (tbl >= 0) & acc(tbl)
+    plausible |= okm.any(axis=1)  # leads of accepted pairs
+    plausible |= okm.any(axis=0)  # trails of accepted pairs
+
+    if kind == "shift_jis":  # 1-byte halfwidth katakana 0xA1-0xDF
+        b = np.arange(0xA1, 0xE0)
+        plausible[0xA1:0xE0] |= acc(0xFF61 - 0xA1 + b)
+        plausible[0x80] |= bool(acc(np.array([0x80]))[0])
+    elif kind == "euc-jp":
+        # 0x8E + kana trail (2-byte) and 0x8F + jis0212 pair (3-byte)
+        t = np.arange(0xA1, 0xE0)
+        kana = acc(0xFF61 - 0xA1 + t)
+        if kana.any():
+            plausible[0x8E] = True
+            plausible[0xA1:0xE0] |= kana
+        from ..native import _eucjp_0212_cp_table
+
+        t2 = np.asarray(_eucjp_0212_cp_table())
+        ok2 = (t2 >= 0) & acc(t2)
+        if ok2.any():
+            plausible[0x8F] = True
+            plausible |= ok2.any(axis=1)
+            plausible |= ok2.any(axis=0)
+    elif kind == "gb18030":
+        # four-byte form: enumerate the two valid pointer segments
+        from ..native import _gb18030_ranges
+
+        ptrs, cps = _gb18030_ranges()
+        ptr = np.concatenate(
+            [np.arange(0, 39420), np.arange(189000, 1237576)]
+        )
+        idx = np.searchsorted(ptrs, ptr, "right") - 1
+        ok4 = acc(cps[idx] + ptr - ptrs[idx])
+        if ok4.any():
+            p4 = ptr[ok4]
+            plausible[0x30:0x3A] = True  # b2/b4 digits
+            for bvals in (0x81 + p4 // 12600, 0x81 + (p4 // 10) % 126):
+                plausible[np.unique(bvals)] = True
+    elif kind == "big5":  # double-codepoint pairs (either cp accepted)
+        from ..engine.events_cjk import _pair_table
+
+        _v, multi = _pair_table("big5")
+        for key, cps2 in multi.items():
+            if acc(np.asarray(cps2)).any():
+                plausible[key >> 8] = True
+                plausible[key & 0xFF] = True
+
+    bits = 0
+    for b in np.flatnonzero(plausible).tolist():
+        bits |= 1 << b
+    if bits == 0:
+        return ("sbyte", (), ())  # nothing accepted: everything cold
+    acc_iv = _merge_to_max(decompose_intervals(bits, 256), 12)
+    return ("sbyte", tuple(acc_iv), ())
+
+
 def swar_params(missions):
     """Static interval parameters for flagship_swar_lanes, or None when
     a filter decomposes into too many intervals to be worth it."""

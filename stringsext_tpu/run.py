@@ -295,11 +295,17 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
 
         hot_by_mission = {}
         if engine == "tpu":
-            from .ops.pallas_swar import swar_mission_spec
+            from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
 
             swar_jobs, lanes_jobs = [], []
             for i, m in native_jobs:
-                spec = swar_mission_spec(m)
+                # Exact-count spec (UTF-8/UTF-16/single-byte), else the
+                # conservative plausible-byte spec for CJK multi-byte
+                # encodings (hot/cold map only; the emitter rescans hot
+                # ranges exactly). ISO-2022-JP gets neither - modal
+                # decode cannot skip windows - and scans the full
+                # stream natively.
+                spec = swar_mission_spec(m) or cjk_hot_spec(m)
                 (swar_jobs if spec is not None else lanes_jobs).append(
                     (i, m, spec)
                 )
