@@ -2,7 +2,8 @@
 # scripts/10..17 build scripts).
 
 CXX ?= g++
-CXXFLAGS ?= -O3 -shared -fPIC -std=c++17
+# Same flags as the on-demand builder (native/__init__.py _build).
+CXXFLAGS ?= -O3 -march=native -funroll-loops -shared -fPIC -std=c++17
 
 native: stringsext_tpu/native/libemitter.so
 

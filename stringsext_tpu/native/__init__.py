@@ -108,8 +108,71 @@ def get_lib():
         P(ctypes.c_int64),  # strbuf_len
     ]
     lib.se_free.argtypes = [ctypes.c_void_p]
+    lib.se_format.restype = None
+    lib.se_format.argtypes = [
+        ctypes.c_int64,  # n
+        ctypes.c_void_p,  # position uint64*
+        ctypes.c_void_p,  # precision int8*
+        ctypes.c_void_p,  # completes uint8*
+        ctypes.c_void_p,  # file_id int32*
+        ctypes.c_void_p,  # midx int32*
+        ctypes.c_void_p,  # str_off uint64*
+        ctypes.c_void_p,  # str_len uint32*
+        ctypes.c_void_p,  # strbufs uint8**
+        ctypes.c_void_p,  # enc_prefix bytes
+        ctypes.c_void_p,  # enc_pref_off int32*
+        ctypes.c_void_p,  # enc_pref_len int32*
+        ctypes.c_int32,  # flags
+        ctypes.c_char,  # radix
+        P(P(ctypes.c_uint8)),  # out_buf
+        P(ctypes.c_int64),  # out_len
+    ]
+    lib.se_format_free.argtypes = [P(ctypes.c_uint8)]
     _lib = lib
     return _lib
+
+
+def native_format(position, precision, completes, file_id, midx, str_off,
+                  str_len, strbufs, enc_prefixes, flags, radix_char):
+    """Byte-exact merge-ordered line formatting in C++ (se_format).
+    All array arguments are contiguous numpy arrays already gathered
+    into merge order; `strbufs` is the per-mission string buffer list
+    (bytes), `enc_prefixes` the per-mission b"(a ENC)\\t" prefixes.
+    Returns the formatted bytes, or None when the library is absent."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(position)
+    bufs = (ctypes.c_void_p * len(strbufs))()
+    keep = []  # zero-copy views pinning the underlying buffers
+    for k, sb in enumerate(strbufs):
+        a = np.frombuffer(sb, np.uint8) if len(sb) else np.zeros(1, np.uint8)
+        keep.append(a)
+        bufs[k] = a.ctypes.data
+    ep = b"".join(enc_prefixes)
+    ep_buf = ctypes.create_string_buffer(ep, max(len(ep), 1))
+    offs = np.zeros(len(enc_prefixes), np.int32)
+    lens = np.array([len(x) for x in enc_prefixes], np.int32)
+    if len(enc_prefixes) > 1:
+        offs[1:] = np.cumsum(lens[:-1])
+
+    def p(a):
+        return a.ctypes.data if len(a) else None
+
+    out_buf = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int64()
+    lib.se_format(
+        n, p(position), p(precision), p(completes), p(file_id), p(midx),
+        p(str_off), p(str_len), ctypes.addressof(bufs),
+        ctypes.addressof(ep_buf), offs.ctypes.data, lens.ctypes.data,
+        flags, radix_char, ctypes.byref(out_buf), ctypes.byref(out_len),
+    )
+    try:
+        return ctypes.string_at(out_buf, out_len.value)
+    finally:
+        lib.se_format_free(out_buf)
 
 
 # kind codes (emitter.cpp). Big5's four WHATWG double-codepoint

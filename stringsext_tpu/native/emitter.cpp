@@ -14,6 +14,8 @@
 // Build: g++ -O3 -shared -fPIC -o libemitter.so emitter.cpp
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -792,6 +794,30 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     int64_t r = ev.report - sstart;
                     if (r >= we) break;  // belongs to a later window/slice
                     if (ev.cp < 0) {
+                        if ((int64_t)call_chars.size() <
+                                (int64_t)m.chars_min_nb &&
+                            !have_pending && !flag) {
+                            // Sterile malformed event: the call it
+                            // cuts is shorter than the min finding
+                            // length and stateless, so the
+                            // process_call below would be skipped and
+                            // the round restarted. Inline exactly that
+                            // label bookkeeping and keep consuming -
+                            // saves the outer-loop round trip per
+                            // malformed event (every 2-3 bytes on
+                            // machine-code-like inputs).
+                            call_chars.clear();
+                            int64_t cand = ev.pos + ev.in_len - sstart;
+                            if (cand >= label) label = cand;
+                            else {
+                                int64_t c2 = cand + ev.pushback;
+                                if (c2 > label) label = c2;
+                            }
+                            call_label = label;
+                            cursor = ev.pos + ev.in_len;
+                            advance();
+                            continue;
+                        }
                         mal = ev;
                         // Consume the malformed bytes; for the UTF-16
                         // lone-high case the lookahead unit starts at
@@ -805,10 +831,42 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     call_chars.push_back(ev.cp);
                     if (ev.cp2) call_chars.push_back(ev.cp2);
                     cursor = ev.pos + ev.in_len;
+                    // Batch runs of 1-byte events without the Event
+                    // round trip (their report == pos, so the window
+                    // partition test is just cursor < window end):
+                    // UTF-8 / CJK ASCII bytes, and defined single-byte
+                    // table entries.
+                    {
+                        const int64_t lim =
+                            sstart + we < total ? sstart + we : total;
+                        // (kind 9, modal ISO-2022-JP, never batches:
+                        // sub-0x80 bytes there are mode-dependent)
+                        if (m.kind == 0 || (m.kind >= 4 && m.kind <= 8)) {
+                            while (cursor < lim && data[cursor] < 0x80)
+                                call_chars.push_back(data[cursor++]);
+                        } else if (m.kind == 3) {
+                            int32_t c;
+                            while (cursor < lim &&
+                                   (c = m.table256[data[cursor]]) >= 0) {
+                                call_chars.push_back(c);
+                                cursor++;
+                            }
+                        }
+                    }
                     advance();
                 }
                 bool invalid_after = ended_mal || (last_window && is_last);
-                process_call(call_label, call_chars, invalid_after);
+                // Sterile-call fast path: a call shorter than the
+                // min finding length, entered with no pending leftover
+                // and a clear continuation flag, and cut by a
+                // malformed event (invalid_after dismisses any tail
+                // chunk) can neither emit a finding nor change state -
+                // skip the SplitStr walk. Dominant on malformed-dense
+                // (machine-code-like) inputs, where decode calls split
+                // every few bytes.
+                if (!(ended_mal && !have_pending && !flag &&
+                      (int64_t)call_chars.size() < (int64_t)m.chars_min_nb))
+                    process_call(call_label, call_chars, invalid_after);
                 if (!ended_mal) break;
                 int64_t cand = mal.pos + mal.in_len - sstart;
                 if (cand >= label) label = cand;
@@ -939,5 +997,60 @@ void* se_scan(const uint8_t* data, int64_t total,
 }
 
 void se_free(void* handle) { delete (Output*)handle; }
+
+// Merge-ordered output formatting (finding.rs:112-155 grammar): the
+// caller pre-gathers every finding column into merge order (numpy
+// fancy-indexing, vectorized) and this writes the byte-exact lines -
+// "\n" + [file id letter+space] + [precision mark + radix position +
+// "+\t"/" \t"] + ["(a ENC)\t"] + UTF-8 string. The BOM and the final
+// "\n" stay with the caller. Returns a malloc'd buffer via
+// out_buf/out_len; free with se_format_free.
+void se_format(int64_t n, const uint64_t* position, const int8_t* precision,
+               const uint8_t* completes, const int32_t* file_id,
+               const int32_t* midx, const uint64_t* str_off,
+               const uint32_t* str_len, const uint8_t* const* strbufs,
+               const uint8_t* enc_prefix, const int32_t* enc_pref_off,
+               const int32_t* enc_pref_len, int32_t flags, char radix,
+               uint8_t** out_buf, int64_t* out_len) {
+    const bool show_file = flags & 1, show_radix = flags & 2,
+               show_enc = flags & 4, no_meta = flags & 8;
+    const char* fmt = radix == 'x' ? "%llx" : (radix == 'o' ? "%llo" : "%llu");
+    uint64_t total_s = 0;
+    for (int64_t i = 0; i < n; i++) total_s += str_len[i];
+    std::vector<uint8_t> buf;
+    buf.reserve(total_s + (uint64_t)n * 32 + 64);
+    char num[32];
+    for (int64_t i = 0; i < n; i++) {
+        buf.push_back('\n');
+        if (!no_meta) {
+            if (show_file && file_id[i] >= 0) {
+                buf.push_back((uint8_t)(file_id[i] + 64));
+                buf.push_back(' ');
+            }
+            if (show_radix) {
+                int8_t p = precision[i];
+                buf.push_back(p > 0 ? '>' : (p < 0 ? '<' : ' '));
+                int k = snprintf(num, sizeof num, fmt,
+                                 (unsigned long long)position[i]);
+                buf.insert(buf.end(), num, num + k);
+                buf.push_back(completes[i] ? '+' : ' ');
+                buf.push_back('\t');
+            }
+            if (show_enc) {
+                int32_t mi = midx[i];
+                const uint8_t* ep = enc_prefix + enc_pref_off[mi];
+                buf.insert(buf.end(), ep, ep + enc_pref_len[mi]);
+            }
+        }
+        const uint8_t* s = strbufs[midx[i]] + str_off[i];
+        buf.insert(buf.end(), s, s + str_len[i]);
+    }
+    uint8_t* p = (uint8_t*)malloc(buf.size() ? buf.size() : 1);
+    memcpy(p, buf.data(), buf.size());
+    *out_buf = p;
+    *out_len = (int64_t)buf.size();
+}
+
+void se_format_free(uint8_t* p) { free(p); }
 
 }  // extern "C"

@@ -408,6 +408,43 @@ def write_output(out, args: Args, results) -> None:
     ]
     radix_fmt = {Radix.X: "x", Radix.D: "d", Radix.O: "o"}.get(args.radix)
 
+    import os
+
+    from . import native as native_mod
+
+    use_native_fmt = os.environ.get("STRINGSEXT_NATIVE_FORMAT", "1") != "0"
+    if use_native_fmt and native_mod.get_lib() is not None and len(order):
+        # Native formatter: numpy-gather every column into merge order
+        # (vectorized), then one C++ pass writes the exact line grammar
+        # (finding.rs:112-155) - the per-finding Python loop below is
+        # ~50x slower at forensic-scale finding counts.
+        def col(name, dtype):
+            return np.ascontiguousarray(
+                np.concatenate([r[1][name] for r in results]).astype(
+                    dtype, copy=False
+                )[order]
+            )
+
+        payload = native_mod.native_format(
+            col("position", np.uint64),
+            col("precision", np.int8),
+            col("completes", np.uint8),
+            col("file_id", np.int32),
+            np.ascontiguousarray(midx[order]),
+            col("str_off", np.uint64),
+            col("str_len", np.uint32),
+            [r[2] for r in results],
+            enc_prefix,
+            (1 if show_file else 0) | (2 if show_radix else 0)
+            | (4 if show_enc else 0) | (8 if no_meta else 0),
+            (radix_fmt or "d").encode(),
+        )
+        if payload is not None:
+            out.write(payload)
+            out.write(b"\n")
+            out.flush()
+            return
+
     w = out.write
     buf = bytearray()
     for k in order.tolist():

@@ -1,0 +1,62 @@
+"""The native C++ line formatter (emitter.cpp se_format) and the
+Python fallback loop in run.write_output must be byte-identical across
+every metadata combination (finding.rs:112-155 grammar)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from stringsext_tpu.cli import parse_args
+from stringsext_tpu.run import run
+
+
+def _corpus(tmp_path, k):
+    rng = np.random.default_rng(k)
+    data = bytearray(rng.integers(0, 256, 20000, np.uint8).tobytes())
+    msgs = [
+        "Déjà vu €uro text?".encode("utf-8"),
+        "Wide Кириллица?".encode("utf-16-le"),
+        b"plain ascii string?",
+    ]
+    for j, m in enumerate(msgs):
+        off = 1000 + j * 5000
+        data[off : off + len(m)] = m
+    p = tmp_path / f"c{k}.bin"
+    p.write_bytes(bytes(data))
+    return str(p)
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        ["-t", "x"],
+        ["-t", "d"],
+        ["-t", "o"],
+        [],  # no radix: no position column
+        ["-t", "x", "-c"],  # no metadata at all
+        ["-t", "x", "-g", "63"],
+        ["-t", "d", "-n", "2", "-q", "10"],
+    ],
+)
+@pytest.mark.parametrize("nfiles", [1, 2])
+def test_native_format_matches_python(tmp_path, extra, nfiles):
+    from stringsext_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    paths = [_corpus(tmp_path, k) for k in range(nfiles)]
+    argv = ["-e", "UTF-8", "-e", "utf-16le", *extra, *paths]
+    outs = {}
+    for mode in ("1", "0"):
+        os.environ["STRINGSEXT_NATIVE_FORMAT"] = mode
+        try:
+            args = parse_args(argv)
+            buf = io.BytesIO()
+            run(args, out=buf, engine="native")
+            outs[mode] = buf.getvalue()
+        finally:
+            del os.environ["STRINGSEXT_NATIVE_FORMAT"]
+    assert outs["1"] == outs["0"]
+    assert len(outs["1"]) > 10  # sanity: findings were produced
