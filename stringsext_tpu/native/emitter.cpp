@@ -771,7 +771,14 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
             // with no accepted chars, entered with no pending leftover
             // and a clear continuation flag, provably produces no
             // findings and quiesces to the same state - skip it whole.
-            if (hot_start != nullptr && !have_pending && !flag) {
+            // Kind 9 (modal ISO-2022-JP) additionally requires
+            // output_flag == false: its cold byte classes are mode- and
+            // phase-neutral one-byte events in every mode (see
+            // cjk_hot_spec), except that a rejected control decode in
+            // ASCII/Roman mode resets output_flag - a no-op only when
+            // the flag is already clear.
+            if (hot_start != nullptr && !have_pending && !flag &&
+                (m.kind != 9 || !dstate.output_flag)) {
                 while (hot_cursor < n_hot && hot_end[hot_cursor] <= sstart + ws)
                     hot_cursor++;
                 if (hot_cursor == n_hot || hot_start[hot_cursor] >= sstart + we) {

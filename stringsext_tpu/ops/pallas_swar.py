@@ -850,14 +850,38 @@ def cjk_hot_spec(mission):
     is cold. Used ONLY as a hot/cold block map (run.py engine=tpu) -
     never for run tables; the native emitter rescans hot ranges exactly
     (emitter.cpp align_cursor resumes the non-self-synchronizing
-    decoders from a ground byte). Returns None for non-CJK encodings
-    and for modal ISO-2022-JP, where window skipping is unsound (the
-    decode mode at a window depends on arbitrarily distant escapes)."""
+    decoders from a ground byte). Returns None for non-stateful
+    encodings (they have exact-count specs instead).
+
+    Modal ISO-2022-JP is included with a mode-blind plausible set: a
+    byte is cold only when, in EVERY decoder mode, it is a one-byte
+    event that cannot emit, cannot change the (mode, output_flag)
+    state, and cannot shift the jis0208 pair phase. That leaves
+    {>=0x80} u {0x0E,0x0F} u {AF-rejected controls and 0x7F}: escapes
+    (0x1B), all of 0x21-0x7E (pair bytes / katakana / Roman remaps) and
+    AF-accepted controls stay hot. Cold regions therefore contain no
+    mode switches and no phase carriers, so the emitter may resume at
+    any window edge - it additionally gates kind-9 skips on
+    output_flag == false (emitter.cpp), because rejected control
+    decodes in ASCII/Roman mode reset that flag."""
     import numpy as np
 
     from ..encodings import encoding_kind
 
     kind = encoding_kind(mission.encoding_name)
+    if kind == "iso-2022-jp":
+        f = mission.filter
+        plausible = np.zeros(256, bool)
+        plausible[0x1B] = True
+        plausible[0x21:0x7F] = True
+        for b in list(range(0x21)) + [0x7F]:
+            if b not in (0x0E, 0x0F) and f.pass_af_filter(b):
+                plausible[b] = True
+        bits = 0
+        for b in np.flatnonzero(plausible).tolist():
+            bits |= 1 << b
+        acc_iv = _merge_to_max(decompose_intervals(bits, 256), 12)
+        return ("sbyte", tuple(acc_iv), ())
     if kind not in ("euc-kr", "big5", "shift_jis", "euc-jp", "gb18030"):
         return None
 

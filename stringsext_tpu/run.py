@@ -300,11 +300,11 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
             swar_jobs, lanes_jobs = [], []
             for i, m in native_jobs:
                 # Exact-count spec (UTF-8/UTF-16/single-byte), else the
-                # conservative plausible-byte spec for CJK multi-byte
-                # encodings (hot/cold map only; the emitter rescans hot
-                # ranges exactly). ISO-2022-JP gets neither - modal
-                # decode cannot skip windows - and scans the full
-                # stream natively.
+                # conservative plausible-byte spec for the stateful
+                # multi-byte encodings - CJK and modal ISO-2022-JP -
+                # (hot/cold map only; the emitter rescans hot ranges
+                # exactly and gates ISO-2022-JP skips on its mode
+                # state).
                 spec = swar_mission_spec(m) or cjk_hot_spec(m)
                 (swar_jobs if spec is not None else lanes_jobs).append(
                     (i, m, spec)

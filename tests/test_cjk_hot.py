@@ -23,6 +23,8 @@ CJK = [
     ("gb18030", "gb18030", "你好世界示例字符串\U00020000"),
     ("gb18030", "GBK", "你好世界示例字符串"),
     ("big5", "Big5", "繁體中文測試字串"),
+    # modal: escapes + mode switches sit right next to cold spans
+    ("iso2022_jp", "ISO-2022-JP", "mode 日本語 switch ascii 漢字"),
 ]
 
 
@@ -102,6 +104,27 @@ def test_plausible_bytes_cover_accepted_chars(codec, enc, text, ubf):
     # so only "Asian" is guaranteed to accept the CJK sample chars.
     if ubf == "Asian":
         assert checked > len("ABC09 ~")  # some CJK chars were exercised
+
+
+@pytest.mark.parametrize("cold", [b"\xfe", b"\x00", b"\x0e"])
+@pytest.mark.parametrize("gap", [1, 120, 128, 129, 2048, 4096])
+def test_iso2022_output_flag_across_cold_spans(cold, gap):
+    """The redundant-escape error depends on output_flag, which a
+    rejected control decode resets - the emitter must not skip a window
+    while the flag is set (a second escape after a cold span must still
+    report the error / silence exactly like the full scan). Gap sizes
+    straddle the 2*line_max window size and block boundaries."""
+    head = b"JIS text: \x1b$B" + "日本".encode("iso2022_jp")[3:-3]
+    for mid in (cold * gap, b"\x1b(B" + cold * gap):
+        data = (
+            b"\x00" * 700 + head + mid + b"\x1b$B"
+            + "漢字".encode("iso2022_jp")[3:-3] + b"\x1b(B tail ascii str"
+            + b"\x00" * 3000
+        )
+        kw = dict(flag_unicode_block_filter="Asian")
+        a = _scan(data, "native", "ISO-2022-JP", **kw)
+        b = _scan(data, "tpu", "ISO-2022-JP", **kw)
+        assert a == b, (cold, gap, mid[:8])
 
 
 @pytest.mark.parametrize("codec,enc,text", CJK)
