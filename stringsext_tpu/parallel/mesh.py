@@ -166,3 +166,68 @@ def build_sharded_scan(
         return sharded(b, af_words, ubf_words, greps)
 
     return scan_step
+
+
+def build_sharded_counts(
+    specs: tuple, mesh: Mesh, shard_rows: int, tile_rows: int | None = None,
+    interpret: bool = False,
+):
+    """Compile the fused flagship SWAR counts kernel
+    (ops/pallas_swar.swar_counts: every mission in one pass, stage-1 run
+    compaction in-register) sharded over the mesh's "data" axis.
+
+    The byte-stream halo is HALO_ROWS word-rows (4 KiB) each side,
+    exchanged with `ppermute` over ICI; at the stream edges each shard
+    substitutes its own edge rows, replicating the single-device
+    kernel's halo wrap, so the per-512-byte-block counts are BIT-EXACT
+    equal to a single-device `swar_counts` over the whole stream
+    (tests/test_parallel.py pins this on the virtual CPU mesh).
+
+    Missions need no mesh axis here - the fused kernel carries up to 8
+    length-class bits of missions per byte in-register, so mission
+    parallelism is free inside the pass; only the tiny [R, rows] count
+    panels (1/128th of the input) leave each device.
+
+    Returns fn(words_2d[n_data * shard_rows, 128]) ->
+    int32[n_data, R, shard_rows].
+    """
+    from jax import shard_map
+
+    from ..ops.pallas_swar import HALO_ROWS, LANE, swar_counts
+
+    n_data = mesh.shape["data"]
+    H = HALO_ROWS
+    assert shard_rows >= H, "shards must cover at least one halo"
+    ext_rows = shard_rows + 2 * H
+    tr = tile_rows or ext_rows
+    assert ext_rows % tr == 0
+
+    def body(w_shard):  # [shard_rows, LANE] local words
+        di = jax.lax.axis_index("data")
+        right_to_left = [(i + 1, i) for i in range(n_data - 1)]
+        left_to_right = [(i, i + 1) for i in range(n_data - 1)]
+        from_right = jax.lax.ppermute(w_shard[:H], "data", right_to_left)
+        from_left = jax.lax.ppermute(w_shard[-H:], "data", left_to_right)
+        # Stream edges: the single-device kernel's halo wraps onto the
+        # stream's own edge rows; replicate that so edge-block counts
+        # match bit-exactly.
+        left = jnp.where(di == 0, w_shard[:H], from_left)
+        right = jnp.where(di == n_data - 1, w_shard[-H:], from_right)
+        ext = jnp.concatenate([left, w_shard, right], axis=0)
+        counts = swar_counts(ext, specs, tile_rows=tr, interpret=interpret)
+        return counts[None, :, H : H + shard_rows]
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data"),),
+        out_specs=P("data", None, None),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def counts_step(words_2d):
+        w = words_2d.reshape(n_data * shard_rows, LANE)
+        return sharded(w)
+
+    return counts_step

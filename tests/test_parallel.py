@@ -75,3 +75,34 @@ def test_sharded_scan_matches_single_device():
             got = _stitch(rows)
             want = _stitch(_single_runs(data, m))
             assert got == want, f"trial {trial} mission {mi} ({m.encoding_name})"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_swar_counts_match_single_device():
+    """The fused flagship SWAR counts kernel sharded over the data axis
+    (ppermute halos + edge self-wrap) must be BIT-exact vs one
+    single-device pass over the whole stream."""
+    from stringsext_tpu.ops.pallas_swar import swar_mission_spec, swar_counts
+    from stringsext_tpu.parallel.mesh import build_sharded_counts
+
+    ms = Missions.new(flag_encoding=["UTF-8", "utf-16le", "utf-16be"])
+    specs = tuple(swar_mission_spec(m) for m in ms.v)
+    n_data, shard_rows = 8, 48
+    mesh = make_mesh(n_data, 1)
+    fn = build_sharded_counts(specs, mesh, shard_rows, interpret=True)
+
+    rows = n_data * shard_rows
+    for trial in range(3):
+        raw = rng.integers(0, 256, size=rows * 512, dtype=np.uint8)
+        # plant strings across shard boundaries
+        t = "shard boundary déjà €".encode("utf-8")
+        off = (trial + 1) * shard_rows * 512 - 9
+        raw[off : off + len(t)] = np.frombuffer(t, np.uint8)
+        w = jnp.asarray(raw.view(np.int32).reshape(rows, 128))
+
+        got = np.asarray(fn(w))  # [n_data, R, shard_rows]
+        want = np.asarray(
+            swar_counts(w, specs, tile_rows=rows, interpret=True)
+        )  # [R, rows]
+        got_flat = np.concatenate([got[d] for d in range(n_data)], axis=1)
+        assert (got_flat == want).all(), f"trial {trial}"
