@@ -25,12 +25,13 @@ def main():
 
     import jax
 
-    if want_dev and len(jax.devices()) < want_dev:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={want_dev}"
-        )
-        jax.config.update("jax_platforms", "cpu")
+    if want_dev:
+        # The axon plugin force-registers itself programmatically, so
+        # env vars alone cannot select the virtual CPU mesh; reuse the
+        # driver entry's backend-reset recipe.
+        import __graft_entry__ as graft
+
+        graft._ensure_devices(want_dev)
 
     import jax.numpy as jnp
 
@@ -67,6 +68,46 @@ def main():
         print(
             f"data-shards={n_data:2d} (devices={n_data * n_mission:2d}): "
             f"{gbps:7.3f} GB/s  weak-scaling efficiency {eff:5.1f}%"
+        )
+        n_data *= 2
+
+    # Weak-scale the fused flagship SWAR counts kernel too (the
+    # production engine=tpu hot-map pass; data-axis only - missions are
+    # fused in-register).
+    from stringsext_tpu.ops.pallas_swar import swar_mission_spec
+    from stringsext_tpu.parallel.mesh import build_sharded_counts
+
+    specs = tuple(swar_mission_spec(m) for m in missions.v[:3])
+    shard_rows = max(8, shard_len // 512 // 8 * 8)
+    interpret = jax.default_backend() == "cpu"
+    print("-- fused SWAR counts kernel (3 missions/pass) --")
+    results = {}
+    n_data = 1
+    while n_data <= ndev:
+        mesh = make_mesh(n_data, 1)
+        fn = build_sharded_counts(
+            specs, mesh, shard_rows,
+            tile_rows=min(512, shard_rows + 16)
+            if (shard_rows + 16) % min(512, shard_rows + 16) == 0
+            else shard_rows + 16,
+            interpret=interpret,
+        )
+        raw = rng.integers(
+            0, 256, size=n_data * shard_rows * 512, dtype=np.uint8
+        )
+        w = jnp.asarray(raw.view(np.int32).reshape(-1, 128))
+        jax.block_until_ready(fn(w))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(w))
+            best = min(best, time.perf_counter() - t0)
+        gbps = len(raw) / best / 1e9
+        results[n_data] = gbps
+        eff = gbps / (results[1] * n_data) * 100 if 1 in results else 100.0
+        print(
+            f"data-shards={n_data:2d}: {gbps:7.3f} GB/s  "
+            f"weak-scaling efficiency {eff:5.1f}%"
         )
         n_data *= 2
 
