@@ -80,7 +80,8 @@ def build_bench_fn(use_pallas=None):
 
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 32 * 1024 * 1024
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    iters_short = max(1, iters // 4)
 
     import jax
     import jax.numpy as jnp
@@ -101,19 +102,25 @@ def main():
         bench = build_bench_fn(use_pallas=False)
         data = jax.device_put(jnp.asarray(make_corpus(size)))  # uint8 path
         int(bench(data, 1))
+    int(bench(data, iters_short))
     int(bench(data, iters))
 
     def timed(k):
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             int(bench(data, k))  # scalar fetch forces completion
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_short = timed(1)
+    # Difference two LONG runs: the per-dispatch tunnel latency varies
+    # by milliseconds, so differencing against a 1-iteration run puts
+    # that jitter on a (iters-1) divisor; a quarter-length run keeps
+    # the same fixed-cost cancellation with the noise amortized over
+    # 3/4 of the iterations.
+    t_short = timed(iters_short)
     t_long = timed(iters)
-    dt_per_iter = (t_long - t_short) / (iters - 1)
+    dt_per_iter = (t_long - t_short) / (iters - iters_short)
     gbps = size / dt_per_iter / 1e9
     print(
         json.dumps(

@@ -309,8 +309,15 @@ def _utf16_slot_masks(u, un, pair, h, l, l_next, trail, cp_iv, grep_char):
     bmp = ~h & ~l
     lone_h = h & ~l_next
     lone_l = l & ~trail
-    astral = 0x10000 + ((u & 0x3FF) << 10) + (un & 0x3FF)
-    cp = jnp.where(pair, astral, u)
+    if any(hi >= 0x10000 for _lo, hi in cp_iv):
+        astral = 0x10000 + ((u & 0x3FF) << 10) + (un & 0x3FF)
+        cp = jnp.where(pair, astral, u)
+    else:
+        # No filter interval reaches the astral planes, so pairs can
+        # never pass; testing the raw unit is exact (a pair slot's u is
+        # its high surrogate 0xD800-0xDBFF, outside every BMP interval,
+        # and grep chars are < 0x80). Saves the astral cp math.
+        cp = u
     valid = (bmp | pair) & ~trail
     start = (bmp | pair | lone_h | lone_l) & ~trail
     passes = jnp.zeros_like(u) != 0
@@ -543,15 +550,28 @@ def _swar_boundary_masks(P, specs):
             pair_pack = pair_pack | (s["pair1"].astype(jnp.int32) << j)
         pp = P.back_elem(pair_pack)
 
+    def iv_hits(iv, lo, hi):
+        return any(a <= hi and b >= lo for a, b in iv)
+
     # Phase 2: mission masks + (acc, gf, length-class masks) per spec.
+    # Length classes the filters can never accept are pruned: their
+    # accept bit is statically zero, so they contribute nothing to the
+    # run-boundary algebra (E = acc & sL, joins gated on the accept
+    # bit) - this skips their packed-shift extraction entirely (the
+    # flagship default accepts only 1- and 2-byte UTF-8 and BMP UTF-16,
+    # so half the length classes vanish).
     per = []  # (acc, gf, [(L, sL)])
     for i, sp in enumerate(specs):
         if sp[0] == "utf8":
             _kind, af_iv, ubf_iv, grep = sp
             m8 = _utf8_masks(P, af_iv, ubf_iv, grep)
             s1, s2, s3, s4 = _utf8_len_masks(m8)
-            per.append((m8["accept"], m8["grep"],
-                        [(1, s1), (2, s2), (3, s3), (4, s4)]))
+            lens = [(1, s1)] if af_iv else []
+            for L, sL, lo, hi in ((2, s2, 0xC2, 0xDF), (3, s3, 0xE0, 0xEF),
+                                  (4, s4, 0xF0, 0xF4)):
+                if iv_hits(ubf_iv, lo, hi):
+                    lens.append((L, sL))
+            per.append((m8["accept"], m8["grep"], lens))
         elif sp[0] == "sbyte":
             acc, gf = _sbyte_masks(P, sp[1], sp[2])
             per.append((acc, gf, [(1, jnp.full_like(P.W, M01))]))
@@ -563,8 +583,11 @@ def _swar_boundary_masks(P, specs):
             acc = slots(m0["accept"], m1["accept"])
             gf = slots(m0["grep"], m1["grep"])
             s2u = slots(m0["start"] & ~s["pair0"], m1["start"] & ~s["pair1"])
-            s4u = slots(m0["start"] & s["pair0"], m1["start"] & s["pair1"])
-            per.append((acc, gf, [(2, s2u), (4, s4u)]))
+            lens = [(2, s2u)]
+            if any(hi >= 0x10000 for _lo, hi in cp_iv):  # astral passes
+                s4u = slots(m0["start"] & s["pair0"], m1["start"] & s["pair1"])
+                lens.append((4, s4u))
+            per.append((acc, gf, lens))
 
     # Phase 3: packed boundary shifts shared across missions.
     # E: accepted char of length L ends L bytes later; S: char of
