@@ -55,12 +55,19 @@ def main():
             missions.v[:n_mission], mesh, shard_len=shard_len, capacity=4096
         )
         data = rng.integers(0, 256, size=n_data * shard_len, dtype=np.uint8)
-        rt = scan(jnp.asarray(data))  # compile + warm
-        jax.block_until_ready(rt)
+        dev = jnp.asarray(data)
+
+        # block_until_ready is unreliable over the tunneled backend;
+        # fetching a scalar is the only true synchronization (see
+        # bench.py).
+        def chk(rt):
+            return int(rt.count.sum())
+
+        chk(scan(dev))  # compile + warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
-            jax.block_until_ready(scan(jnp.asarray(data)))
+            chk(scan(dev))
             best = min(best, time.perf_counter() - t0)
         gbps = len(data) / best / 1e9
         results[n_data] = gbps
@@ -78,29 +85,31 @@ def main():
     from stringsext_tpu.parallel.mesh import build_sharded_counts
 
     specs = tuple(swar_mission_spec(m) for m in missions.v[:3])
-    shard_rows = max(8, shard_len // 512 // 8 * 8)
+    # shard_rows + 16 halo rows lands on a 512-row tile multiple
+    shard_rows = max(496, round(shard_len / 512 / 512) * 512 - 16)
     interpret = jax.default_backend() == "cpu"
     print("-- fused SWAR counts kernel (3 missions/pass) --")
     results = {}
     n_data = 1
     while n_data <= ndev:
         mesh = make_mesh(n_data, 1)
+        # Largest tile <= 512 rows dividing the extended shard (a
+        # whole-shard tile exceeds VMEM on real chips past ~1024 rows).
+        ext = shard_rows + 16
+        tile = next((t for t in (512, 256, 128, 64, 32, 16, 8)
+                     if ext % t == 0), ext)
         fn = build_sharded_counts(
-            specs, mesh, shard_rows,
-            tile_rows=min(512, shard_rows + 16)
-            if (shard_rows + 16) % min(512, shard_rows + 16) == 0
-            else shard_rows + 16,
-            interpret=interpret,
+            specs, mesh, shard_rows, tile_rows=tile, interpret=interpret
         )
         raw = rng.integers(
             0, 256, size=n_data * shard_rows * 512, dtype=np.uint8
         )
         w = jnp.asarray(raw.view(np.int32).reshape(-1, 128))
-        jax.block_until_ready(fn(w))
+        int(fn(w).sum())  # compile + warm; scalar fetch = true sync
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(w))
+            int(fn(w).sum())
             best = min(best, time.perf_counter() - t0)
         gbps = len(raw) / best / 1e9
         results[n_data] = gbps

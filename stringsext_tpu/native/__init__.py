@@ -108,7 +108,7 @@ def get_lib():
         P(ctypes.c_int64),  # strbuf_len
     ]
     lib.se_free.argtypes = [ctypes.c_void_p]
-    lib.se_format.restype = None
+    lib.se_format.restype = ctypes.c_void_p
     lib.se_format.argtypes = [
         ctypes.c_int64,  # n
         ctypes.c_void_p,  # position uint64*
@@ -127,7 +127,7 @@ def get_lib():
         P(P(ctypes.c_uint8)),  # out_buf
         P(ctypes.c_int64),  # out_len
     ]
-    lib.se_format_free.argtypes = [P(ctypes.c_uint8)]
+    lib.se_format_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -163,7 +163,7 @@ def native_format(position, precision, completes, file_id, midx, str_off,
 
     out_buf = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_int64()
-    lib.se_format(
+    handle = lib.se_format(
         n, p(position), p(precision), p(completes), p(file_id), p(midx),
         p(str_off), p(str_len), ctypes.addressof(bufs),
         ctypes.addressof(ep_buf), offs.ctypes.data, lens.ctypes.data,
@@ -172,7 +172,7 @@ def native_format(position, precision, completes, file_id, midx, str_off,
     try:
         return ctypes.string_at(out_buf, out_len.value)
     finally:
-        lib.se_format_free(out_buf)
+        lib.se_format_free(handle)
 
 
 # kind codes (emitter.cpp). Big5's four WHATWG double-codepoint

@@ -1011,8 +1011,10 @@ void se_free(void* handle) { delete (Output*)handle; }
 // "\n" + [file id letter+space] + [precision mark + radix position +
 // "+\t"/" \t"] + ["(a ENC)\t"] + UTF-8 string. The BOM and the final
 // "\n" stay with the caller. Returns a malloc'd buffer via
-// out_buf/out_len; free with se_format_free.
-void se_format(int64_t n, const uint64_t* position, const int8_t* precision,
+// out_buf/out_len; free the returned handle with se_format_free (the
+// Python side copies once via ctypes.string_at - the buffer itself is
+// never duplicated here).
+void* se_format(int64_t n, const uint64_t* position, const int8_t* precision,
                const uint8_t* completes, const int32_t* file_id,
                const int32_t* midx, const uint64_t* str_off,
                const uint32_t* str_len, const uint8_t* const* strbufs,
@@ -1024,7 +1026,8 @@ void se_format(int64_t n, const uint64_t* position, const int8_t* precision,
     const char* fmt = radix == 'x' ? "%llx" : (radix == 'o' ? "%llo" : "%llu");
     uint64_t total_s = 0;
     for (int64_t i = 0; i < n; i++) total_s += str_len[i];
-    std::vector<uint8_t> buf;
+    auto* bufp = new std::vector<uint8_t>();
+    std::vector<uint8_t>& buf = *bufp;
     buf.reserve(total_s + (uint64_t)n * 32 + 64);
     char num[32];
     for (int64_t i = 0; i < n; i++) {
@@ -1052,12 +1055,12 @@ void se_format(int64_t n, const uint64_t* position, const int8_t* precision,
         const uint8_t* s = strbufs[midx[i]] + str_off[i];
         buf.insert(buf.end(), s, s + str_len[i]);
     }
-    uint8_t* p = (uint8_t*)malloc(buf.size() ? buf.size() : 1);
-    memcpy(p, buf.data(), buf.size());
-    *out_buf = p;
+    static uint8_t empty = 0;
+    *out_buf = buf.empty() ? &empty : buf.data();
     *out_len = (int64_t)buf.size();
+    return bufp;
 }
 
-void se_format_free(uint8_t* p) { free(p); }
+void se_format_free(void* handle) { delete (std::vector<uint8_t>*)handle; }
 
 }  // extern "C"

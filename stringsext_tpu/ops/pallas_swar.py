@@ -309,14 +309,21 @@ def _utf16_slot_masks(u, un, pair, h, l, l_next, trail, cp_iv, grep_char):
     bmp = ~h & ~l
     lone_h = h & ~l_next
     lone_l = l & ~trail
-    if any(hi >= 0x10000 for _lo, hi in cp_iv):
+    if any(hi >= 0x10000 or (lo <= 0xDFFF and hi >= 0xD800)
+           for lo, hi in cp_iv):
+        # Astral planes reachable, OR an interval covers the surrogate
+        # range (utf16_cp_intervals maps UBF lead 0xED to cps
+        # 0xD000-0xDFFF): a pair slot's raw u is its high surrogate, so
+        # testing u there would wrongly accept pairs - compute the real
+        # decoded cp.
         astral = 0x10000 + ((u & 0x3FF) << 10) + (un & 0x3FF)
         cp = jnp.where(pair, astral, u)
     else:
-        # No filter interval reaches the astral planes, so pairs can
-        # never pass; testing the raw unit is exact (a pair slot's u is
-        # its high surrogate 0xD800-0xDBFF, outside every BMP interval,
-        # and grep chars are < 0x80). Saves the astral cp math.
+        # No filter interval reaches the astral planes or touches the
+        # surrogate range, so pairs can never pass; testing the raw
+        # unit is exact (a pair slot's u is its high surrogate
+        # 0xD800-0xDBFF, outside every interval, and grep chars are
+        # < 0x80). Saves the astral cp math.
         cp = u
     valid = (bmp | pair) & ~trail
     start = (bmp | pair | lone_h | lone_l) & ~trail
@@ -864,6 +871,19 @@ def _merge_to_max(iv, cap):
     return tuple(iv)
 
 
+def _plausible_to_spec(plausible):
+    """256-bool plausible-byte map -> sbyte counts spec (<= 12
+    conservative intervals)."""
+    import numpy as np
+
+    bits = 0
+    for b in np.flatnonzero(plausible).tolist():
+        bits |= 1 << b
+    if bits == 0:
+        return ("sbyte", (), ())  # nothing accepted: everything cold
+    return ("sbyte", _merge_to_max(decompose_intervals(bits, 256), 12), ())
+
+
 def cjk_hot_spec(mission):
     """Conservative hot-block SWAR spec for a CJK multi-byte mission:
     an "sbyte"-style spec whose accept set is every byte value that can
@@ -900,11 +920,7 @@ def cjk_hot_spec(mission):
         for b in list(range(0x21)) + [0x7F]:
             if b not in (0x0E, 0x0F) and f.pass_af_filter(b):
                 plausible[b] = True
-        bits = 0
-        for b in np.flatnonzero(plausible).tolist():
-            bits |= 1 << b
-        acc_iv = _merge_to_max(decompose_intervals(bits, 256), 12)
-        return ("sbyte", tuple(acc_iv), ())
+        return _plausible_to_spec(plausible)
     if kind not in ("euc-kr", "big5", "shift_jis", "euc-jp", "gb18030"):
         return None
 
@@ -979,13 +995,7 @@ def cjk_hot_spec(mission):
                 plausible[key >> 8] = True
                 plausible[key & 0xFF] = True
 
-    bits = 0
-    for b in np.flatnonzero(plausible).tolist():
-        bits |= 1 << b
-    if bits == 0:
-        return ("sbyte", (), ())  # nothing accepted: everything cold
-    acc_iv = _merge_to_max(decompose_intervals(bits, 256), 12)
-    return ("sbyte", tuple(acc_iv), ())
+    return _plausible_to_spec(plausible)
 
 
 def swar_params(missions):

@@ -273,3 +273,39 @@ def test_interval_decomposition():
     af_iv, ubf_iv = pallas_swar.utf8_lead_intervals(ms[0])
     assert af_iv == ((0x20, 0x7E),)
     assert ubf_iv == ((0xC2, 0xDF),)  # UBF Common
+
+
+def test_utf16_surrogate_covering_interval_rejects_pairs():
+    """UBF lead 0xED maps to cps 0xD000-0xDFFF, so filters like 'Asian'
+    produce a BMP interval covering the surrogate range; the kernel's
+    unit-test shortcut must still reject astral PAIRS there (their
+    decoded cp >= 0x10000 passes no interval) - regression for the
+    cp=u specialization wrongly testing the raw high surrogate."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stringsext_tpu.mission import Missions
+    from stringsext_tpu.ops.pallas_swar import swar_counts, swar_mission_spec
+
+    ms = Missions.new(
+        flag_encoding=["utf-16le"], flag_unicode_block_filter="Asian"
+    )
+    spec = swar_mission_spec(ms.v[0])
+    assert spec is not None
+    assert any(lo <= 0xDFFF and hi >= 0xD800 for lo, hi in spec[2])
+
+    text = ("\U0001F600" * 40).encode("utf-16-le")  # astral pairs only
+    buf = np.zeros(4096, np.uint8)
+    buf[: len(text)] = np.frombuffer(text, np.uint8)
+    w = jnp.asarray(buf.view(np.int32).reshape(8, 128))
+    counts = np.asarray(swar_counts(w, (spec,), tile_rows=8, interpret=True))
+    accepts = (counts[0] >> 20) & 0x3FF
+    assert accepts.sum() == 0, accepts
+
+    # and BMP chars inside the same filter still count
+    text2 = ("日本語テスト寿司" * 8).encode("utf-16-le")
+    buf2 = np.zeros(4096, np.uint8)
+    buf2[: len(text2)] = np.frombuffer(text2, np.uint8)
+    w2 = jnp.asarray(buf2.view(np.int32).reshape(8, 128))
+    c2 = np.asarray(swar_counts(w2, (spec,), tile_rows=8, interpret=True))
+    assert ((c2[0] >> 20) & 0x3FF).sum() == len(text2) // 2
