@@ -35,6 +35,8 @@ PLANTS = [
     ("utf-8", "déjà vu €uro ? text with spaces"),
     ("utf-16-le", "UTF16 Кириллица ? string"),
     ("utf-16-be", "BE Ελληνικά ? string"),
+    ("utf-16-le", "astral \U0001F600\U0001D11E pairs ? \U00020000"),
+    ("utf-16-be", "astral \U0001F680 be ? pair"),
     ("cp949", "한국어 ? 테스트"),
     ("cp932", "日本語?テスト"),
     ("gb18030", "中文?测试\U00020000"),

@@ -106,3 +106,12 @@ def test_sharded_swar_counts_match_single_device():
         )  # [R, rows]
         got_flat = np.concatenate([got[d] for d in range(n_data)], axis=1)
         assert (got_flat == want).all(), f"trial {trial}"
+
+
+def test_host_shard_range_partition():
+    """host_shard_range must tile [0, total) without gaps or overlap
+    for any process count (single-process here: full range)."""
+    from stringsext_tpu.parallel.distributed import host_shard_range
+
+    lo, hi = host_shard_range(10 * 4096, 4096)
+    assert (lo, hi) == (0, 10 * 4096)
