@@ -525,7 +525,7 @@ def flagship_swar_lanes(
     )(words_2d, words_2d, words_2d)
 
 
-def _swar_boundary_masks(P, specs):
+def _swar_boundary_masks(P, specs, hot_only: bool = False):
     """(rs, re, acc, gf) 0x01-per-byte mask words for each mission in
     `specs`, computed at mask level (no packed field words).
 
@@ -596,6 +596,14 @@ def _swar_boundary_masks(P, specs):
                 lens.append((4, s4u))
             per.append((acc, gf, lens))
 
+    if hot_only:
+        # Hot/cold mapping needs only the accept/grep masks - the run
+        # boundary algebra (phase 3's packed shifts, ~20% of the pass)
+        # is skipped, and the 8-length-class-bit budget does not apply
+        # (missions never share packed words here).
+        z = jnp.zeros_like(P.W)
+        return [(z, z, acc, gf) for acc, gf, _lens in per]
+
     # Phase 3: packed boundary shifts shared across missions.
     # E: accepted char of length L ends L bytes later; S: char of
     # length L starts here (is_start-gated, matching the packed lf
@@ -638,7 +646,7 @@ def _swar_boundary_masks(P, specs):
     return out
 
 
-def _swar_counts_kernel(specs, out_rows):
+def _swar_counts_kernel(specs, out_rows, hot_only=False):
     def kernel(prev_ref, cur_ref, next_ref, out_ref):
         W = jnp.concatenate(
             [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
@@ -646,7 +654,7 @@ def _swar_counts_kernel(specs, out_rows):
         P = _Panel(W)
         rows = cur_ref.shape[0]
         sl = slice(HALO_ROWS, HALO_ROWS + rows)
-        masks = _swar_boundary_masks(P, specs)
+        masks = _swar_boundary_masks(P, specs, hot_only=hot_only)
 
         def bytesum(x):  # sum of the 4 byte slots (each <= 1 here)
             return _lsr(x * M01, 24)
@@ -669,13 +677,14 @@ def _swar_counts_kernel(specs, out_rows):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("specs", "tile_rows", "interpret")
+    jax.jit, static_argnames=("specs", "tile_rows", "interpret", "hot_only")
 )
 def swar_counts(
     words_2d: jax.Array,  # (rows, 128) int32: packed little-endian bytes
     specs: tuple,  # mission specs, see _swar_boundary_masks
     tile_rows: int = 512,
     interpret: bool = False,
+    hot_only: bool = False,
 ):
     """Mission scans fused with run-compaction stage 1: one SWAR pass
     computes the mission masks, derives the run-boundary flags
@@ -717,7 +726,7 @@ def swar_counts(
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _swar_counts_kernel(specs, out_rows),
+        _swar_counts_kernel(specs, out_rows, hot_only),
         grid=grid,
         in_specs=[halo_spec_prev, tile_spec, halo_spec_next],
         out_specs=out_spec,

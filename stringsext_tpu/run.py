@@ -124,19 +124,10 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
     interpret = jax.default_backend() == "cpu"  # no Mosaic off-TPU
     n = len(stream.data)
 
-    def spec_bits(sp):
-        return {"utf8": 4, "utf16": 2, "sbyte": 1}[sp[0]]
-
-    groups, cur, used = [], [], 0
-    for idx, sp in jobs:
-        b = spec_bits(sp)
-        if used + b > 8:
-            groups.append(cur)
-            cur, used = [], 0
-        cur.append((idx, sp))
-        used += b
-    if cur:
-        groups.append(cur)
+    # Hot-only passes skip the run-boundary algebra, so the kernel's
+    # 8-length-class-bit budget does not apply: up to 8 missions of ANY
+    # kind fuse into one pass (the cap just bounds VMEM/register use).
+    groups = [list(jobs[k : k + 8]) for k in range(0, len(jobs), 8)]
 
     launched = []
     pos = 0
@@ -158,7 +149,7 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
             for grp in groups:
                 counts = swar_counts(
                     w2, tuple(sp for _, sp in grp), tile_rows=tile_rows,
-                    interpret=interpret,
+                    interpret=interpret, hot_only=True,
                 )
                 hot = [(counts[2 * j] >> 20) > 0 for j in range(len(grp))]
                 launched.append((pos, m_end, grp, hot))
