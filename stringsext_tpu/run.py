@@ -369,12 +369,20 @@ def write_output(out, args: Args, results) -> None:
     """Merge per-mission finding arrays by (position, mission_id) - the
     reference's kmerge key (finding.rs:92-109) - and write the exact
     output grammar (BOM, per-line metadata, final newline)."""
+    out.write(b"\xef\xbb\xbf")  # U+FEFF BOM (main.rs:116)
+    _emit_lines(out, args, results)
+    out.write(b"\n")
+    out.flush()
+
+
+def _emit_lines(out, args: Args, results) -> None:
+    """Write the merged finding lines of one batch ("\n" + line each,
+    no BOM / trailing newline) - shared by the buffered path and the
+    per-chunk streaming path."""
     import numpy as np
 
     from .finding import PRECISION_AFTER, PRECISION_BEFORE
     from .options import Radix
-
-    out.write(b"\xef\xbb\xbf")  # U+FEFF BOM (main.rs:116)
 
     positions = np.concatenate([r[1]["position"] for r in results])
     mids = np.concatenate(
@@ -432,8 +440,6 @@ def write_output(out, args: Args, results) -> None:
         )
         if payload is not None:
             out.write(payload)
-            out.write(b"\n")
-            out.flush()
             return
 
     w = out.write
@@ -461,8 +467,104 @@ def write_output(out, args: Args, results) -> None:
             w(bytes(buf))
             buf.clear()
     w(bytes(buf))
+
+
+STREAM_CHUNK = 8 * 1024 * 1024  # stdin streaming chunk (multiple of 4096)
+
+
+def _run_streaming_stdin(
+    args: Args, missions: Missions, out, src=None,
+    chunk_bytes: int = STREAM_CHUNK,
+) -> int:
+    """Constant-memory stdin scan: state-carrying native chunk scans +
+    per-chunk merge/format - the reference's lock-step batch pipeline
+    (main.rs:118-136: scan batch N+1 while the merger prints batch N)
+    with the decoder carry held in the native state ABI.
+
+    Output is BYTE-IDENTICAL to the buffered path: each chunk's
+    findings have positions < the next chunk's (call labels live inside
+    their chunk's slices), except findings emitted exactly AT a chunk
+    boundary position, which could tie with the next chunk's first
+    findings under the (position, mission_id) merge key - those are
+    held back one chunk and merged there. Unconsumed tail bytes (the
+    decode cursor stops at the first event reporting past the chunk,
+    <= ~8 bytes) are re-prepended to the next chunk with per-mission
+    cursor rebasing."""
+    import numpy as np
+
+    from . import native
+    from .utils import checkpoint
+
+    assert chunk_bytes % 4096 == 0
+    if src is None:
+        src = sys.stdin.buffer
+    states = checkpoint.fresh_states(missions)
+    out.write(b"\xef\xbb\xbf")  # BOM (main.rs:116)
+
+    held = None  # chunk-boundary-position findings deferred one chunk
+    carry = np.zeros(0, np.uint8)  # unconsumed tail (buffer-relative)
+    while True:
+        raw = src.read(chunk_bytes)
+        data = np.concatenate([carry, np.frombuffer(raw, np.uint8)])
+        carry_len = len(carry)
+        chunk_end = carry_len + len(raw)  # buffer-relative
+        is_final = len(raw) < chunk_bytes
+
+        # Slice grid: 4096-byte slices starting at the first new byte
+        # (chunks are 4096-multiples, so the grid stays stream-aligned).
+        s = np.arange(carry_len, chunk_end, 4096, dtype=np.int64)
+        sl = (
+            s,
+            np.minimum(chunk_end - s, 4096).astype(np.int32),
+            np.full(len(s), -1, np.int32),
+            np.zeros(len(s), np.uint8),
+        )
+
+        def job(im):
+            i, m = im
+            return i, native.native_scan(m, data, *sl, state=states[i])
+
+        results = [None] * len(missions.v)
+        if len(missions.v) == 1:
+            i, (res, sb) = job((0, missions.v[0]))
+            results[i] = (missions.v[0], res, sb)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(missions.v)) as ex:
+                for i, (res, sb) in ex.map(job, enumerate(missions.v)):
+                    results[i] = (missions.v[i], res, sb)
+
+        # Split off boundary-position findings (they can tie with the
+        # next chunk under the merge key) unless this is the last
+        # chunk. The boundary position is per mission: its `consumed`
+        # counter after this chunk (counter offsets may differ).
+        emit, hold = [], []
+        for i, (m, res, sb) in enumerate(results):
+            if is_final:
+                emit.append((m, res, sb))
+                continue
+            at = res["position"] == int(states[i]["consumed"])
+            emit.append((m, {k: v[~at] for k, v in res.items()}, sb))
+            hold.append((m, {k: v[at] for k, v in res.items()}, sb))
+        if held is not None:
+            emit = held + emit
+        held = hold if not is_final else None
+
+        _emit_lines(out, args, emit)
+
+        if is_final:
+            break
+        # Tail carry: drop everything every mission consumed.
+        cmin = min(int(st["cursor"]) for st in states)
+        cmin = min(cmin, chunk_end)
+        carry = data[cmin:].copy()
+        for st in states:
+            st["cursor"] = int(st["cursor"]) - cmin
+
     out.write(b"\n")
     out.flush()
+    return 0
 
 
 def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> int:
@@ -474,6 +576,31 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
     from .utils import profiling
 
     missions = Missions.from_args(args)
+
+    use_stdin = (not args.inputs) or (
+        len(args.inputs) == 1 and args.inputs[0] == "-"
+    )
+    if use_stdin and engine != "python":
+        from . import native
+        from .encodings import encoding_kind
+
+        if native.get_lib() is not None and all(
+            native.native_supported(encoding_kind(m.encoding_name))
+            for m in missions.v
+        ):
+            close_out = False
+            if out is None:
+                if args.output is not None:
+                    out = open(args.output, "wb")
+                    close_out = True
+                else:
+                    out = sys.stdout.buffer
+            try:
+                return _run_streaming_stdin(args, missions, out)
+            finally:
+                if close_out:
+                    out.close()
+
     with profiling.scope("input.load"):
         stream = load_stream(args.inputs)
     nbytes = len(stream.data)

@@ -1,0 +1,87 @@
+"""Constant-memory stdin streaming must be byte-identical to the
+buffered scan: state-carrying chunk scans + per-chunk merge replicate
+the reference's lock-step batch pipeline (main.rs:118-136)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from stringsext_tpu import native
+from stringsext_tpu.cli import parse_args
+from stringsext_tpu.mission import Missions
+from stringsext_tpu.run import _run_streaming_stdin, run
+
+pytestmark = pytest.mark.skipif(
+    native.get_lib() is None, reason="no native toolchain"
+)
+
+rng = np.random.default_rng(99)
+
+
+def _corpus(n=100_000):
+    data = bytearray(rng.integers(0, 256, n, np.uint8).tobytes())
+    msgs = [
+        b"plain ascii finding string",
+        "utf-8 déjà € find".encode("utf-8"),
+        "wide ЖЖ utf16 string".encode("utf-16-le"),
+        "こんにちは world".encode("iso2022_jp"),
+    ]
+    # strings straddling every 8192/4096 chunk boundary candidate
+    for k, off in enumerate(range(4080, n - 64, 4096)):
+        m = msgs[k % len(msgs)]
+        data[off : off + len(m)] = m
+    data[50000:60000] = b"\x00" * 10000  # cold span
+    return bytes(data)
+
+
+def _buffered(argv, blob, tmp_path):
+    p = tmp_path / "in.bin"
+    p.write_bytes(blob)
+    buf = io.BytesIO()
+    run(parse_args(argv + [str(p)]), out=buf, engine="native")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("chunk", [4096, 8192, 65536])
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-e", "iso-2022-jp"],
+        ["-t", "d", "-e", "UTF-8", "-e", "euc-kr", "-n", "2"],
+        ["-e", "utf-16be", "-g", "32"],
+        ["-t", "o", "-c", "-e", "UTF-8", "-s", "7777"],
+    ],
+)
+def test_streaming_stdin_matches_buffered(argv, chunk, tmp_path):
+    blob = _corpus()
+    want = _buffered(argv, blob, tmp_path)
+
+    args = parse_args(argv + ["-"])
+    ms = Missions.from_args(args)
+    buf = io.BytesIO()
+    _run_streaming_stdin(args, ms, buf, src=io.BytesIO(blob),
+                         chunk_bytes=chunk)
+    assert buf.getvalue() == want
+
+
+def test_streaming_empty_stdin(tmp_path):
+    args = parse_args(["-e", "UTF-8", "-"])
+    ms = Missions.from_args(args)
+    buf = io.BytesIO()
+    _run_streaming_stdin(args, ms, buf, src=io.BytesIO(b""), chunk_bytes=4096)
+    assert buf.getvalue() == b"\xef\xbb\xbf\n"
+
+
+def test_streaming_exact_chunk_multiple(tmp_path):
+    """Stream length an exact chunk multiple: the final read returns
+    b'' and must still terminate/flush correctly."""
+    blob = _corpus(32768)
+    want = _buffered(["-t", "x", "-e", "UTF-8", "-e", "utf-16le"], blob,
+                     tmp_path)
+    args = parse_args(["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-"])
+    ms = Missions.from_args(args)
+    buf = io.BytesIO()
+    _run_streaming_stdin(args, ms, buf, src=io.BytesIO(blob),
+                         chunk_bytes=8192)
+    assert buf.getvalue() == want
