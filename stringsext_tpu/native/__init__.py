@@ -90,7 +90,7 @@ def get_lib():
         ctypes.c_void_p,  # slice_is_last uint8*
         ctypes.c_int64,  # nslices
         P(_SeMission),
-        ctypes.c_void_p,  # state_io int64[3] or NULL
+        ctypes.c_void_p,  # state_io int64[5] or NULL
         ctypes.c_void_p,  # leftover_io int32* or NULL
         ctypes.c_void_p,  # leftover_len_io int32* or NULL
         ctypes.c_int32,  # leftover_cap
@@ -378,6 +378,8 @@ def native_scan(
                 state.get("consumed", mission.counter_offset),
                 state.get("cursor", 0),
                 1 if state.get("printed_maybe_cut") else 0,
+                state.get("dec_mode", 0),
+                1 if state.get("dec_output_flag") else 0,
             ],
             dtype=np.int64,
         )
@@ -454,6 +456,8 @@ def native_scan(
             state["consumed"] = int(state_arr[0])
             state["cursor"] = int(state_arr[1])
             state["printed_maybe_cut"] = bool(state_arr[2])
+            state["dec_mode"] = int(state_arr[3])
+            state["dec_output_flag"] = bool(state_arr[4])
             state["leftover_cps"] = leftover_arr[: leftover_len.value].tolist()
         return res, sb
     finally:

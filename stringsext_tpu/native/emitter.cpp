@@ -8,8 +8,8 @@
 // Python path, which is itself conformance-tested against the reference
 // golden corpus /root/reference/tests/functional).
 //
-// Supported kinds: UTF-8, UTF-16LE/BE, single-byte (table-driven).
-// CJK/ISO-2022-JP remain on the Python path.
+// Supported kinds: UTF-8, UTF-16LE/BE, single-byte (table-driven),
+// EUC-KR, Big5, Shift_JIS, EUC-JP, GBK/gb18030, modal ISO-2022-JP.
 //
 // Build: g++ -O3 -shared -fPIC -o libemitter.so emitter.cpp
 
@@ -659,7 +659,13 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     int64_t cursor = cursor0;  // next un-consumed event start position
     Event ev;
     bool ev_ok = false;  // ev holds the next event
-    DecState dstate;
+    DecState dstate;  // modal decoder carry (ISO-2022-JP mode/flag):
+    // part of the resumable state, or segmented scans would reset the
+    // mode mid-stream.
+    if (init_state) {
+        dstate.mode = (int32_t)init_state[3];
+        dstate.output_flag = init_state[4] != 0;
+    }
     auto advance = [&]() {
         ev_ok = false;
         ev.cp2 = 0;
@@ -900,6 +906,8 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
         fini_state[0] = (int64_t)st.consumed;
         fini_state[1] = cursor;
         fini_state[2] = st.printed_maybe_cut ? 1 : 0;
+        fini_state[3] = dstate.mode;
+        fini_state[4] = dstate.output_flag ? 1 : 0;
     }
     if (fini_leftover) *fini_leftover = st.leftover;
 }

@@ -474,7 +474,7 @@ STREAM_CHUNK = 8 * 1024 * 1024  # stdin streaming chunk (multiple of 4096)
 
 def _run_streaming_stdin(
     args: Args, missions: Missions, out, src=None,
-    chunk_bytes: int = STREAM_CHUNK,
+    chunk_bytes: int = STREAM_CHUNK, engine: str = "auto",
 ) -> int:
     """Constant-memory stdin scan: state-carrying native chunk scans +
     per-chunk merge/format - the reference's lock-step batch pipeline
@@ -520,9 +520,29 @@ def _run_streaming_stdin(
             np.zeros(len(s), np.uint8),
         )
 
+        # engine=tpu: per-chunk device hot maps (buffer-relative byte
+        # coordinates - native_scan compares them against the same).
+        hot_by_mission = {}
+        if engine == "tpu" and len(data):
+            from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+
+            chunk_stream = LoadedStream(data, [(None, 0, len(data))])
+            swar_jobs = []
+            for i, m in enumerate(missions.v):
+                spec = swar_mission_spec(m) or cjk_hot_spec(m)
+                if spec is not None:
+                    swar_jobs.append((i, spec))
+            if swar_jobs:
+                hot_by_mission = _device_hot_ranges_swar(
+                    chunk_stream, swar_jobs
+                )
+
         def job(im):
             i, m = im
-            return i, native.native_scan(m, data, *sl, state=states[i])
+            return i, native.native_scan(
+                m, data, *sl, state=states[i],
+                hot_ranges=hot_by_mission.get(i),
+            )
 
         results = [None] * len(missions.v)
         if len(missions.v) == 1:
@@ -596,7 +616,8 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
                 else:
                     out = sys.stdout.buffer
             try:
-                return _run_streaming_stdin(args, missions, out)
+                return _run_streaming_stdin(args, missions, out,
+                                            engine=engine)
             finally:
                 if close_out:
                     out.close()

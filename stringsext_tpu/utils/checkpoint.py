@@ -29,6 +29,8 @@ def state_to_dict(mission_states: List[dict], next_slice: int) -> dict:
                 "consumed": int(st["consumed"]),
                 "cursor": int(st.get("cursor", 0)),
                 "printed_maybe_cut": bool(st.get("printed_maybe_cut", False)),
+                "dec_mode": int(st.get("dec_mode", 0)),
+                "dec_output_flag": bool(st.get("dec_output_flag", False)),
                 "leftover_cps": list(map(int, st.get("leftover_cps", []))),
             }
             for st in mission_states
@@ -55,6 +57,8 @@ def fresh_states(missions: Missions) -> List[dict]:
             "consumed": m.counter_offset,
             "cursor": 0,
             "printed_maybe_cut": False,
+            "dec_mode": 0,
+            "dec_output_flag": False,
             "leftover_cps": [],
         }
         for m in missions

@@ -85,3 +85,39 @@ def test_streaming_exact_chunk_multiple(tmp_path):
     _run_streaming_stdin(args, ms, buf, src=io.BytesIO(blob),
                          chunk_bytes=8192)
     assert buf.getvalue() == want
+
+
+def test_streaming_iso2022_mode_across_chunks(tmp_path):
+    """A JIS-mode section straddling a chunk boundary: the decoder MODE
+    must carry across chunks (state ABI), or the resumed chunk
+    misdecodes the rest of the section."""
+    blob = bytearray(24576)
+    text = ("日本語の長いテキスト" * 8).encode("iso2022_jp")  # one long JIS section
+    off = 8192 - len(text) // 2  # straddles the 8192 boundary mid-mode
+    blob[off : off + len(text)] = text
+    blob = bytes(blob)
+    argv = ["-t", "x", "-e", "iso-2022-jp", "-u", "Asian"]
+    want = _buffered(argv, blob, tmp_path)
+    args = parse_args(argv + ["-"])
+    ms = Missions.from_args(args)
+    buf = io.BytesIO()
+    _run_streaming_stdin(args, ms, buf, src=io.BytesIO(blob),
+                         chunk_bytes=8192)
+    assert buf.getvalue() == want
+
+
+@pytest.mark.parametrize("chunk", [8192, 65536])
+def test_streaming_tpu_engine_hot_maps(chunk, tmp_path):
+    """engine=tpu streaming computes per-chunk device hot maps
+    (buffer-relative window skipping with carried state) - output must
+    still equal the buffered scan."""
+    blob = _corpus()
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-e", "euc-kr",
+            "-e", "iso-2022-jp"]
+    want = _buffered(argv, blob, tmp_path)
+    args = parse_args(argv + ["-"])
+    ms = Missions.from_args(args)
+    buf = io.BytesIO()
+    _run_streaming_stdin(args, ms, buf, src=io.BytesIO(blob),
+                         chunk_bytes=chunk, engine="tpu")
+    assert buf.getvalue() == want
