@@ -671,12 +671,15 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
         ev.cp2 = 0;
         if (cursor >= total) return;
         if (m.kind == 9) {
-            if (!iso2022_next(m, data, total, &cursor, &dstate, &ev)) {
-                cursor = total;
-                return;
-            }
+            if (!iso2022_next(m, data, total, &cursor, &dstate, &ev))
+                return;  // pending: cursor stays at the partial event
         } else if (!next_event(m, data, total, cursor, &ev)) {
-            cursor = total;
+            // Pending event (needs bytes beyond the buffer): LEAVE the
+            // cursor at its start. At the true stream end nothing reads
+            // it (no flush, encoding_rs parity); for resumable /
+            // streaming scans fini_state's cursor marks the partial
+            // tail bytes the caller must re-present with the next
+            // chunk.
             return;
         }
         ev_ok = true;
@@ -783,7 +786,10 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
             // cjk_hot_spec), except that a rejected control decode in
             // ASCII/Roman mode resets output_flag - a no-op only when
             // the flag is already clear.
-            if (hot_start != nullptr && !have_pending && !flag &&
+            // (ev_ok guard: with no decodable event left - pending
+            // partial at buffer end - the cursor must stay put so the
+            // carry logic sees the partial event's start.)
+            if (hot_start != nullptr && ev_ok && !have_pending && !flag &&
                 (m.kind != 9 || !dstate.output_flag)) {
                 while (hot_cursor < n_hot && hot_end[hot_cursor] <= sstart + ws)
                     hot_cursor++;
@@ -953,10 +959,11 @@ struct se_mission {
 // (free with se_free); result arrays are exposed via the out-params and
 // stay valid until the handle is freed. Struct-of-arrays for clean
 // numpy interop.
-// state_io: NULL, or int64[3] {consumed, cursor, printed_flag} used as
-// initial state and overwritten with the final state. leftover_io /
-// leftover_len_io likewise carry the leftover codepoints (capacity
-// leftover_cap).
+// state_io: NULL, or int64[5] {consumed, cursor, printed_flag,
+// dec_mode, dec_output_flag} used as initial state and overwritten
+// with the final state (the last two carry the modal ISO-2022-JP
+// decoder). leftover_io / leftover_len_io likewise carry the leftover
+// codepoints (capacity leftover_cap).
 void* se_scan(const uint8_t* data, int64_t total,
               const int64_t* slice_starts, const int32_t* slice_lens,
               const int32_t* slice_file_ids, const uint8_t* slice_is_last,

@@ -492,8 +492,10 @@ def _run_streaming_stdin(
     cursor rebasing."""
     import numpy as np
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import native
-    from .utils import checkpoint
+    from .utils import checkpoint, profiling
 
     assert chunk_bytes % 4096 == 0
     if src is None:
@@ -501,6 +503,10 @@ def _run_streaming_stdin(
     states = checkpoint.fresh_states(missions)
     out.write(b"\xef\xbb\xbf")  # BOM (main.rs:116)
 
+    pool = (
+        ThreadPoolExecutor(max_workers=len(missions.v))
+        if len(missions.v) > 1 else None
+    )
     held = None  # chunk-boundary-position findings deferred one chunk
     carry = np.zeros(0, np.uint8)  # unconsumed tail (buffer-relative)
     while True:
@@ -545,14 +551,12 @@ def _run_streaming_stdin(
             )
 
         results = [None] * len(missions.v)
-        if len(missions.v) == 1:
-            i, (res, sb) = job((0, missions.v[0]))
-            results[i] = (missions.v[0], res, sb)
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=len(missions.v)) as ex:
-                for i, (res, sb) in ex.map(job, enumerate(missions.v)):
+        with profiling.scope("scan", chunk_end * len(missions.v)):
+            if pool is None:
+                i, (res, sb) = job((0, missions.v[0]))
+                results[i] = (missions.v[0], res, sb)
+            else:
+                for i, (res, sb) in pool.map(job, enumerate(missions.v)):
                     results[i] = (missions.v[i], res, sb)
 
         # Split off boundary-position findings (they can tie with the
@@ -571,7 +575,8 @@ def _run_streaming_stdin(
             emit = held + emit
         held = hold if not is_final else None
 
-        _emit_lines(out, args, emit)
+        with profiling.scope("merge+format"):
+            _emit_lines(out, args, emit)
 
         if is_final:
             break
@@ -584,6 +589,9 @@ def _run_streaming_stdin(
 
     out.write(b"\n")
     out.flush()
+    if pool is not None:
+        pool.shutdown()
+    profiling.report()
     return 0
 
 
@@ -597,34 +605,21 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
 
     missions = Missions.from_args(args)
 
+    from . import native
+    from .encodings import encoding_kind
+
     use_stdin = (not args.inputs) or (
         len(args.inputs) == 1 and args.inputs[0] == "-"
     )
-    if use_stdin and engine != "python":
-        from . import native
-        from .encodings import encoding_kind
-
-        if native.get_lib() is not None and all(
+    stream_stdin = (
+        use_stdin
+        and engine != "python"
+        and native.get_lib() is not None
+        and all(
             native.native_supported(encoding_kind(m.encoding_name))
             for m in missions.v
-        ):
-            close_out = False
-            if out is None:
-                if args.output is not None:
-                    out = open(args.output, "wb")
-                    close_out = True
-                else:
-                    out = sys.stdout.buffer
-            try:
-                return _run_streaming_stdin(args, missions, out,
-                                            engine=engine)
-            finally:
-                if close_out:
-                    out.close()
-
-    with profiling.scope("input.load"):
-        stream = load_stream(args.inputs)
-    nbytes = len(stream.data)
+        )
+    )
 
     close_out = False
     if out is None:
@@ -635,6 +630,11 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
             out = sys.stdout.buffer
 
     try:
+        if stream_stdin:
+            return _run_streaming_stdin(args, missions, out, engine=engine)
+        with profiling.scope("input.load"):
+            stream = load_stream(args.inputs)
+        nbytes = len(stream.data)
         with profiling.scope("scan", nbytes * len(missions.v)):
             results = _scan_arrays(stream, missions, engine)
         with profiling.scope("merge+format"):

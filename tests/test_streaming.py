@@ -26,11 +26,19 @@ def _corpus(n=100_000):
         "utf-8 déjà € find".encode("utf-8"),
         "wide ЖЖ utf16 string".encode("utf-16-le"),
         "こんにちは world".encode("iso2022_jp"),
+        "ЖЖЖЖЖЖ utf8 multi".encode("utf-8"),
     ]
-    # strings straddling every 8192/4096 chunk boundary candidate
-    for k, off in enumerate(range(4080, n - 64, 4096)):
+    # Strings straddling every 4096-boundary (chunk-edge candidate) at a
+    # DIFFERENT byte phase each time, so multi-byte chars and escape
+    # sequences land ACROSS chunk edges at every alignment - the carry
+    # logic's hard case (a partial char at a chunk edge must be carried,
+    # not dropped or decoded short).
+    k = 0
+    for edge in range(4096, n - 64, 4096):
         m = msgs[k % len(msgs)]
+        off = edge - 1 - (k % (len(m) - 1))
         data[off : off + len(m)] = m
+        k += 1
     data[50000:60000] = b"\x00" * 10000  # cold span
     return bytes(data)
 
@@ -93,7 +101,9 @@ def test_streaming_iso2022_mode_across_chunks(tmp_path):
     misdecodes the rest of the section."""
     blob = bytearray(24576)
     text = ("日本語の長いテキスト" * 8).encode("iso2022_jp")  # one long JIS section
-    off = 8192 - len(text) // 2  # straddles the 8192 boundary mid-mode
+    # Straddle the 8192 boundary mid-mode AND mid-PAIR (the +1 puts the
+    # chunk edge between a jis0208 lead and its trail byte).
+    off = 8192 - len(text) // 2 + 1
     blob[off : off + len(text)] = text
     blob = bytes(blob)
     argv = ["-t", "x", "-e", "iso-2022-jp", "-u", "Asian"]
