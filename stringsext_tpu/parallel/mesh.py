@@ -170,7 +170,7 @@ def build_sharded_scan(
 
 def build_sharded_counts(
     specs: tuple, mesh: Mesh, shard_rows: int, tile_rows: int | None = None,
-    interpret: bool = False,
+    interpret: bool = False, hot_only: bool = False,
 ):
     """Compile the fused flagship SWAR counts kernel
     (ops/pallas_swar.swar_counts: every mission in one pass, stage-1 run
@@ -214,7 +214,8 @@ def build_sharded_counts(
         left = jnp.where(di == 0, w_shard[:H], from_left)
         right = jnp.where(di == n_data - 1, w_shard[-H:], from_right)
         ext = jnp.concatenate([left, w_shard, right], axis=0)
-        counts = swar_counts(ext, specs, tile_rows=tr, interpret=interpret)
+        counts = swar_counts(ext, specs, tile_rows=tr,
+                             interpret=interpret, hot_only=hot_only)
         return counts[None, :, H : H + shard_rows]
 
     sharded = shard_map(

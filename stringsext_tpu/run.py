@@ -101,6 +101,44 @@ def _merge_ranges(starts, ends, n):
     return np.maximum(s[first], 0), np.minimum(e[last], n)
 
 
+_MESH_COUNTS_CACHE = {}
+
+
+def _mesh_counts(w2, specs, ndev, interpret):
+    """One chunk's hot-only counts pass sharded over an ndev-wide
+    "data" mesh (parallel/mesh.build_sharded_counts: ppermute halos,
+    bit-exact vs the single-device pass). Pads the word panel to ndev
+    equal shards - zero padding beyond the real rows matches the
+    single-device path's tile padding, so real-block counts are
+    identical - and splices the per-shard count panels back together."""
+    import jax.numpy as jnp
+
+    from .ops.pallas_swar import HALO_ROWS
+    from .parallel.mesh import build_sharded_counts, make_mesh
+
+    rows = w2.shape[0]
+    shard_rows = -(-max(HALO_ROWS, -(-rows // ndev)) // 8) * 8
+    padded = ndev * shard_rows
+    if padded != rows:
+        w2 = jnp.concatenate(
+            [w2, jnp.zeros((padded - rows, w2.shape[1]), jnp.int32)]
+        )
+    key = (specs, ndev, shard_rows, interpret)
+    fn = _MESH_COUNTS_CACHE.get(key)
+    if fn is None:
+        ext = shard_rows + 2 * HALO_ROWS
+        tile = next(
+            (t for t in (512, 256, 128, 64, 32, 16, 8) if ext % t == 0), ext
+        )
+        fn = build_sharded_counts(
+            specs, make_mesh(ndev, 1), shard_rows, tile_rows=tile,
+            interpret=interpret, hot_only=True,
+        )
+        _MESH_COUNTS_CACHE[key] = fn
+    out = fn(w2)  # [ndev, R, shard_rows]
+    return jnp.swapaxes(out, 0, 1).reshape(out.shape[1], -1)[:, :rows]
+
+
 def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 * 1024):
     """Hot byte ranges for every SWAR-able mission at once, from the
     fused counts kernel's per-512-byte-block accept counts.
@@ -129,6 +167,26 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
     # kind fuse into one pass (the cap just bounds VMEM/register use).
     groups = [list(jobs[k : k + 8]) for k in range(0, len(jobs), 8)]
 
+    # Multi-chip: shard each chunk's counts pass over the "data" mesh
+    # axis (ppermute halos; bit-exact vs the single-device pass). On
+    # by default when >1 accelerator device is attached; STRINGSEXT_MESH=1
+    # forces it (the CPU-mesh differential test uses this).
+    import os
+
+    ndev = jax.device_count()
+    use_mesh = ndev > 1 and (
+        os.environ.get("STRINGSEXT_MESH") == "1"
+        or jax.default_backend() != "cpu"
+    )
+
+    def counts_fn(w2, specs_t, tile_rows):
+        if not use_mesh:
+            return swar_counts(
+                w2, specs_t, tile_rows=tile_rows, interpret=interpret,
+                hot_only=True,
+            )
+        return _mesh_counts(w2, specs_t, ndev, interpret)
+
     launched = []
     pos = 0
     while pos < n:
@@ -147,9 +205,8 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
         w2 = jnp.asarray(buf.view(np.int32).reshape(-1, 128))
         with profiling.scope("device.dispatch", len(raw)):
             for grp in groups:
-                counts = swar_counts(
-                    w2, tuple(sp for _, sp in grp), tile_rows=tile_rows,
-                    interpret=interpret, hot_only=True,
+                counts = counts_fn(
+                    w2, tuple(sp for _, sp in grp), tile_rows
                 )
                 hot = [(counts[2 * j] >> 20) > 0 for j in range(len(grp))]
                 launched.append((pos, m_end, grp, hot))

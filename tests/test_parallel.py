@@ -115,3 +115,34 @@ def test_host_shard_range_partition():
 
     lo, hi = host_shard_range(10 * 4096, 4096)
     assert (lo, hi) == (0, 10 * 4096)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_engine_tpu_mesh_hot_path(monkeypatch, tmp_path):
+    """STRINGSEXT_MESH=1: the engine=tpu hot-map pass runs the SHARDED
+    counts kernel over the virtual mesh; CLI output must equal the
+    native engine exactly."""
+    import io
+
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.run import run
+
+    blob = bytearray(rng.integers(0, 256, 300_000, np.uint8).tobytes())
+    blob[100_000:180_000] = b"\x00" * 80_000
+    for off in (120_000, 150_001):
+        m = "mesh déjà € finding".encode("utf-8")
+        blob[off : off + len(m)] = m
+    p = tmp_path / "mesh.bin"
+    p.write_bytes(bytes(blob))
+
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-e", "euc-kr",
+            str(p)]
+    outs = {}
+    for mesh_mode in ("0", "1"):
+        monkeypatch.setenv("STRINGSEXT_MESH", mesh_mode)
+        for engine in (("native",) if mesh_mode == "0" else ("tpu",)):
+            buf = io.BytesIO()
+            run(parse_args(argv), out=buf, engine=engine)
+            outs[(mesh_mode, engine)] = buf.getvalue()
+    assert outs[("1", "tpu")] == outs[("0", "native")]
+    assert len(outs[("1", "tpu")]) > 100
