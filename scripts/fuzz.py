@@ -142,12 +142,35 @@ def main():
                 buf = io.BytesIO()
                 run(args, out=buf, engine=engine)
                 outs[engine] = buf.getvalue()
-            if not (outs["python"] == outs["auto"] == outs["tpu"]):
+            if nfiles == 1:
+                # stdin streaming (state-carrying chunk scans) must
+                # match the buffered single-file scan byte-for-byte;
+                # tiny chunk sizes force carries at every seam.
+                from stringsext_tpu.mission import Missions
+                from stringsext_tpu.run import _run_streaming_stdin
+
+                args = parse_args(argv + ["-"])
+                ms = Missions.from_args(args)
+                from stringsext_tpu import native
+                from stringsext_tpu.encodings import encoding_kind
+
+                if all(
+                    native.native_supported(encoding_kind(m.encoding_name))
+                    for m in ms.v
+                ):
+                    buf = io.BytesIO()
+                    _run_streaming_stdin(
+                        args, ms, buf, src=io.BytesIO(blob),
+                        chunk_bytes=4096 * rng.choice([1, 2, 3]),
+                        engine=rng.choice(["auto", "tpu"]),
+                    )
+                    outs["stream"] = buf.getvalue()
+            if not all(v == outs["python"] for v in outs.values()):
                 fails += 1
                 fn = f"/tmp/fuzz_fail_{trials}.bin"
                 with open(fn, "wb") as f:
                     f.write(blob)
-                bad = [e for e in ("auto", "tpu") if outs[e] != outs["python"]]
+                bad = [e for e in outs if outs[e] != outs["python"]]
                 print(f"FAIL trial={trials} argv={argv} engines={bad} repro={fn}",
                       flush=True)
         finally:
