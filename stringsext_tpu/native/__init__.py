@@ -189,6 +189,10 @@ KIND_CODE = {
     "gb18030": 8,
     "iso-2022-jp": 9,  # jis0208 cps via the EUC-JP pair table
     "big5": 5,  # double-cp pairs via the sparse multi table
+    # WHATWG replacement decoder: the whole stream is one malformed
+    # event, so no finding can ever exist; an all-invalid byte table
+    # yields the identical (empty) observable output per byte.
+    "replacement": 3,
 }
 
 
@@ -308,6 +312,8 @@ def native_scan(
     if kind == "single-byte":
         table_ptr = p32(np.ascontiguousarray(
             full_byte_table(mission.encoding_name), dtype=np.int32))
+    elif kind == "replacement":
+        table_ptr = p32(np.full(256, -1, dtype=np.int32))
     elif kind in ("euc-kr", "shift_jis", "gb18030", "euc-jp", "iso-2022-jp",
                   "big5"):
         table_kind = {"euc-kr": "euc-kr", "shift_jis": "shift_jis",

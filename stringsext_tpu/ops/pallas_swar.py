@@ -921,6 +921,10 @@ def cjk_hot_spec(mission):
     from ..encodings import encoding_kind
 
     kind = encoding_kind(mission.encoding_name)
+    if kind == "replacement":
+        # The whole stream decodes to one malformed event: no finding
+        # can exist, so every block is provably cold.
+        return ("sbyte", (), ())
     if kind == "iso-2022-jp":
         f = mission.filter
         plausible = np.zeros(256, bool)

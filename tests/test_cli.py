@@ -69,3 +69,34 @@ def test_grep_out_of_range():
 def test_line_len_minimum():
     r = _cli(["-e", "UTF-8", "-q", "5", "/dev/null"])
     assert r.returncode == 1
+
+
+def test_replacement_encoding_all_engines(tmp_path):
+    """The WHATWG replacement decoder never yields findings; all
+    engines (incl. native + device hot maps + stdin streaming) must
+    produce the identical empty output, alone and mixed with UTF-8."""
+    import io
+
+    import numpy as np
+
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.run import run
+
+    rng = np.random.default_rng(5)
+    blob = rng.integers(0, 256, 30000, np.uint8).tobytes()
+    blob = blob[:700] + b"findable ascii string" + blob[700:]
+    p = tmp_path / "r.bin"
+    p.write_bytes(blob)
+
+    for argv in (["-e", "replacement"],
+                 ["-t", "x", "-e", "replacement", "-e", "UTF-8"]):
+        outs = {}
+        for engine in ("python", "auto", "tpu"):
+            buf = io.BytesIO()
+            run(parse_args(argv + [str(p)]), out=buf, engine=engine)
+            outs[engine] = buf.getvalue()
+        assert outs["python"] == outs["auto"] == outs["tpu"]
+        if argv == ["-e", "replacement"]:
+            assert outs["python"] == b"\xef\xbb\xbf\n"
+        else:
+            assert b"findable ascii string" in outs["python"]
