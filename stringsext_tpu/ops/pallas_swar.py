@@ -454,14 +454,27 @@ def swar_flags(w, w_prev, w_next):
     return acc, lf, gf, run_start, run_end
 
 
+def _edge_halos(prev_ref, cur_ref, next_ref):
+    """Halo blocks with STREAM-EDGE zeroing: the BlockSpec index maps
+    must name an in-bounds block, so the first tile's prev (and last
+    tile's next) point at the stream's own edge rows - zero them via
+    the grid position so edge semantics equal "stream surrounded by
+    zero bytes". That makes unpadded and zero-padded inputs behave
+    identically (a previous halo WRAP suppressed run boundaries when
+    accepted chars sat at the stream edges)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    prev = jnp.where(i == 0, 0, prev_ref[...])
+    nxt = jnp.where(i == n - 1, 0, next_ref[...])
+    return jnp.concatenate([prev, cur_ref[...], nxt], axis=0)
+
+
 # ---------------------------------------------------------------- kernels
 
 
 def _flagship_swar_kernel(af_iv, ubf_iv, cp_iv_le, cp_iv_be, greps):
     def kernel(prev_ref, cur_ref, next_ref, out8_ref, outle_ref, outbe_ref):
-        W = jnp.concatenate(
-            [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
-        )
+        W = _edge_halos(prev_ref, cur_ref, next_ref)
         P = _Panel(W)
         rows = cur_ref.shape[0]
         sl = slice(HALO_ROWS, HALO_ROWS + rows)
@@ -648,9 +661,7 @@ def _swar_boundary_masks(P, specs, hot_only: bool = False):
 
 def _swar_counts_kernel(specs, out_rows, hot_only=False):
     def kernel(prev_ref, cur_ref, next_ref, out_ref):
-        W = jnp.concatenate(
-            [prev_ref[...], cur_ref[...], next_ref[...]], axis=0
-        )
+        W = _edge_halos(prev_ref, cur_ref, next_ref)
         P = _Panel(W)
         rows = cur_ref.shape[0]
         sl = slice(HALO_ROWS, HALO_ROWS + rows)
@@ -698,11 +709,13 @@ def swar_counts(
     by ops/runs.py:extract_runs_swar_blocks (stages 2-3) or used
     directly as a hot-block map (accept>0) by the engine=tpu scan.
 
-    Same zero-padding caller contract as flagship_swar_lanes. At the
-    stream edges the halo wraps (first tile's left context is the
-    stream's bytes 4064..4095, symmetrically on the right); the stage-3
-    slab re-derivation replicates that wrap so counts and slabs always
-    agree."""
+    Stream edges behave as if the stream were surrounded by zero
+    bytes (the edge halos are zeroed in-kernel), so zero-padded and
+    unpadded inputs give identical results; the stage-3 slab
+    re-derivation replicates the zero margins so counts and slabs
+    always agree. Caveat: a filter that ACCEPTS NUL (AF bit 0) treats
+    the virtual zero context as accepted chars at the edges, exactly
+    as a zero-padded caller would see."""
     rows = words_2d.shape[0]
     assert words_2d.shape[1] == LANE and rows % tile_rows == 0
     grid = (rows // tile_rows,)

@@ -130,10 +130,9 @@ def extract_runs_packed4(words: jax.Array, capacity: int = 4096) -> RunTable:
     packed words); stage 3 gathers only the capacity-sized boundary
     slabs (plus one context word each side) and re-derives the flags
     locally."""
-    w = words.reshape(-1)
+    from .pallas_swar import _lsr as lsr
 
-    def lsr(x, k):
-        return (x >> k) & ((1 << (32 - k)) - 1) if k else x
+    w = words.reshape(-1)
 
     bw = _BLOCK // 4  # words per block
     nw0 = w.shape[0]
@@ -159,10 +158,7 @@ def extract_runs_packed4(words: jax.Array, capacity: int = 4096) -> RunTable:
     enc_blk = jnp.sum(enc.reshape(nb, bw), axis=1)
     grep_blk = jnp.sum(word_bytesum(gf).reshape(nb, bw), axis=1)
 
-    def expand(slab_words):  # (K, m) words -> (K, 4m) byte fields
-        m = slab_words.shape[1]
-        parts = [lsr(slab_words, 8 * j) & 0xFF for j in range(4)]
-        return jnp.stack(parts, axis=-1).reshape(slab_words.shape[0], m * 4)
+    expand = _expand_bytes
 
     wm = w.reshape(nb, bw)
     w_flat = w
@@ -180,6 +176,15 @@ def extract_runs_packed4(words: jax.Array, capacity: int = 4096) -> RunTable:
         return tuple(expand(x) for x in (a, l, g, rs, re))
 
     return _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n)
+
+
+def _expand_bytes(slab_words):
+    """(K, m) packed words -> (K, 4m) per-byte fields (little-endian)."""
+    from .pallas_swar import _lsr
+
+    m = slab_words.shape[1]
+    parts = [_lsr(slab_words, 8 * j) & 0xFF for j in range(4)]
+    return jnp.stack(parts, axis=-1).reshape(slab_words.shape[0], m * 4)
 
 
 @functools.partial(
@@ -227,13 +232,7 @@ def extract_runs_swar_blocks(
     n = nb * _BLOCK
     halo_w = HALO_ROWS * 128
 
-    def lsr(x, k):
-        return (x >> k) & ((1 << (32 - k)) - 1) if k else x
-
-    def expand(slab_words):  # (K, m) words -> (K, 4m) byte fields
-        m = slab_words.shape[1]
-        parts = [lsr(slab_words, 8 * j) & 0xFF for j in range(4)]
-        return jnp.stack(parts, axis=-1).reshape(slab_words.shape[0], m * 4)
+    expand = _expand_bytes
 
     wm = w.reshape(nb, bw)
 
@@ -252,12 +251,12 @@ def extract_runs_swar_blocks(
 
         def margin(off):
             idx = base + off
-            # Replicate the kernel's stream-edge halo wrap (see
-            # flagship_swar_counts docstring) so slab fields equal
-            # kernel fields at the first/last blocks too.
-            idx = jnp.where(idx < 0, idx + halo_w, idx)
-            idx = jnp.where(idx >= nw, idx - halo_w, idx)
-            return w[jnp.clip(idx, 0, nw - 1)][:, None]
+            # Out-of-stream margins are ZERO words, matching the
+            # kernel's stream-edge semantics (edge halos zeroed via the
+            # grid position; see flagship_swar_counts docstring), so
+            # slab fields equal kernel fields at the first/last blocks.
+            word = w[jnp.clip(idx, 0, nw - 1)]
+            return jnp.where((idx >= 0) & (idx < nw), word, 0)[:, None]
 
         slabW = jnp.concatenate(
             [margin(-2), margin(-1), body, margin(bw), margin(bw + 1)], axis=1

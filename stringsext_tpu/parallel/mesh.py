@@ -80,12 +80,19 @@ def build_sharded_scan(
 
     Returns fn(data_u8[n_data * shard_len]) -> RunTable with leading
     axes [n_data, n_mission] and *global* byte offsets. `shard_len` must
-    be a multiple of 2 (UTF-16 unit parity across shards).
+    be a multiple of 2 (UTF-16 unit parity across shards). Offsets are
+    rebased on-device in int32, so one CALL covers < 2 GiB
+    (n_data * shard_len); larger streams are fed call-by-call (the
+    chunked drivers already do), with the caller adding the chunk base
+    in int64. Missions short of the mesh's mission axis are padded with
+    REPLICAS of the last mission: columns >= len(missions) of the
+    returned tables are duplicates the caller must ignore.
     """
     assert shard_len % 2 == 0, "shard_len must keep UTF-16 unit parity"
     n_data = mesh.shape["data"]
     n_mission = mesh.shape["mission"]
-    assert len(missions) <= n_mission
+    assert 0 < len(missions) <= n_mission
+    assert n_data * shard_len < 2**31, "int32 on-device offset rebase"
 
     kernels = []
     af_list, ubf_list, grep_list = [], [], []
@@ -125,12 +132,7 @@ def build_sharded_scan(
         n_real = jnp.int32(LEFT_CTX + shard_len) + jnp.where(
             di < n_data - 1, RIGHT_HALO, 0
         )
-        lanes = jax.lax.switch(
-            jnp.minimum(mi, len(kernels) - 1),
-            [functools.partial(k) for k in kernels],
-            chunk,
-            n_real,
-        )
+        lanes = jax.lax.switch(mi, kernels, chunk, n_real)
         # Keep only events owned by this shard: start in
         # [LEFT_CTX, LEFT_CTX + shard_len).
         idx = jnp.arange(chunk.shape[0], dtype=jnp.int32)
@@ -203,17 +205,15 @@ def build_sharded_counts(
     assert ext_rows % tr == 0
 
     def body(w_shard):  # [shard_rows, LANE] local words
-        di = jax.lax.axis_index("data")
         right_to_left = [(i + 1, i) for i in range(n_data - 1)]
         left_to_right = [(i, i + 1) for i in range(n_data - 1)]
+        # Non-wrapping ppermute zero-fills at the edge shards, which
+        # exactly matches the single-device kernel's stream-edge
+        # semantics (edge halos zeroed in-kernel), so edge-block counts
+        # match bit-exactly.
         from_right = jax.lax.ppermute(w_shard[:H], "data", right_to_left)
         from_left = jax.lax.ppermute(w_shard[-H:], "data", left_to_right)
-        # Stream edges: the single-device kernel's halo wraps onto the
-        # stream's own edge rows; replicate that so edge-block counts
-        # match bit-exactly.
-        left = jnp.where(di == 0, w_shard[:H], from_left)
-        right = jnp.where(di == n_data - 1, w_shard[-H:], from_right)
-        ext = jnp.concatenate([left, w_shard, right], axis=0)
+        ext = jnp.concatenate([from_left, w_shard, from_right], axis=0)
         counts = swar_counts(ext, specs, tile_rows=tr,
                              interpret=interpret, hot_only=hot_only)
         return counts[None, :, H : H + shard_rows]

@@ -309,3 +309,46 @@ def test_utf16_surrogate_covering_interval_rejects_pairs():
     w2 = jnp.asarray(buf2.view(np.int32).reshape(8, 128))
     c2 = np.asarray(swar_counts(w2, (spec,), tile_rows=8, interpret=True))
     assert ((c2[0] >> 20) & 0x3FF).sum() == len(text2) // 2
+
+
+def test_unpadded_edge_runs_exact():
+    """Accepted chars at the very stream edges, no zero padding (the
+    entry()/bench calling convention): the counts-path run table must
+    match the jnp-lanes oracle - regression for the old stream-edge
+    halo WRAP, which suppressed the first run's start / last run's end
+    and misaligned every rank in between."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stringsext_tpu.mission import Missions
+    from stringsext_tpu.ops.classify import utf8_lanes
+    from stringsext_tpu.ops.pallas_swar import flagship_swar_counts, swar_params
+    from stringsext_tpu.ops.runs import (
+        extract_runs,
+        extract_runs_swar_blocks,
+        filter_words,
+    )
+
+    ms = Missions.new(flag_encoding=["UTF-8", "utf-16le", "utf-16be"])
+    p = swar_params(ms.v)
+    n = 64 * 1024
+    data = np.full(n, ord("A"), np.uint8)
+    data[30000] = 0x00  # one run break
+    w = jnp.asarray(data.view(np.int32).reshape(-1, 128))
+
+    counts = flagship_swar_counts(w, tile_rows=128, interpret=True, **p)
+    rt = extract_runs_swar_blocks(
+        w, counts[0], counts[1], capacity=16,
+        kind="utf8", af_iv=p["af_iv"], ubf_iv=p["ubf_iv"],
+        grep=p["greps"][0],
+    )
+    af_w, ubf_w = filter_words(ms.v[0])
+    ref = extract_runs(
+        utf8_lanes(jnp.asarray(data), n), jnp.asarray(af_w),
+        jnp.asarray(ubf_w), jnp.int32(-1), capacity=16,
+    )
+    assert int(rt.count) == int(ref.count) == 2
+    for f in ("start", "end", "chars"):
+        got = np.asarray(getattr(rt, f))[:2]
+        want = np.asarray(getattr(ref, f))[:2]
+        np.testing.assert_array_equal(got, want, err_msg=f)
