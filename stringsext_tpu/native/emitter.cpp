@@ -696,7 +696,6 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
         const int32_t slen = sl_len[s];
         const int32_t file_id = sl_file[s];
         const bool is_last = sl_last[s] != 0;
-        const int64_t send = sstart + slen;
         const int64_t w = 2 * (int64_t)m.line_max;
 
         bool have_pending = !st.leftover.empty();
@@ -922,18 +921,10 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
 
 extern "C" {
 
-// Resumable scan state (checkpoint/resume and chunked streaming):
-// mirrors ScannerState (scanner.rs:40-68). leftover_cps capacity is
-// provided by the caller (line_max is an upper bound on its length).
-struct se_state {
-    uint64_t consumed;        // absolute byte counter
-    uint64_t cursor;          // stream offset of first un-decoded byte
-    uint8_t printed_maybe_cut;
-    int32_t leftover_len;
-    int32_t* leftover_cps;    // caller-owned buffer
-    int32_t leftover_cap;
-};
-
+// Resumable scan state (checkpoint/resume and chunked streaming)
+// mirrors ScannerState (scanner.rs:40-68) and travels as the raw
+// int64[5] state_io buffer documented on se_scan below, plus the
+// leftover_io codepoint array.
 struct se_mission {
     uint64_t af_lo, af_hi;
     uint64_t ubf;
