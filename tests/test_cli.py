@@ -100,3 +100,32 @@ def test_replacement_encoding_all_engines(tmp_path):
             assert outs["python"] == b"\xef\xbb\xbf\n"
         else:
             assert b"findable ascii string" in outs["python"]
+
+
+def test_full_argv_parse():
+    """options.rs:121-178 analog: every flag in one invocation parses
+    into the expected Args/Missions."""
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.mission import Missions
+    from stringsext_tpu.options import Radix
+
+    args = parse_args([
+        "-a", "All-Ctrl", "-c", "-e", "utf-16le,12,All,Common,47",
+        "-e", "ascii", "-g", "58", "-n", "10", "-p", "/tmp/out.txt",
+        "-q", "40", "-r", "-s", "1500", "-t", "o", "--", "f1", "f2",
+    ])
+    assert args.radix is Radix.O
+    assert args.no_metadata and args.same_unicode_block
+    assert args.output == "/tmp/out.txt"
+    assert args.counter_offset == "1500"  # parsed later (hex allowed)
+    assert args.inputs == ["f1", "f2"]
+    ms = Missions.from_args(args)
+    assert len(ms.v) == 2
+    m0, m1 = ms.v
+    # per-encoding DSL overrides the globals for scanner 0 only
+    assert m0.encoding_name == "UTF-16LE" and m0.chars_min_nb == 12
+    assert m0.filter.grep_char == 47
+    assert m1.encoding_name == "x-user-defined"  # ascii emulation
+    assert m1.chars_min_nb == 10 and m1.filter.grep_char == 58
+    assert m0.output_line_char_nb_max == 40
+    assert m0.counter_offset == 1500
