@@ -18,7 +18,9 @@ Output formats (one int32 word per 4 input bytes):
   UTF-16 word: unit fields at bits 0-7 (unit 0 = bytes 0-1) and 16-23
 
 Stream order is little-endian: byte 4*(r*128+c)+j is bits 8j..8j+7 of
-word (r, c). Same zero-padding caller contract as pallas_scan.
+word (r, c). Stream edges behave as if surrounded by zero bytes (edge
+halos are zeroed in-kernel via the grid position), so zero-padded and
+unpadded inputs give identical results.
 """
 
 from __future__ import annotations
