@@ -16,11 +16,22 @@ from .mission import MissionError
 from .options import Args, Radix
 
 
+class _Parser(argparse.ArgumentParser):
+    """argparse with reference exit-code parity: usage errors exit 1
+    (clap convention, manpage :277-285), not argparse's default 2."""
+
+    def error(self, message):
+        self.print_usage(sys.stderr)
+        print(f"{self.prog}: error: {message}", file=sys.stderr)
+        raise SystemExit(1)
+
+
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
+    p = _Parser(
         prog="stringsext",
         description="Find multi-byte encoded strings in binary data.",
         add_help=True,
+        allow_abbrev=False,  # clap rejects abbreviated long options
     )
     p.add_argument("-a", "--ascii-filter", dest="ascii_filter", metavar="AF",
                    help="filter applied after decoding (see --list-encodings for AF examples)")
@@ -97,11 +108,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         # Engine selection: "auto" (native C++), "tpu" (device kernels
         # pre-filter + native emitter), "python" (reference impl).
         engine = os.environ.get("STRINGSEXT_ENGINE", "auto")
+        if engine not in ("auto", "tpu", "python"):
+            print(
+                f"Error: unknown STRINGSEXT_ENGINE `{engine}` "
+                "(expected auto|tpu|python).",
+                file=sys.stderr,
+            )
+            return 1
         return run(args, engine=engine)
     except MissionError as e:
         print(f"Error while parsing command-line arguments: {e}", file=sys.stderr)
         return 1
     except BrokenPipeError:
+        # Downstream closed (e.g. `| head`): devnull stdout so the
+        # interpreter-shutdown flush cannot re-raise EPIPE (which would
+        # print "Exception ignored" noise and turn the exit status
+        # into 120).
+        import os
+
+        try:
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        except OSError:
+            pass
         return 0
     except Exception as e:  # run() error -> exit 1 (main.rs:181-184)
         print(f"Error: `{e}`.", file=sys.stderr)

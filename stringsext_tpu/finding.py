@@ -51,7 +51,7 @@ class Finding:
         if not args.no_metadata:
             if len(args.inputs) > 1 and self.input_file_id is not None:
                 # map 1 -> 'A', 2 -> 'B' (finding.rs:115-120)
-                out += bytes([self.input_file_id + 64, 0x20])
+                out += bytes([(self.input_file_id + 64) & 0xFF, 0x20])  # u8 wrap parity
             if args.radix is not None:
                 if self.position_precision == PRECISION_AFTER:
                     out += b">"
@@ -68,7 +68,7 @@ class Finding:
                 out += b"+\t" if self.s_completes_previous_s else b" \t"
             if len(args.encoding) > 1:
                 # map 0 -> 'a', 1 -> 'b' (finding.rs:141-151)
-                out += bytes([0x28, self.mission.mission_id + 97, 0x20])
+                out += bytes([0x28, (self.mission.mission_id + 97) & 0xFF, 0x20])
                 out += self.mission.display_encoding_name.encode()
                 out += b")\t"
         out += self.s

@@ -119,24 +119,32 @@ def load_stream(inputs: List[str]) -> LoadedStream:
         except OSError:
             pass  # fall through to the generic reader (warns below)
 
-    parts: List[bytes] = []
     spans: List[Tuple[Optional[int], int, int]] = []
-    pos = 0
     if use_stdin:
         buf = sys.stdin.buffer.read()
-        parts.append(buf)
         spans.append((None, 0, len(buf)))
-    else:
-        for i, name in enumerate(inputs):
-            try:
-                with open(name, "rb") as f:
-                    buf = f.read()
-            except OSError as e:
-                print(f"Error: can not read file`\"{name}\"`: {e}", file=sys.stderr)
-                buf = b""
-            parts.append(buf)
-            spans.append((i + 1, pos, pos + len(buf)))
-            pos += len(buf)
+        data = np.frombuffer(buf, dtype=np.uint8)
+        return LoadedStream(data=data, spans=spans)
 
-    data = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    # Multi-file: size first, then readinto one preallocated buffer
+    # (a parts list + join would double peak memory).
+    sizes: List[int] = []
+    for name in inputs:
+        try:
+            sizes.append(os.path.getsize(name))
+        except OSError:
+            sizes.append(0)  # warn below at open time
+    data = np.empty(sum(sizes), np.uint8)
+    pos = 0
+    for i, (name, sz) in enumerate(zip(inputs, sizes)):
+        n = 0
+        try:
+            with open(name, "rb") as f:
+                n = f.readinto(memoryview(data[pos : pos + sz]))
+        except OSError as e:
+            print(f"Error: can not read file`\"{name}\"`: {e}", file=sys.stderr)
+        spans.append((i + 1, pos, pos + n))
+        pos += n
+    if pos != len(data):  # a file shrank between stat and read
+        data = data[:pos]
     return LoadedStream(data=data, spans=spans)

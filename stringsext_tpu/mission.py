@@ -162,19 +162,32 @@ def _parse_integer(s: Optional[str], bits: int, what: str = "number") -> Optiona
     if s == "":
         return None
     t = s.strip()
-    # Strict digit checks: Rust's from_str rejects '+', '_' etc.
+    # Rust parity (mission.rs:449-463): u64::from_str accepts an
+    # optional leading '+' but only ASCII digits (str.isdigit() would
+    # also accept Unicode digits); from_str_radix(.., 16) likewise.
+    ascii_dec = "0123456789"
     try:
         if len(t) >= 2 and t[:2] == "0x":
-            if not t[2:] or any(c not in "0123456789abcdefABCDEF" for c in t[2:]):
+            body = t[2:]
+            if body[:1] == "+":
+                body = body[1:]
+            if not body or any(
+                c not in "0123456789abcdefABCDEF" for c in body
+            ):
                 raise ValueError
-            v = int(t[2:], 16)
+            v = int(body, 16)
         else:
-            if not t.isdigit():
+            body = t[1:] if t[:1] == "+" else t
+            if not body or any(c not in ascii_dec for c in body):
                 raise ValueError
-            v = int(t, 10)
+            v = int(body, 10)
     except ValueError:
+        if t[:2] == "0x":
+            raise MissionError(f"failed to parse hexadecimal number: `{s}`")
         raise MissionError(f"failed to parse number: {s}")
     if v >= (1 << bits):
+        if t[:2] == "0x":
+            raise MissionError(f"failed to parse hexadecimal number: `{s}`")
         raise MissionError(f"failed to parse number: {s}")
     return v
 

@@ -459,7 +459,7 @@ def _emit_lines(out, args: Args, results) -> None:
     no_meta = args.no_metadata
     enc_names = [r[0].display_encoding_name.encode() for r in results]
     enc_prefix = [
-        b"(" + bytes([r[0].mission_id + 97]) + b" " + enc_names[i] + b")\t"
+        b"(" + bytes([(r[0].mission_id + 97) & 0xFF]) + b" " + enc_names[i] + b")\t"
         for i, r in enumerate(results)
     ]
     radix_fmt = {Radix.X: "x", Radix.D: "d", Radix.O: "o"}.get(args.radix)
@@ -510,7 +510,7 @@ def _emit_lines(out, args: Args, results) -> None:
             if show_file:
                 fid = res["file_id"][i]
                 if fid >= 0:
-                    buf += bytes([fid + 64, 0x20])
+                    buf += bytes([(fid + 64) & 0xFF, 0x20])  # u8 wrap parity
             if show_radix:
                 p = res["precision"][i]
                 buf += b">" if p == PRECISION_AFTER else (b"<" if p == PRECISION_BEFORE else b" ")

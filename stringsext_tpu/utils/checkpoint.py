@@ -39,15 +39,30 @@ def state_to_dict(mission_states: List[dict], next_slice: int) -> dict:
 
 
 def save_checkpoint(path: str, mission_states: List[dict], next_slice: int) -> None:
-    with open(path, "w") as f:
+    """Atomic write (temp + rename): a crash mid-dump must never
+    destroy the previous good checkpoint - surviving crashes is the
+    whole point of checkpointing."""
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(state_to_dict(mission_states, next_slice), f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
-def load_checkpoint(path: str) -> dict:
+def load_checkpoint(path: str, expected_missions: int | None = None) -> dict:
     with open(path) as f:
         d = json.load(f)
     if d.get("version") != 1:
         raise ValueError(f"unsupported checkpoint version in {path}")
+    if expected_missions is not None and len(d.get("missions", [])) != expected_missions:
+        raise ValueError(
+            f"checkpoint {path} holds {len(d.get('missions', []))} mission "
+            f"states but the current scan has {expected_missions} - resume "
+            "must use the same -e mission set"
+        )
     return d
 
 

@@ -129,3 +129,44 @@ def test_full_argv_parse():
     assert m1.chars_min_nb == 10 and m1.filter.grep_char == 58
     assert m0.output_line_char_nb_max == 40
     assert m0.counter_offset == 1500
+
+
+def test_usage_error_exit_code_is_1():
+    """clap parity: usage errors exit 1, not argparse's default 2."""
+    import subprocess
+
+    r = subprocess.run(
+        ["python", "-m", "stringsext_tpu.cli", "--bogus"],
+        capture_output=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1
+
+
+def test_broken_pipe_exits_zero(tmp_path):
+    """`stringsext big | head -1` must exit 0 without EPIPE noise."""
+    import subprocess
+
+    import numpy as np
+
+    p = tmp_path / "b.bin"
+    p.write_bytes((b"finding string here! " * 300000))
+    r = subprocess.run(
+        f"python -m stringsext_tpu.cli -e UTF-8 -- {p} | head -c 100 >/dev/null",
+        shell=True, capture_output=True, cwd="/root/repo",
+    )
+    assert b"Exception ignored" not in r.stderr
+
+
+def test_parse_integer_rust_parity():
+    """u8/u64::from_str accepts a leading '+', rejects Unicode digits;
+    hex failures use the hexadecimal error message (mission.rs:449-463)."""
+    import pytest as _pytest
+
+    from stringsext_tpu.mission import MissionError, Missions
+
+    ms = Missions.new(flag_encoding=["UTF-8"], flag_chars_min_nb="+10")
+    assert ms.v[0].chars_min_nb == 10
+    with _pytest.raises(MissionError):
+        Missions.new(flag_encoding=["UTF-8"], flag_chars_min_nb="٣")
+    with _pytest.raises(MissionError, match="hexadecimal"):
+        Missions.new(flag_encoding=["UTF-8"], flag_chars_min_nb="0xzz")
