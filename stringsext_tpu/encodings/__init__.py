@@ -285,7 +285,20 @@ def single_byte_table(name: str) -> np.ndarray:
                 out[i] = ord(ch)
         except UnicodeDecodeError:
             pass
+    # WHATWG index divergences from Python's codecs (encoding_rs uses
+    # the WHATWG indexes): koi8-u is the KOI8-RU variant (index-koi8-u
+    # maps 0xAE/0xBE to Cyrillic short U), and index-windows-1255
+    # defines 0xCA (HEBREW POINT HOLAM HASER FOR VAV) where cp1255
+    # leaves a hole.
+    for b, cp in _WHATWG_OVERRIDES.get(name, ()):
+        out[b - 0x80] = cp
     return out
+
+
+_WHATWG_OVERRIDES = {
+    "KOI8-U": ((0xAE, 0x045E), (0xBE, 0x040E)),
+    "windows-1255": ((0xCA, 0x05BA),),
+}
 
 
 @functools.lru_cache(maxsize=None)

@@ -164,11 +164,14 @@ def generate(data: np.ndarray) -> Events:
         # Decode the segment before the escape in the current mode.
         seg_end = esc
         if mode == LEAD:
-            if _decode_lead_segment(acc, b, pos, seg_end, seg_end < n):
-                output_flag = False
+            _decode_lead_segment(acc, b, pos, seg_end, seg_end < n)
         else:
-            if _decode_segment(acc, b, pos, seg_end, mode):
-                output_flag = False
+            _decode_segment(acc, b, pos, seg_end, mode)
+        if seg_end > pos:
+            # WHATWG: every consumed data-state byte unsets the output
+            # flag - error bytes included - so the redundant-escape
+            # error fires only for two escapes with NOTHING between.
+            output_flag = False
 
         if esc >= n:
             break

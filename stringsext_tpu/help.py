@@ -36,9 +36,11 @@ def help_and_maybe_exit(args: Args) -> bool:
             print(f"    encoding: {m.encoding_name},")
             print(f"    chars_min_nb: {m.chars_min_nb},")
             print(f"    require_same_unicode_block: {m.require_same_unicode_block},")
+            g = ("None" if m.filter.grep_char is None
+                 else f"Some({m.filter.grep_char})")  # Rust Option Debug
             print(
                 f"    filter: af: 0x{m.filter.af:x}, ubf: 0x{m.filter.ubf:x}, "
-                f"grep_char: {m.filter.grep_char},"
+                f"grep_char: {g},"
             )
             print(f"    output_line_char_nb_max: {m.output_line_char_nb_max},")
             print(f"    print_encoding_as_ascii: {m.print_encoding_as_ascii},")

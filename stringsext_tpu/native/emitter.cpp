@@ -332,6 +332,11 @@ static inline bool iso2022_next(const Mission& m, const uint8_t* d, int64_t n,
                     st->output_flag = false;
                     return true;
                 }
+                // WHATWG: every consumed data-state byte unsets the
+                // output flag, error paths included (the redundant-
+                // escape error fires only for two escapes with NOTHING
+                // between).
+                st->output_flag = false;
                 ev->in_len = 1; ev->cp = -1; ev->report = p;
                 return true;
             }
@@ -341,10 +346,14 @@ static inline bool iso2022_next(const Mission& m, const uint8_t* d, int64_t n,
                     st->output_flag = false;
                     return true;
                 }
+                st->output_flag = false;
                 ev->in_len = 1; ev->cp = -1; ev->report = p;
                 return true;
             }
             default: {  // jis0208 two-byte
+                // WHATWG lead-byte state unsets the output flag for
+                // every consumed byte (valid lead or error).
+                st->output_flag = false;
                 if (!(b >= 0x21 && b <= 0x7E)) {
                     ev->in_len = 1; ev->cp = -1; ev->report = p;
                     return true;

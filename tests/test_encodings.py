@@ -156,3 +156,37 @@ def test_scan_extracts_text(enc_label, text):
     findings = scan_stream(stream, ms)
     joined = "".join(f.s.decode() for f in findings)
     assert text in joined, f"{enc_label}: {joined!r}"
+
+
+def test_whatwg_index_overrides():
+    """encoding_rs uses the WHATWG indexes, which diverge from Python's
+    codecs in two places: index-koi8-u is the KOI8-RU variant
+    (0xAE/0xBE are Cyrillic short U) and index-windows-1255 defines
+    0xCA (HOLAM HASER FOR VAV) where cp1255 has a hole."""
+    from stringsext_tpu.encodings import single_byte_table
+
+    t = single_byte_table("KOI8-U")
+    assert t[0xAE - 0x80] == 0x045E and t[0xBE - 0x80] == 0x040E
+    assert single_byte_table("windows-1255")[0xCA - 0x80] == 0x05BA
+
+
+def test_iso2022_output_flag_clears_on_error_bytes():
+    """WHATWG: every consumed data-state byte unsets the ISO-2022-JP
+    output flag, error bytes included, so escapes separated only by
+    error bytes are silent transitions; adjacent escapes still error."""
+    import numpy as np
+
+    from stringsext_tpu.engine.events_iso2022 import generate
+
+    sep = b"\x1b(B" + b"\x80" + b"\x1b$B" + "日本".encode("iso2022_jp")[3:-3]
+    ev = generate(np.frombuffer(sep, np.uint8))
+    assert not any(
+        l == 3 and cp < 0
+        for l, cp in zip(ev.in_len.tolist(), ev.cp.tolist())
+    )
+    adj = b"\x1b(B\x1b(B a"
+    ev2 = generate(np.frombuffer(adj, np.uint8))
+    assert any(
+        l == 3 and cp < 0
+        for l, cp in zip(ev2.in_len.tolist(), ev2.cp.tolist())
+    )
