@@ -58,15 +58,13 @@ def build_bench_fn(use_pallas=None):
 
     def bench_fn(data, iters):
         def body(i, acc):
-            # XOR with a loop-dependent value: fuses into the lanes
-            # computation (no extra memory pass) but makes every
-            # iteration's input distinct, so XLA cannot hoist the scan
-            # out of the loop.
-            if data.dtype == jnp.uint8:
-                d = jnp.bitwise_xor(data, (i % 2).astype(jnp.uint8))
-            else:
-                d = jnp.bitwise_xor(data, (i % 2) * 0x01010101)
-            out = scan_step(d)
+            # Loop-dependent XOR word: applied INSIDE the scan step
+            # (in-kernel for the SWAR path, fused elementwise for the
+            # jnp path) so every iteration's input is distinct - XLA
+            # cannot hoist the scan out of the loop - without a
+            # materialized full-size XOR pass feeding the kernel.
+            xw = (i % 2) * 0x01010101
+            out = scan_step(data, xor_word=xw)
             chk = acc
             for rt in out:
                 chk = chk + rt[3].astype(jnp.int64)  # run count

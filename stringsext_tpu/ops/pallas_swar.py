@@ -456,19 +456,27 @@ def swar_flags(w, w_prev, w_next):
     return acc, lf, gf, run_start, run_end
 
 
-def _edge_halos(prev_ref, cur_ref, next_ref):
+def _edge_halos(prev_ref, cur_ref, next_ref, xw=None):
     """Halo blocks with STREAM-EDGE zeroing: the BlockSpec index maps
     must name an in-bounds block, so the first tile's prev (and last
     tile's next) point at the stream's own edge rows - zero them via
     the grid position so edge semantics equal "stream surrounded by
     zero bytes". That makes unpadded and zero-padded inputs behave
     identically (a previous halo WRAP suppressed run boundaries when
-    accepted chars sat at the stream edges)."""
+    accepted chars sat at the stream edges).
+
+    `xw` (optional int32 scalar) XORs the stream words BEFORE the edge
+    zeroing, so results equal a scan of the pre-XORed stream - used by
+    the benchmark to make every iteration's input distinct without a
+    materialized full-size XOR pass feeding the kernel."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    prev = jnp.where(i == 0, 0, prev_ref[...])
-    nxt = jnp.where(i == n - 1, 0, next_ref[...])
-    return jnp.concatenate([prev, cur_ref[...], nxt], axis=0)
+    prev, cur, nxt = prev_ref[...], cur_ref[...], next_ref[...]
+    if xw is not None:
+        prev, cur, nxt = prev ^ xw, cur ^ xw, nxt ^ xw
+    prev = jnp.where(i == 0, 0, prev)
+    nxt = jnp.where(i == n - 1, 0, nxt)
+    return jnp.concatenate([prev, cur, nxt], axis=0)
 
 
 # ---------------------------------------------------------------- kernels
@@ -661,9 +669,15 @@ def _swar_boundary_masks(P, specs, hot_only: bool = False):
     return out
 
 
-def _swar_counts_kernel(specs, out_rows, hot_only=False):
-    def kernel(prev_ref, cur_ref, next_ref, out_ref):
-        W = _edge_halos(prev_ref, cur_ref, next_ref)
+def _swar_counts_kernel(specs, out_rows, hot_only=False, with_xor=False):
+    def kernel(*refs):
+        if with_xor:
+            xw_ref, prev_ref, cur_ref, next_ref, out_ref = refs
+            xw = xw_ref[0]
+        else:
+            prev_ref, cur_ref, next_ref, out_ref = refs
+            xw = None
+        W = _edge_halos(prev_ref, cur_ref, next_ref, xw)
         P = _Panel(W)
         rows = cur_ref.shape[0]
         sl = slice(HALO_ROWS, HALO_ROWS + rows)
@@ -698,6 +712,7 @@ def swar_counts(
     tile_rows: int = 512,
     interpret: bool = False,
     hot_only: bool = False,
+    xor_word: jax.Array | None = None,  # int32[1]: XOR stream in-kernel
 ):
     """Mission scans fused with run-compaction stage 1: one SWAR pass
     computes the mission masks, derives the run-boundary flags
@@ -740,14 +755,23 @@ def swar_counts(
     out_spec = pl.BlockSpec((out_rows, tile_rows), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
 
+    in_specs = [halo_spec_prev, tile_spec, halo_spec_next]
+    args = (words_2d, words_2d, words_2d)
+    if xor_word is not None:
+        in_specs = [
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)
+        ] + in_specs
+        args = (jnp.asarray(xor_word, jnp.int32).reshape(1),) + args
+
     return pl.pallas_call(
-        _swar_counts_kernel(specs, out_rows, hot_only),
+        _swar_counts_kernel(specs, out_rows, hot_only,
+                            with_xor=xor_word is not None),
         grid=grid,
-        in_specs=[halo_spec_prev, tile_spec, halo_spec_next],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, rows), jnp.int32),
         interpret=interpret,
-    )(words_2d, words_2d, words_2d)
+    )(*args)
 
 
 def flagship_swar_counts(
@@ -759,6 +783,7 @@ def flagship_swar_counts(
     greps: tuple,
     tile_rows: int = 512,
     interpret: bool = False,
+    xor_word: jax.Array | None = None,
 ):
     """The flagship 3-mission (UTF-8 + UTF-16LE/BE) counts pass - a
     swar_counts specialization kept as the bench/entry entry point."""
@@ -768,7 +793,8 @@ def flagship_swar_counts(
         ("utf16", True, cp_iv_be, greps[2]),
     )
     return swar_counts(
-        words_2d, specs, tile_rows=tile_rows, interpret=interpret
+        words_2d, specs, tile_rows=tile_rows, interpret=interpret,
+        xor_word=xor_word,
     )
 
 

@@ -206,6 +206,7 @@ def extract_runs_swar_blocks(
     grep: int = -1,
     be: bool = False,
     capacity: int = 4096,
+    xor_word: jax.Array | None = None,  # int32: XOR gathered slabs
 ) -> RunTable:
     """Run compaction stages 2-3 from the fused counts kernel
     (pallas_swar.flagship_swar_counts): stage 1 (boundary flags +
@@ -248,14 +249,19 @@ def extract_runs_swar_blocks(
         gathers. An arbitrary (K, 132) index gather is ~20x slower."""
         base = b * bw
         body = wm[b]  # (K, bw) contiguous rows
+        if xor_word is not None:
+            body = body ^ xor_word
 
         def margin(off):
             idx = base + off
             # Out-of-stream margins are ZERO words, matching the
             # kernel's stream-edge semantics (edge halos zeroed via the
-            # grid position; see flagship_swar_counts docstring), so
-            # slab fields equal kernel fields at the first/last blocks.
+            # grid position AFTER any in-kernel XOR; see
+            # flagship_swar_counts docstring), so slab fields equal
+            # kernel fields at the first/last blocks.
             word = w[jnp.clip(idx, 0, nw - 1)]
+            if xor_word is not None:
+                word = word ^ xor_word
             return jnp.where((idx >= 0) & (idx < nw), word, 0)[:, None]
 
         slabW = jnp.concatenate(

@@ -352,3 +352,50 @@ def test_unpadded_edge_runs_exact():
         got = np.asarray(getattr(rt, f))[:2]
         want = np.asarray(getattr(ref, f))[:2]
         np.testing.assert_array_equal(got, want, err_msg=f)
+
+
+def test_swar_counts_in_kernel_xor():
+    """swar_counts(w, xor_word=x) + xor-aware extraction must equal
+    scanning the pre-XORed stream (the bench's anti-hoisting path)."""
+    from stringsext_tpu.ops.runs import extract_runs_swar_blocks
+
+    ms = _missions()
+    params = pallas_swar.swar_params(ms.v)
+    rows = 32
+    raw = _corpus(rows, 11)
+    x = np.int32(0x01010101)
+    words = jnp.asarray(raw.view(np.int32).reshape(rows, 128))
+    words_x = jnp.asarray((raw ^ 1).view(np.int32).reshape(rows, 128))
+
+    c_ref = np.asarray(pallas_swar.flagship_swar_counts(
+        words_x, tile_rows=16, interpret=True, **params
+    ))
+    c_got = np.asarray(pallas_swar.flagship_swar_counts(
+        words, tile_rows=16, interpret=True, xor_word=x, **params
+    ))
+    np.testing.assert_array_equal(c_ref, c_got)
+
+    eps = (
+        dict(kind="utf8", af_iv=params["af_iv"], ubf_iv=params["ubf_iv"],
+             grep=params["greps"][0]),
+        dict(kind="utf16", cp_iv=params["cp_iv_le"], grep=params["greps"][1],
+             be=False),
+        dict(kind="utf16", cp_iv=params["cp_iv_be"], grep=params["greps"][2],
+             be=True),
+    )
+    for mi, ep in enumerate(eps):
+        ref = extract_runs_swar_blocks(
+            words_x, c_ref[2 * mi], c_ref[2 * mi + 1], capacity=256, **ep
+        )
+        got = extract_runs_swar_blocks(
+            words, c_got[2 * mi], c_got[2 * mi + 1], capacity=256,
+            xor_word=jnp.int32(x), **ep
+        )
+        assert int(ref.count) == int(got.count), f"mission {mi}"
+        c = int(ref.count)
+        for f in ("start", "end", "chars", "grep_hits"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ref, f))[:c],
+                np.asarray(getattr(got, f))[:c],
+                f"m{mi} {f}",
+            )
