@@ -77,11 +77,19 @@ def main():
             return jnp.sum(c[:, ::64].astype(jnp.int64))
         bench(hot_only, f"hot_only tile_rows={tr}")
 
+    eps = (
+        dict(kind="utf8", af_iv=p["af_iv"], ubf_iv=p["ubf_iv"],
+             grep=p["greps"][0]),
+        dict(kind="utf16", cp_iv=p["cp_iv_le"], grep=p["greps"][1], be=False),
+        dict(kind="utf16", cp_iv=p["cp_iv_be"], grep=p["greps"][2], be=True),
+    )
+
     def full(ww):
         c = pallas_swar.swar_counts(ww, specs, tile_rows=512)
         acc = jnp.int64(0)
-        for mi in range(3):
-            rt = extract_runs_swar_blocks(ww, c, specs, mi, capacity=1024)
+        for mi, ep in enumerate(eps):
+            rt = extract_runs_swar_blocks(
+                ww, c[2 * mi], c[2 * mi + 1], capacity=1024, **ep)
             acc = acc + rt.count.astype(jnp.int64) + jnp.sum(
                 rt.start[:8].astype(jnp.int64))
         return acc

@@ -148,17 +148,18 @@ class _SlabPanel:
         return jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
 
 
-def _utf8_masks(P, af_iv, ubf_iv, grep_char: int):
-    """All per-byte UTF-8 mission masks (0x01-per-byte words) for the
-    panel: accept/grep/is_start/ev_valid plus the length-class masks.
+def _utf8_structure(P, extra_back_pack=None):
+    """Filter-INDEPENDENT per-byte UTF-8 structure of the panel:
+    byte-bit masks, lead/continuation classes, validity, claim logic
+    and char starts. Shared by every UTF-8 mission in a spec set (the
+    filters only differ in the cheap `passes` mask on top).
 
-    The UTF-8 byte classes are bit PATTERNS, not arbitrary ranges, so
-    they are computed with per-byte-bit algebra (2-6 ops each) instead
-    of the 16-bit-channel range test (~12 ops): continuation = top bits
-    10, 3-byte lead = top nibble 1110, and the second-byte special
-    ranges (0xA0-0xBF etc.) reduce to single bit tests once gated on
-    continuation. Only the caller-supplied filter intervals and the
-    grep byte use the generic range test."""
+    `extra_back_pack` (optional word) lets callers batch additional
+    back-shifted bits onto the claim lookback's element shift: its bits
+    ride the same P.back_elem and come back as `extra_back`. Only WORD
+    bits 3-7 are safe (the claim pack uses per-byte bits 0-2, i.e.
+    word bits 0-2/8-10/16-18/24-26, and the claimed-mask shifts below
+    never move bits 3-7 onto a bit kept by the final & M01)."""
     W = P.W
     b1 = P.fwd(1)
     b2 = P.fwd(2)
@@ -224,6 +225,8 @@ def _utf8_masks(P, af_iv, ubf_iv, grep_char: int):
     # pack the claim masks into bits 0-2 per byte, shift the packed
     # word back once, then extract each lookback distance's bit.
     C = (noncont & ge2) | ((noncont & ge3) << 1) | ((noncont & ge4) << 2)
+    if extra_back_pack is not None:
+        C = C | extra_back_pack
     Cp = P.back_elem(C)
     claimed = (
         ((C << 8) | _lsr(Cp, 24))
@@ -232,18 +235,7 @@ def _utf8_masks(P, af_iv, ubf_iv, grep_char: int):
     ) & M01
     is_start = noncont | (cont & (claimed ^ M01))
 
-    passes = jnp.zeros_like(W)
-    for lo, hi in af_iv:
-        passes = passes | _range_mask(W, lo, hi)
-    for lo, hi in ubf_iv:
-        passes = passes | _range_mask(W, lo, hi)
-
-    accept = is_start & ev_valid & passes
-    grep = accept & _eq_mask(W, grep_char) if grep_char >= 0 else jnp.zeros_like(W)
-
     return dict(
-        accept=accept,
-        grep=grep,
         is_start=is_start,
         ev_valid=ev_valid,
         valid2=valid2,
@@ -251,6 +243,78 @@ def _utf8_masks(P, af_iv, ubf_iv, grep_char: int):
         valid4=valid4,
         bad2=bad2,
         bad3=bad3,
+        lead2=lead2,
+        lead3=lead3,
+        lead4=lead4,
+        t7=t7, t6=t6, t5=t5, t4=t4, k0=k0, k1=k1, k2=k2, k3=k3,
+        extra_back=Cp,
+    )
+
+
+# UBF intervals that coincide with the structural lead-class masks:
+# substituting the already-computed masks skips a ~12-op range test.
+_LEAD_CLASS_IV = {
+    (0xC2, 0xDF): ("lead2",),
+    (0xE0, 0xEF): ("lead3",),
+    (0xF0, 0xF4): ("lead4",),
+    (0xC2, 0xEF): ("lead2", "lead3"),
+    (0xE0, 0xF4): ("lead3", "lead4"),
+    (0xC2, 0xF4): ("lead2", "lead3", "lead4"),
+}
+
+
+def _utf8_masks(P, af_iv, ubf_iv, grep_char: int, struct=None):
+    """All per-byte UTF-8 mission masks (0x01-per-byte words) for the
+    panel: accept/grep/is_start/ev_valid plus the length-class masks.
+
+    The UTF-8 byte classes are bit PATTERNS, not arbitrary ranges, so
+    they are computed with per-byte-bit algebra (2-6 ops each) instead
+    of the 16-bit-channel range test (~12 ops): continuation = top bits
+    10, 3-byte lead = top nibble 1110, and the second-byte special
+    ranges (0xA0-0xBF etc.) reduce to single bit tests once gated on
+    continuation. Caller filter intervals reuse the structural masks
+    when they coincide with a lead class or the full printable-ASCII
+    range; only the remaining intervals and the grep byte use the
+    generic range test.
+
+    `struct` (optional) supplies a precomputed `_utf8_structure(P)` so
+    several UTF-8 missions in one kernel share the structural work."""
+    W = P.W
+    m = _utf8_structure(P) if struct is None else struct
+
+    passes = jnp.zeros_like(W)
+    for lo, hi in af_iv:
+        if (lo, hi) == (0x20, 0x7E):
+            # printable ASCII from the structural byte bits:
+            # [0x20,0x7F] = ~t7 & (t6|t5), minus 0x7F (all low bits set)
+            passes = passes | (
+                (m["t7"] ^ M01) & (m["t6"] | m["t5"])
+                & ((m["t6"] & m["t5"] & m["t4"] & m["k3"] & m["k2"]
+                    & m["k1"] & m["k0"]) ^ M01)
+            )
+        else:
+            passes = passes | _range_mask(W, lo, hi)
+    for lo, hi in ubf_iv:
+        names = _LEAD_CLASS_IV.get((lo, hi))
+        if names is not None:
+            for nm in names:
+                passes = passes | m[nm]
+        else:
+            passes = passes | _range_mask(W, lo, hi)
+
+    accept = m["is_start"] & m["ev_valid"] & passes
+    grep = accept & _eq_mask(W, grep_char) if grep_char >= 0 else jnp.zeros_like(W)
+
+    return dict(
+        accept=accept,
+        grep=grep,
+        is_start=m["is_start"],
+        ev_valid=m["ev_valid"],
+        valid2=m["valid2"],
+        valid3=m["valid3"],
+        valid4=m["valid4"],
+        bad2=m["bad2"],
+        bad3=m["bad3"],
     )
 
 
@@ -329,9 +393,17 @@ def _utf16_slot_masks(u, un, pair, h, l, l_next, trail, cp_iv, grep_char):
         cp = u
     valid = (bmp | pair) & ~trail
     start = (bmp | pair | lone_h | lone_l) & ~trail
-    passes = jnp.zeros_like(u) != 0
-    for lo, hi in cp_iv:
-        passes = passes | ((cp >= lo) & (cp <= hi))
+    iv = tuple(sorted(cp_iv))
+    if len(iv) == 2 and iv[1][0] - iv[0][1] == 2:
+        # Two intervals separated by a single excluded codepoint (the
+        # default filters: printable ASCII + non-ASCII BMP, gap 0x7F):
+        # span test + exclusion is 2 ops cheaper than two interval
+        # tests.
+        passes = (cp >= iv[0][0]) & (cp <= iv[1][1]) & (cp != iv[0][1] + 1)
+    else:
+        passes = jnp.zeros_like(u) != 0
+        for lo, hi in iv:
+            passes = passes | ((cp >= lo) & (cp <= hi))
     accept = start & valid & passes
     grep = accept & (cp == grep_char)
     return dict(start=start, valid=valid, accept=accept, grep=grep)
@@ -574,10 +646,24 @@ def _swar_boundary_masks(P, specs, hot_only: bool = False):
     for i, sp in enumerate(specs):
         if sp[0] == "utf16":
             u16[i] = (len(u16), _utf16_pair_structure(P, sp[1]))
+    pair_pack = None
     if u16:
+        assert len(u16) <= 4  # bits 3-6 of the shared back-shift word
         pair_pack = jnp.zeros_like(P.W)
         for j, s in u16.values():
             pair_pack = pair_pack | (s["pair1"].astype(jnp.int32) << j)
+
+    # The UTF-8 structural masks are filter-independent: compute them
+    # once for all UTF-8 missions, and ride the utf16 pair trails on
+    # the claim lookback's element shift (word bits 3+; see
+    # _utf8_structure) - one cross-lane shift instead of two.
+    u8s = None
+    if any(sp[0] == "utf8" for sp in specs):
+        u8s = _utf8_structure(
+            P, None if pair_pack is None else pair_pack << 3
+        )
+        pp = None if pair_pack is None else _lsr(u8s["extra_back"], 3)
+    elif u16:
         pp = P.back_elem(pair_pack)
 
     def iv_hits(iv, lo, hi):
@@ -594,7 +680,7 @@ def _swar_boundary_masks(P, specs, hot_only: bool = False):
     for i, sp in enumerate(specs):
         if sp[0] == "utf8":
             _kind, af_iv, ubf_iv, grep = sp
-            m8 = _utf8_masks(P, af_iv, ubf_iv, grep)
+            m8 = _utf8_masks(P, af_iv, ubf_iv, grep, struct=u8s)
             s1, s2, s3, s4 = _utf8_len_masks(m8)
             lens = [(1, s1)] if af_iv else []
             for L, sL, lo, hi in ((2, s2, 0xC2, 0xDF), (3, s3, 0xE0, 0xEF),
