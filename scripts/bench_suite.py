@@ -1,0 +1,152 @@
+"""Device-scan throughput on the BASELINE.json benchmark configs.
+
+Each config maps to the device pass the production engine=tpu path
+runs for it (SURVEY.md sec. 6 targets; the reference publishes no
+numbers). Timing is tunnel-safe: on-device iteration with an in-kernel
+loop-dependent XOR, long-vs-short differencing (see bench.py).
+
+Configs (BASELINE.json):
+  1. ASCII-only -n 4 on a 1 MB blob       -> sbyte counts pass
+  2. UTF-8 -n 10 on 100 MB mixed-script   -> utf8 counts pass
+  3. UTF-8 + UTF-16LE/BE on a disk image  -> the bench.py headline
+  4. UTF-16LE -r Cyrillic on random bytes -> utf16 counts pass
+  5. all-41-WHATWG-encodings sweep        -> fused hot_only passes
+     (8 missions per launch; the 10 GB / 2-host variant needs a pod)
+
+Usage: python scripts/bench_suite.py [iters]
+Prints one JSON line per config.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def mixed_script_corpus(size: int, seed: int = 3) -> np.ndarray:
+    """Mixed-script text + binary: ASCII logs, Cyrillic/Greek/CJK UTF-8
+    and random binary in interleaved stretches."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    texts = [
+        b"Jul 14 03:22:11 host kernel: usb 1-1: new high-speed device\n",
+        "Пример русского текста в журнале событий.\n".encode(),
+        "Παράδειγμα ελληνικού κειμένου καταγραφής.\n".encode(),
+        "汉字文本样本，用于基准测试。\n".encode(),
+        "日本語のサンプルテキストです。\n".encode(),
+    ]
+    total = 0
+    while total < size:
+        blob = rng.integers(0, 256, size=rng.integers(256, 4096),
+                            dtype=np.uint8).tobytes()
+        t = texts[rng.integers(0, len(texts))] * int(rng.integers(1, 8))
+        parts.append(blob)
+        parts.append(t)
+        total += len(blob) + len(t)
+    return np.frombuffer(b"".join(parts)[:size], np.uint8)
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    short = max(1, iters // 4)
+
+    import jax
+    import jax.numpy as jnp
+
+    from stringsext_tpu.encodings import ALL_ENCODING_NAMES
+    from stringsext_tpu.mission import Missions
+    from stringsext_tpu.ops import pallas_swar
+    from stringsext_tpu.ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+
+    def words_of(raw):
+        n = len(raw) // 512 * 512
+        return jax.device_put(
+            jnp.asarray(raw[:n].view(np.int32).reshape(-1, 128))
+        )
+
+    def timed_loop(words, specs_groups, hot_only, label, size, missions=1):
+        @jax.jit
+        def looped(w, k):
+            def body(i, acc):
+                xw = (i % 2) * 0x01010101
+                for sg in specs_groups:
+                    c = pallas_swar.swar_counts(
+                        w, sg, tile_rows=512, hot_only=hot_only, xor_word=xw
+                    )
+                    acc = acc + jnp.sum(c[:, ::64].astype(jnp.int64))
+                return acc
+            return jax.lax.fori_loop(0, k, body, jnp.int64(0))
+
+        int(looped(words, 1))
+        def t(k):
+            best = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                int(looped(words, k))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        per = (t(iters) - t(short)) / (iters - short)
+        gbps = size / per / 1e9
+        print(json.dumps({
+            "config": label, "value": round(gbps, 2), "unit": "GB/s",
+            "missions": missions, "input_mb": size // (1024 * 1024),
+        }))
+        return gbps
+
+    rng = np.random.default_rng(0)
+
+    # Config 1: ASCII-only -n 4 on a 1 MB blob (GNU strings mode).
+    m = Missions.new(flag_encoding=["ascii"], flag_chars_min_nb="4").v[0]
+    spec = swar_mission_spec(m)
+    raw = rng.integers(0, 256, size=1 << 20, dtype=np.uint8)
+    timed_loop(words_of(raw), [(spec,)], False, "1:ascii-1MB", 1 << 20)
+
+    # Config 2: UTF-8 -n 10 on a 100 MB mixed-script corpus.
+    m = Missions.new(flag_encoding=["UTF-8"], flag_chars_min_nb="10").v[0]
+    spec = swar_mission_spec(m)
+    raw = mixed_script_corpus(100 * 1024 * 1024)
+    timed_loop(words_of(raw), [(spec,)], False, "2:utf8-100MB-mixed",
+               100 * 1024 * 1024)
+
+    # Config 3: the flagship trio (bench.py measures this incl. run
+    # extraction; here the counts pass alone for the suite).
+    ms = Missions.new(flag_encoding=["UTF-8", "utf-16le", "utf-16be"])
+    specs = tuple(swar_mission_spec(m) for m in ms.v)
+    raw = rng.integers(0, 256, size=32 * 1024 * 1024, dtype=np.uint8)
+    timed_loop(words_of(raw), [specs], False, "3:flagship-counts-32MB",
+               32 * 1024 * 1024, missions=3)
+
+    # Config 4: UTF-16LE --same-unicode-block Cyrillic on random bytes
+    # (the same-block rule applies downstream; the device pass is the
+    # mission's counts kernel).
+    m = Missions.new(
+        flag_encoding=["utf-16le"], flag_same_unicode_block=True,
+        flag_unicode_block_filter="Cyrillic",
+    ).v[0]
+    spec = swar_mission_spec(m)
+    timed_loop(words_of(raw), [(spec,)], False, "4:utf16-cyrillic-32MB",
+               32 * 1024 * 1024)
+
+    # Config 5: all-41-encodings sweep, fused hot_only passes (8
+    # missions per launch - the engine=tpu hot-map pass). Rate is input
+    # bytes/s for the WHOLE sweep (all 41 missions together).
+    names = ["ascii"] + list(ALL_ENCODING_NAMES)
+    ms = Missions.new(flag_encoding=names)
+    specs = []
+    for m in ms.v:
+        sp = swar_mission_spec(m) or cjk_hot_spec(m)
+        if sp is not None:
+            specs.append(sp)
+    groups = [tuple(specs[i : i + 8]) for i in range(0, len(specs), 8)]
+    print(f"# sweep: {len(specs)} device specs in {len(groups)} launches",
+          file=sys.stderr)
+    timed_loop(words_of(raw), groups, True, "5:all-41-encodings-32MB",
+               32 * 1024 * 1024, missions=len(specs))
+
+
+if __name__ == "__main__":
+    main()
