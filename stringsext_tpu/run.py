@@ -471,33 +471,46 @@ def _emit_lines(out, args: Args, results) -> None:
     use_native_fmt = os.environ.get("STRINGSEXT_NATIVE_FORMAT", "1") != "0"
     if use_native_fmt and native_mod.get_lib() is not None and len(order):
         # Native formatter: numpy-gather every column into merge order
-        # (vectorized), then one C++ pass writes the exact line grammar
+        # (vectorized), then C++ passes write the exact line grammar
         # (finding.rs:112-155) - the per-finding Python loop below is
-        # ~50x slower at forensic-scale finding counts.
-        def col(name, dtype):
-            return np.ascontiguousarray(
-                np.concatenate([r[1][name] for r in results]).astype(
-                    dtype, copy=False
-                )[order]
+        # ~50x slower at forensic-scale finding counts. Formatting runs
+        # in bounded batches so the payload never holds the whole
+        # output stream at once (a 1 GiB dense image emits >10M lines).
+        full = {
+            name: np.concatenate([r[1][name] for r in results]).astype(
+                dtype, copy=False
             )
-
-        payload = native_mod.native_format(
-            col("position", np.uint64),
-            col("precision", np.int8),
-            col("completes", np.uint8),
-            col("file_id", np.int32),
-            np.ascontiguousarray(midx[order]),
-            col("str_off", np.uint64),
-            col("str_len", np.uint32),
-            [r[2] for r in results],
-            enc_prefix,
+            for name, dtype in (
+                ("position", np.uint64), ("precision", np.int8),
+                ("completes", np.uint8), ("file_id", np.int32),
+                ("str_off", np.uint64), ("str_len", np.uint32),
+            )
+        }
+        strbufs = [r[2] for r in results]
+        flags = (
             (1 if show_file else 0) | (2 if show_radix else 0)
-            | (4 if show_enc else 0) | (8 if no_meta else 0),
-            (radix_fmt or "d").encode(),
+            | (4 if show_enc else 0) | (8 if no_meta else 0)
         )
-        if payload is not None:
+        batch = 1 << 21
+        for lo in range(0, len(order), batch):
+            sel = order[lo : lo + batch]
+            payload = native_mod.native_format(
+                np.ascontiguousarray(full["position"][sel]),
+                np.ascontiguousarray(full["precision"][sel]),
+                np.ascontiguousarray(full["completes"][sel]),
+                np.ascontiguousarray(full["file_id"][sel]),
+                np.ascontiguousarray(midx[sel]),
+                np.ascontiguousarray(full["str_off"][sel]),
+                np.ascontiguousarray(full["str_len"][sel]),
+                strbufs,
+                enc_prefix,
+                flags,
+                (radix_fmt or "d").encode(),
+            )
+            # native_format is None only when the lib is absent, which
+            # get_lib() above already excluded.
             out.write(payload)
-            return
+        return
 
     w = out.write
     buf = bytearray()
