@@ -432,6 +432,11 @@ def write_output(out, args: Args, results) -> None:
     out.flush()
 
 
+# Findings per native-formatter payload: bounds peak memory at
+# forensic-scale outputs (a dense 1 GiB image emits >10M lines).
+_FORMAT_BATCH = 1 << 21
+
+
 def _emit_lines(out, args: Args, results) -> None:
     """Write the merged finding lines of one batch ("\n" + line each,
     no BOM / trailing newline) - shared by the buffered path and the
@@ -491,7 +496,7 @@ def _emit_lines(out, args: Args, results) -> None:
             (1 if show_file else 0) | (2 if show_radix else 0)
             | (4 if show_enc else 0) | (8 if no_meta else 0)
         )
-        batch = 1 << 21
+        batch = _FORMAT_BATCH
         for lo in range(0, len(order), batch):
             sel = order[lo : lo + batch]
             payload = native_mod.native_format(

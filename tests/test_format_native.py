@@ -60,3 +60,37 @@ def test_native_format_matches_python(tmp_path, extra, nfiles):
             del os.environ["STRINGSEXT_NATIVE_FORMAT"]
     assert outs["1"] == outs["0"]
     assert len(outs["1"]) > 10  # sanity: findings were produced
+
+
+def test_format_batching_matches_single_payload(monkeypatch):
+    """The bounded-memory batched formatter (N findings per payload)
+    must write the same byte stream as one big payload."""
+    import io
+
+    import numpy as np
+
+    from stringsext_tpu import run as R
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.input import LoadedStream
+    from stringsext_tpu.mission import Missions
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=65536, dtype=np.uint8)
+    msg = b"Batching test string! "
+    for off in range(100, 60000, 700):
+        data[off : off + len(msg)] = np.frombuffer(msg, np.uint8)
+
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "--", "/tmp/x"]
+    args = parse_args(argv)
+    missions = Missions.from_args(args)
+    stream = LoadedStream(data, [(None, 0, len(data))])
+    results = R._scan_arrays(stream, missions, "auto")
+    assert sum(len(r[1]["position"]) for r in results) > 10
+
+    big = io.BytesIO()
+    R._emit_lines(big, args, results)
+
+    monkeypatch.setattr(R, "_FORMAT_BATCH", 7)
+    small = io.BytesIO()
+    R._emit_lines(small, args, results)
+    assert big.getvalue() == small.getvalue()
