@@ -78,7 +78,7 @@ def build_bench_fn(use_pallas=None):
 
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 32 * 1024 * 1024
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 80
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 160
     iters_short = max(1, iters // 4)
 
     import jax
