@@ -177,6 +177,12 @@ def main():
             for p in paths:
                 os.unlink(p)
         trials += 1
+        if trials % 200 == 0:
+            # Every random filter config compiles fresh CPU kernels;
+            # unbounded, the jit cache grows to several GB over a long
+            # run (observed: LLVM "Cannot allocate memory" at ~7 GB
+            # RSS after ~30 min).
+            jax.clear_caches()
     print(f"fuzz done: {trials} trials, {fails} failures, "
           f"{time.time() - t0:.0f}s")
     sys.exit(1 if fails else 0)
