@@ -51,8 +51,8 @@ def mixed_script_corpus(size: int, seed: int = 3) -> np.ndarray:
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    short = max(1, iters // 4)
+    iters = max(int(sys.argv[1]) if len(sys.argv) > 1 else 60, 2)
+    short = max(1, iters // 4)  # iters >= 2 keeps iters > short
 
     import jax
     import jax.numpy as jnp

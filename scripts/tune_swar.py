@@ -23,8 +23,8 @@ def timeit(f):
 
 def main():
     size = (int(sys.argv[1]) if len(sys.argv) > 1 else 32) * 1024 * 1024
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    short = max(1, iters // 4)
+    iters = max(int(sys.argv[2]) if len(sys.argv) > 2 else 60, 2)
+    short = max(1, iters // 4)  # iters >= 2 keeps iters > short
 
     import jax
     import jax.numpy as jnp

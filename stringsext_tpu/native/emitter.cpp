@@ -1052,10 +1052,12 @@ void* se_format(int64_t n, const uint64_t* position, const int8_t* precision,
     }
     // Exact upper bound per line: '\n' + file "A " + radix
     // (mark + <=22 digits + "+\t") + enc prefix + string bytes.
-    auto* bufp = new std::vector<uint8_t>();
-    std::vector<uint8_t>& buf = *bufp;
-    buf.resize(total_s + (uint64_t)n * (1 + 2 + 25 + (uint64_t)max_pref) + 64);
-    uint8_t* w = buf.data();
+    // malloc, not a vector: resize() would memset the whole worst-case
+    // buffer (an extra full memory pass) before the loop rewrites it.
+    uint64_t cap = total_s + (uint64_t)n * (1 + 2 + 25 + (uint64_t)max_pref) + 64;
+    uint8_t* base = (uint8_t*)malloc(cap);
+    if (!base) { *out_buf = nullptr; *out_len = 0; return nullptr; }
+    uint8_t* w = base;
     for (int64_t i = 0; i < n; i++) {
         *w++ = '\n';
         if (!no_meta) {
@@ -1093,13 +1095,12 @@ void* se_format(int64_t n, const uint64_t* position, const int8_t* precision,
         memcpy(w, strbufs[midx[i]] + str_off[i], str_len[i]);
         w += str_len[i];
     }
-    buf.resize((size_t)(w - buf.data()));
     static uint8_t empty = 0;
-    *out_buf = buf.empty() ? &empty : buf.data();
-    *out_len = (int64_t)buf.size();
-    return bufp;
+    *out_buf = w == base ? &empty : base;
+    *out_len = (int64_t)(w - base);
+    return base;
 }
 
-void se_format_free(void* handle) { delete (std::vector<uint8_t>*)handle; }
+void se_format_free(void* handle) { free(handle); }
 
 }  // extern "C"

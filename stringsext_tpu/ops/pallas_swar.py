@@ -648,23 +648,29 @@ def _swar_boundary_masks(P, specs, hot_only: bool = False):
             u16[i] = (len(u16), _utf16_pair_structure(P, sp[1]))
     pair_pack = None
     if u16:
-        assert len(u16) <= 4  # bits 3-6 of the shared back-shift word
         pair_pack = jnp.zeros_like(P.W)
         for j, s in u16.values():
             pair_pack = pair_pack | (s["pair1"].astype(jnp.int32) << j)
 
     # The UTF-8 structural masks are filter-independent: compute them
     # once for all UTF-8 missions, and ride the utf16 pair trails on
-    # the claim lookback's element shift (word bits 3+; see
-    # _utf8_structure) - one cross-lane shift instead of two.
+    # the claim lookback's element shift (word bits 3-6; see
+    # _utf8_structure) - one cross-lane shift instead of two. Only the
+    # first 4 UTF-16 missions fit those bits (bit 7+ would collide
+    # with byte 1's claim bits after the <<8 in the claimed mask), so
+    # larger mission sets - possible in hot_only mode, where the
+    # 8-length-bit budget does not apply - keep the separate shift.
     u8s = None
+    pair_on_claim = pair_pack is not None and len(u16) <= 4
     if any(sp[0] == "utf8" for sp in specs):
         u8s = _utf8_structure(
-            P, None if pair_pack is None else pair_pack << 3
+            P, pair_pack << 3 if pair_on_claim else None
         )
-        pp = None if pair_pack is None else _lsr(u8s["extra_back"], 3)
-    elif u16:
-        pp = P.back_elem(pair_pack)
+    if pair_pack is not None:
+        if pair_on_claim and u8s is not None:
+            pp = _lsr(u8s["extra_back"], 3)
+        else:
+            pp = P.back_elem(pair_pack)
 
     def iv_hits(iv, lo, hi):
         return any(a <= hi and b >= lo for a, b in iv)

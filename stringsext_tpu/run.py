@@ -486,11 +486,13 @@ def _emit_lines(out, args: Args, results) -> None:
                 dtype, copy=False
             )
             for name, dtype in (
-                ("position", np.uint64), ("precision", np.int8),
+                ("precision", np.int8),
                 ("completes", np.uint8), ("file_id", np.int32),
                 ("str_off", np.uint64), ("str_len", np.uint32),
             )
         }
+        # `positions` above is already the concatenated uint64 column.
+        full["position"] = positions.astype(np.uint64, copy=False)
         strbufs = [r[2] for r in results]
         flags = (
             (1 if show_file else 0) | (2 if show_radix else 0)

@@ -399,3 +399,34 @@ def test_swar_counts_in_kernel_xor():
                 np.asarray(getattr(got, f))[:c],
                 f"m{mi} {f}",
             )
+
+
+def test_hot_only_many_utf16_missions():
+    """hot_only fuses up to 8 missions of ANY kind - more than 4 UTF-16
+    missions must not hit the claim-shift pair-bit budget (regression:
+    an assert rejected >4 UTF-16 missions per group)."""
+    from stringsext_tpu.ops.pallas_swar import (
+        swar_counts,
+        swar_mission_spec,
+    )
+
+    ms = Missions.new(
+        flag_encoding=["UTF-8", "utf-16le", "utf-16be", "utf-16le,6",
+                       "utf-16be,6", "utf-16le,10"]
+    )
+    specs = tuple(swar_mission_spec(m) for m in ms.v)
+    assert all(s is not None for s in specs)
+    rows = 16
+    raw = _corpus(rows, 3)
+    words = jnp.asarray(raw.view(np.int32).reshape(rows, 128))
+    c_all = np.asarray(
+        swar_counts(words, specs, tile_rows=8, interpret=True, hot_only=True)
+    )
+    # Each mission's accept counts must equal its solo hot_only pass.
+    for mi, sp in enumerate(specs):
+        c_solo = np.asarray(
+            swar_counts(words, (sp,), tile_rows=8, interpret=True,
+                        hot_only=True)
+        )
+        np.testing.assert_array_equal(c_all[2 * mi], c_solo[0], f"m{mi}")
+        np.testing.assert_array_equal(c_all[2 * mi + 1], c_solo[1])
