@@ -1,0 +1,147 @@
+"""TRUE multi-process distributed scan test: 2 OS processes x 4 CPU
+devices join one jax.distributed runtime (Gloo collectives over
+localhost - the CI stand-in for a 2-host pod slice, SURVEY.md sec. 4),
+run the mesh-sharded counts kernel over an 8-way "data" axis with
+cross-PROCESS ppermute halo exchange, and every process checks its
+addressable output shards bit-exactly against the single-device pass.
+
+The reference has no distributed tests (nothing distributed to test);
+this pins the TPU build's added multi-host path end-to-end at the
+process boundary, not just on a virtual in-process mesh.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER_ENV = "STRINGSEXT_DIST_TEST_WORKER"
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _worker_main():
+    pid = int(os.environ[_WORKER_ENV])
+    coord = os.environ["STRINGSEXT_DIST_COORD"]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2
+    assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from stringsext_tpu.mission import Missions
+    from stringsext_tpu.ops.pallas_swar import swar_counts, swar_params
+    from stringsext_tpu.parallel.mesh import build_sharded_counts
+
+    ms = Missions.new(flag_encoding=["UTF-8", "utf-16le", "utf-16be"])
+    p = swar_params(ms.v)
+    specs = (
+        ("utf8", p["af_iv"], p["ubf_iv"], p["greps"][0]),
+        ("utf16", False, p["cp_iv_le"], p["greps"][1]),
+        ("utf16", True, p["cp_iv_be"], p["greps"][2]),
+    )
+
+    # Deterministic corpus, identical in both processes.
+    rng = np.random.default_rng(42)
+    shard_rows, n_data = 16, 8
+    rows = shard_rows * n_data
+    raw = rng.integers(0, 256, size=rows * 512, dtype=np.uint8)
+    msg = "déjà vu €uro Кириллица".encode() + "wide".encode("utf-16-le")
+    for off in range(700, rows * 512 - 128, 4096):
+        raw[off : off + len(msg)] = np.frombuffer(msg, np.uint8)
+    words = raw.view(np.int32).reshape(rows, 128)
+
+    devs = list(jax.devices())
+    mesh = Mesh(np.array(devs), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+
+    # Each process feeds only ITS local devices' row-blocks (the
+    # multi-host input contract: hosts never hold remote shards).
+    arrs = []
+    for d in jax.local_devices():
+        k = devs.index(d)
+        arrs.append(
+            jax.device_put(words[k * shard_rows : (k + 1) * shard_rows], d)
+        )
+    garr = jax.make_array_from_single_device_arrays(
+        (rows, 128), sharding, arrs
+    )
+
+    counts_step = build_sharded_counts(
+        specs, mesh, shard_rows=shard_rows, interpret=True
+    )
+    out = counts_step(garr)  # [n_data, R, shard_rows], sharded P("data")
+
+    # Single-device reference over the whole stream (bit-exact claim).
+    import jax.numpy as jnp
+
+    ref = np.asarray(
+        swar_counts(jnp.asarray(words), specs, tile_rows=rows,
+                    interpret=True)
+    )
+
+    checked = 0
+    for sh in out.addressable_shards:
+        d = sh.index[0].start or 0
+        got = np.asarray(sh.data)[0]
+        np.testing.assert_array_equal(
+            got, ref[:, d * shard_rows : (d + 1) * shard_rows],
+            f"shard {d}",
+        )
+        checked += 1
+    assert checked == 4
+    print(f"WORKER{pid}-OK", flush=True)
+
+
+def test_two_process_distributed_counts():
+    # Bounded by the workers' communicate(timeout=540) below.
+    port = _free_port()
+    env = dict(os.environ)
+    env["STRINGSEXT_DIST_COORD"] = f"127.0.0.1:{port}"
+    env.pop("JAX_PLATFORMS", None)
+    procs = []
+    for pid in range(2):
+        e = dict(env)
+        e[_WORKER_ENV] = str(pid)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+        )
+    outs = []
+    for pr in procs:
+        out, _ = pr.communicate(timeout=540)
+        outs.append(out.decode(errors="replace"))
+    for pid, (pr, out) in enumerate(zip(procs, outs)):
+        assert pr.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"WORKER{pid}-OK" in out, out[-3000:]
+
+
+if __name__ == "__main__":
+    if _WORKER_ENV in os.environ:
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        _worker_main()
+    else:
+        raise SystemExit("worker entry only")
