@@ -310,6 +310,61 @@ def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 10
     )
 
 
+# Segment-parallel native scanning (engine=tpu): kinds whose event
+# stream provably re-synchronizes at a cold-slice boundary. The modal /
+# multi-byte CJK kinds are excluded: their resume-after-skip machinery
+# (align_cursor ground bytes, ISO-2022-JP mode) needs the sequential
+# cursor as a fallback, which a fresh segment does not have.
+_SEGMENT_KINDS = ("utf8", "utf16le", "utf16be", "single-byte")
+_SEGMENT_MAX = None  # None = os.cpu_count(); tests monkeypatch this
+
+
+def _segment_rows(sl, hot, window_bytes: int, max_segments: int):
+    """Split a buffered scan into independently scannable row spans of
+    the slice table - the HOST analog of the device halo stitching
+    (SURVEY.md sec. 5 sequence parallelism).
+
+    A segment may start at slice row r iff the previous slice is
+    entirely cold (no hot range intersects it) and at least two decode
+    windows long: the sequential scanner entering that cold slice
+    quiesces within its first window (leftover re-filtered, maybe-cut
+    flag cleared, decoder carry resolved - rejected chars crossing the
+    boundary decode to run-breaking events either way) and skips the
+    rest, so the state at row r is provably the fresh state with
+    cursor = slice start. UTF-16 additionally requires an even start
+    (unit phase is bytes-consumed parity). Returns sorted row indices
+    (possibly empty), at most max_segments-1 of them, balanced by byte
+    span."""
+    import numpy as np
+
+    starts, lens, _fids, _last = sl
+    hs, he = hot
+    n_rows = len(starts)
+    if n_rows < 2 or max_segments <= 1:
+        return []
+    prev_start = starts[:-1]
+    prev_end = prev_start + lens[:-1]
+    # First hot range ending after prev_start; cold iff it starts at or
+    # after prev_end.
+    k = np.searchsorted(he, prev_start, "right")
+    kk = np.minimum(k, max(len(hs) - 1, 0))
+    cold = (k >= len(hs)) | (
+        (hs[kk] >= prev_end) if len(hs) else np.ones(n_rows - 1, bool)
+    )
+    ok = cold & (lens[:-1] >= 2 * window_bytes) & (starts[1:] % 2 == 0)
+    cand = np.flatnonzero(ok) + 1
+    if len(cand) == 0:
+        return []
+    # Pick the candidate nearest each equal-byte-span target.
+    total = int(starts[-1] + lens[-1])
+    picks = []
+    for g in range(1, max_segments):
+        target = total * g // max_segments
+        j = int(np.argmin(np.abs(starts[cand].astype(np.int64) - target)))
+        picks.append(int(cand[j]))
+    return sorted(set(picks))
+
+
 def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
     """Scan all missions, returning per-mission column arrays:
     dict(position, precision, completes, file_id, str_off, str_len) +
@@ -366,19 +421,91 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
             for i, m, _sp in lanes_jobs:
                 hot_by_mission[i] = _device_hot_ranges(stream, m)
 
-        def job(im):
-            i, m = im
-            return i, m, native.native_scan(
-                m, stream.data, *sl, hot_ranges=hot_by_mission.get(i)
+        # Segment-parallel dispatch: missions with device hot maps and a
+        # re-synchronizing kind split at provably-quiescent cold slices
+        # so ONE mission's emitter runs on several cores (the reference
+        # is strictly sequential per mission). Each job is
+        # (mission_idx, mission, (row0, row1) | None).
+        import os
+
+        max_seg = _SEGMENT_MAX or (os.cpu_count() or 1)
+        all_jobs = []
+        nseg_by_mission = {}
+        for i, m in native_jobs:
+            hot = hot_by_mission.get(i)
+            splits = []
+            if (
+                hot is not None and max_seg > 1
+                and encoding_kind(m.encoding_name) in _SEGMENT_KINDS
+            ):
+                splits = _segment_rows(
+                    sl, hot, 2 * m.output_line_char_nb_max, max_seg
+                )
+            bounds = [0] + splits + [len(sl[0])]
+            nseg_by_mission[i] = len(bounds) - 1
+            if len(bounds) == 2:
+                all_jobs.append((i, m, None))
+            else:
+                for r0, r1 in zip(bounds[:-1], bounds[1:]):
+                    all_jobs.append((i, m, (r0, r1)))
+
+        def job(t):
+            i, m, seg = t
+            hot = hot_by_mission.get(i)
+            if seg is None:
+                return t, native.native_scan(
+                    m, stream.data, *sl, hot_ranges=hot
+                )
+            r0, r1 = seg
+            ssl = tuple(a[r0:r1] for a in sl)
+            seg_start = int(sl[0][r0])
+            st = {
+                "consumed": m.counter_offset + seg_start,
+                "cursor": seg_start,
+                "printed_maybe_cut": False,
+                "dec_mode": 0,
+                "dec_output_flag": False,
+                "leftover_cps": [],
+            }
+            hs, he = hot
+            seg_end = int(sl[0][r1 - 1] + sl[1][r1 - 1])
+            ksel = (hs < seg_end) & (he > seg_start)
+            return t, native.native_scan(
+                m, stream.data, *ssl, state=st,
+                hot_ranges=(hs[ksel], he[ksel]),
             )
 
-        if len(native_jobs) == 1:
-            i, m, (res, sb) = job(native_jobs[0])
-            results[i] = (m, res, sb)
+        seg_parts = {}  # mission idx -> [(r0, res, sb)]
+        workers = min(len(all_jobs), max(max_seg, len(native_jobs)))
+        if len(all_jobs) == 1:
+            outs = [job(all_jobs[0])]
         else:
-            with ThreadPoolExecutor(max_workers=len(native_jobs)) as ex:
-                for i, m, (res, sb) in ex.map(job, native_jobs):
-                    results[i] = (m, res, sb)
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                outs = list(ex.map(job, all_jobs))
+        for (i, m, seg), (res, sb) in outs:
+            seg_parts.setdefault(i, []).append(
+                (0 if seg is None else seg[0], m, res, sb)
+            )
+        for i, parts in seg_parts.items():
+            parts.sort(key=lambda p: p[0])
+            m = parts[0][1]
+            if len(parts) == 1:
+                results[i] = (m, parts[0][2], parts[0][3])
+                continue
+            sb = b"".join(p[3] for p in parts)
+            off = 0
+            cols = {k: [] for k in parts[0][2]}
+            for _r0, _m, res, psb in parts:
+                for k, v in res.items():
+                    if k == "str_off":
+                        v = v + np.uint64(off)
+                    cols[k].append(v)
+                off += len(psb)
+            results[i] = (
+                m,
+                {k: np.concatenate(v) for k, v in cols.items()},
+                sb,
+            )
 
     if python_missions:
         sub = Missions(python_missions)

@@ -1,0 +1,98 @@
+"""Segment-parallel native scanning (run.py engine=tpu): splitting the
+stream at provably-quiescent cold slices must be invisible in the
+output - byte-identical to the unsegmented scan and to the Python
+oracle, including boundary carries, precision marks and continuation
+flags near the split points."""
+
+import io
+
+import numpy as np
+import pytest
+
+from stringsext_tpu import run as R
+from stringsext_tpu.cli import parse_args
+
+rng = np.random.default_rng(17)
+
+
+def _run(argv, engine, monkeypatch, max_seg):
+    monkeypatch.setattr(R, "_SEGMENT_MAX", max_seg)
+    buf = io.BytesIO()
+    R.run(parse_args(argv), out=buf, engine=engine)
+    return buf.getvalue()
+
+
+def _clustered_corpus(size=400_000):
+    """Hot clusters separated by long cold (zero / high-byte) gaps -
+    the sparse-disk-image shape segmentation targets."""
+    blob = bytearray(rng.integers(0, 256, size, np.uint8).tobytes())
+    blob[60_000:140_000] = b"\x00" * 80_000
+    blob[200_000:260_000] = b"\xff" * 60_000
+    plants = [
+        (30_000, "first cluster déjà €uro".encode()),
+        (59_990, "string touching the gap".encode()),  # into the gap
+        (140_010, "after gap +continuation test".encode()),
+        (150_000, "wide Кириллица".encode("utf-16-le")),
+        (260_000, "tail cluster Ωμέγα".encode("utf-16-be")),
+        (399_000, "final string at stream end".encode()),
+    ]
+    for off, m in plants:
+        blob[off : off + len(m)] = m
+    return bytes(blob)
+
+
+@pytest.mark.parametrize("max_seg", [2, 3, 7])
+def test_segmented_equals_unsegmented(tmp_path, monkeypatch, max_seg):
+    p = tmp_path / "seg.bin"
+    p.write_bytes(_clustered_corpus())
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-e", "utf-16be",
+            str(p)]
+    ref = _run(argv, "python", monkeypatch, 1)
+    un = _run(argv, "tpu", monkeypatch, 1)
+    seg = _run(argv, "tpu", monkeypatch, max_seg)
+    assert un == ref
+    assert seg == ref
+    assert ref.count(b"\n") > 1000
+
+
+def test_segmented_multifile_odd_boundary(tmp_path, monkeypatch):
+    """An odd-length first file shifts every later slice to odd
+    offsets: UTF-16 segments must refuse those split points (unit
+    phase) while UTF-8 may still split; output must stay identical."""
+    a = tmp_path / "a.bin"
+    b = tmp_path / "b.bin"
+    blob1 = bytearray(rng.integers(0, 256, 30_001, np.uint8).tobytes())
+    blob1[1000:1010] = b"abcdefghij"
+    blob2 = bytearray(rng.integers(0, 256, 200_000, np.uint8).tobytes())
+    blob2[50_000:120_000] = b"\x00" * 70_000
+    m = "après le vide".encode()
+    blob2[130_000 : 130_000 + len(m)] = m
+    w = "wide string".encode("utf-16-le")
+    blob2[140_001 : 140_001 + len(w)] = w  # odd absolute offset
+    a.write_bytes(bytes(blob1))
+    b.write_bytes(bytes(blob2))
+    argv = ["-t", "d", "-e", "UTF-8", "-e", "utf-16le", str(a), str(b)]
+    ref = _run(argv, "python", monkeypatch, 1)
+    seg = _run(argv, "tpu", monkeypatch, 6)
+    assert seg == ref
+
+
+def test_segment_rows_constraints():
+    """_segment_rows only proposes rows after cold slices of >=2
+    windows with even absolute starts."""
+    starts = np.array([0, 4096, 8192, 12288], np.int64)
+    lens = np.array([4096, 4096, 4096, 100], np.int32)
+    fids = np.full(4, -1, np.int32)
+    last = np.zeros(4, np.uint8)
+    sl = (starts, lens, fids, last)
+    # Hot range inside slice 1 only: slices 0 and 2 are cold.
+    hot = (np.array([5000], np.int64), np.array([6000], np.int64))
+    rows = R._segment_rows(sl, hot, window_bytes=128, max_segments=4)
+    # Row 1 (after cold slice 0), row 3 (after cold slice 2) are legal;
+    # row 2 (after the hot slice 1) is not.
+    assert set(rows) <= {1, 3}
+    assert rows
+    none = R._segment_rows(sl, (np.zeros(0, np.int64), np.zeros(0, np.int64)),
+                           window_bytes=4096, max_segments=4)
+    # windows of 4096 bytes: no slice holds two windows -> no splits.
+    assert none == []
