@@ -76,6 +76,30 @@ def random_config(rng):
 
 def random_corpus(rng, nprng):
     size = rng.choice([64, 700, 4095, 4096, 4097, 9000, 20000])
+    if rng.random() < 0.15:
+        # Large sparse corpus with whole-slice cold gaps: exercises the
+        # segment-parallel split points (quiescent cold slices) and
+        # strings ending exactly at split-eligible boundaries.
+        size = rng.choice([32768, 65536, 131072])
+        data = bytearray(size)
+        pos = 0
+        while pos < size - 4096:
+            gap = 4096 * rng.randint(1, 4)
+            pos += gap
+            isl = rng.randint(8, 3000)
+            if pos + isl >= size:
+                break
+            data[pos : pos + isl] = nprng.integers(
+                0, 256, size=isl, dtype=np.uint8
+            ).tobytes()
+            # half the time, butt a string right against the gap edge
+            if rng.random() < 0.5:
+                codec, text = rng.choice(PLANTS)
+                t = text.encode(codec)
+                if len(t) < isl:
+                    data[pos : pos + len(t)] = t
+            pos += isl
+        return bytes(data)
     if rng.random() < 0.35:
         # Sparse corpus: mostly zeros (cold blocks for the engine=tpu
         # hot-range skipper) with random hot islands and CJK chain-byte
@@ -137,6 +161,11 @@ def main():
                 f.close()
                 paths.append(f.name)
             outs = {}
+            from stringsext_tpu import run as run_mod
+
+            # Randomize the segment-parallel split count so every trial
+            # exercises a different split placement (1 = no splits).
+            run_mod._SEGMENT_MAX = rng.choice([1, 2, 3, 5, 8])
             for engine in ("python", "auto", "tpu"):
                 args = parse_args(argv + paths)
                 buf = io.BytesIO()
