@@ -164,8 +164,11 @@ def main():
             from stringsext_tpu import run as run_mod
 
             # Randomize the segment-parallel split count so every trial
-            # exercises a different split placement (1 = no splits).
+            # exercises a different split placement (1 = no splits),
+            # and the host-side hot-map prepass (forced on half the
+            # time - corpora here are below its auto threshold).
             run_mod._SEGMENT_MAX = rng.choice([1, 2, 3, 5, 8])
+            os.environ["STRINGSEXT_HOST_HOTMAP"] = rng.choice(["0", "1"])
             for engine in ("python", "auto", "tpu"):
                 args = parse_args(argv + paths)
                 buf = io.BytesIO()

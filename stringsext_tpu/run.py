@@ -310,6 +310,78 @@ def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 10
     )
 
 
+def _host_hot_ranges(stream: LoadedStream, jobs):
+    """Hot byte ranges from a HOST-side prepass - the no-device variant
+    of _device_hot_ranges_swar with the same conservative contract
+    (ranges are a superset of every finding's bytes; the emitter skips
+    everything else and rescans hot ranges exactly).
+
+    Built from the same static mission specs as the device kernels:
+    byte-value LUT membership for the utf8/sbyte/CJK-plausible specs (a
+    block with no AF-accepted or accepted-lead byte value contains no
+    accepted char START; the 8-byte spill margin covers trailing
+    continuation bytes, exactly like the device criterion), and an
+    exact accepted-unit interval test for UTF-16 (units sit at even
+    stream offsets; surrogate ranges are added when the filters reach
+    the astral planes so pair units stay hot). numpy does one pass per
+    mission at memory bandwidth - ~50x slower than the device kernels
+    but it gives engine=auto the skip machinery and segment-parallel
+    scanning with no TPU attached.
+    """
+    import numpy as np
+
+    from .encodings import encoding_kind  # noqa: F401 (spec selection)
+    from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+
+    data = stream.data
+    n = len(data)
+    nb = (n + _HOT_BLOCK - 1) // _HOT_BLOCK
+    npad = nb * _HOT_BLOCK
+    out = {}
+    dpad = None
+    for i, m in jobs:
+        spec = swar_mission_spec(m) or cjk_hot_spec(m)
+        if spec is None:
+            continue
+        kind = spec[0]
+        if kind == "utf16":
+            # High-byte LUT on the strided unit-high positions: a unit
+            # is accepted only if its high byte is the high byte of
+            # SOME accepted codepoint, so this is a superset of the
+            # exact unit test at ~1/6 the memory passes. Units sit at
+            # even stream offsets; LE's high byte is the odd position.
+            _k, be, cp_iv, _g = spec
+            iv = list(cp_iv)
+            if any(hi >= 0x10000 for _lo, hi in iv):
+                iv.append((0xD800, 0xDFFF))
+            hi_lut = np.zeros(256, bool)
+            for lo, hi in iv:
+                if lo <= 0xFFFF:
+                    hi_lut[lo >> 8 : (min(hi, 0xFFFF) >> 8) + 1] = True
+            if dpad is None:
+                dpad = np.zeros(npad, np.uint8)
+                dpad[:n] = data
+            hi_pos = dpad[(0 if be else 1) :: 2]
+            hb = hi_lut[hi_pos].reshape(nb, _HOT_BLOCK // 2).any(axis=1)
+        else:
+            iv = (spec[1] + spec[2]) if kind == "utf8" else spec[1]
+            lut = np.zeros(256, bool)
+            for lo, hi in iv:
+                lut[lo : hi + 1] = True
+            if dpad is None:
+                dpad = np.zeros(npad, np.uint8)
+                dpad[:n] = data
+            hb = lut[dpad].reshape(nb, _HOT_BLOCK).any(axis=1)
+        if len(hb):
+            hb[0] = True
+            hb[-1] = True  # stream edges: boundary-spanning carry
+        d = np.diff(hb.astype(np.int8), prepend=0, append=0)
+        s_blk = np.flatnonzero(d == 1).astype(np.int64) * _HOT_BLOCK - 8
+        e_blk = np.flatnonzero(d == -1).astype(np.int64) * _HOT_BLOCK + 8
+        out[i] = _merge_ranges(s_blk, e_blk, n)
+    return out
+
+
 # Segment-parallel native scanning (engine=tpu): kinds whose event
 # stream provably re-synchronizes at a cold-slice boundary. The modal /
 # multi-byte CJK kinds are excluded: their resume-after-skip machinery
@@ -376,6 +448,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
     from . import native
     from .encodings import encoding_kind
     from .input import slice_table
+    from .utils import profiling
 
     results = [None] * len(missions.v)
     native_ok = engine != "python"
@@ -396,7 +469,21 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
         # every window outside them.
         from concurrent.futures import ThreadPoolExecutor
 
+        import os
+
         hot_by_mission = {}
+        if engine != "tpu":
+            # Host-side hot maps: a numpy prepass gives the native
+            # engine the same window-skipping + segmentation machinery
+            # with no device attached. OPT-IN (STRINGSEXT_HOST_HOTMAP=1,
+            # inputs >= 4 MiB): whether the prepass pays off depends on
+            # host memory bandwidth vs the emitter's own cold fast
+            # paths, which already chew rejected bytes at several
+            # hundred MB/s - measure on your host before enabling.
+            hm = os.environ.get("STRINGSEXT_HOST_HOTMAP", "0")
+            if hm == "1":
+                with profiling.scope("host.hotmap", len(stream.data)):
+                    hot_by_mission = _host_hot_ranges(stream, native_jobs)
         if engine == "tpu":
             from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
 

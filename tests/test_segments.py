@@ -96,3 +96,48 @@ def test_segment_rows_constraints():
                            window_bytes=4096, max_segments=4)
     # windows of 4096 bytes: no slice holds two windows -> no splits.
     assert none == []
+
+
+def test_host_hotmap_auto_engine(tmp_path, monkeypatch):
+    """engine=auto with the host-side hot-map prepass forced on must be
+    byte-identical to the Python oracle (and to auto with maps off),
+    including a CJK plausible-spec mission."""
+    p = tmp_path / "hostmap.bin"
+    p.write_bytes(_clustered_corpus())
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16be", "-e", "euc-kr",
+            str(p)]
+    ref = _run(argv, "python", monkeypatch, 1)
+    monkeypatch.setenv("STRINGSEXT_HOST_HOTMAP", "0")
+    off = _run(argv, "auto", monkeypatch, 1)
+    monkeypatch.setenv("STRINGSEXT_HOST_HOTMAP", "1")
+    on = _run(argv, "auto", monkeypatch, 1)
+    on_seg = _run(argv, "auto", monkeypatch, 4)
+    assert off == ref
+    assert on == ref
+    assert on_seg == ref
+
+
+def test_host_hotmap_ranges_cover_findings(tmp_path, monkeypatch):
+    """The host hot map must be a strict superset of every finding's
+    bytes (spot-check on a random corpus with planted strings)."""
+    import numpy as np
+
+    from stringsext_tpu.input import LoadedStream
+    from stringsext_tpu.mission import Missions
+
+    blob = bytearray(rng.integers(0, 256, 100_000, np.uint8).tobytes())
+    blob[5_000:45_000] = b"\x00" * 40_000
+    m1 = "утф16 строка".encode("utf-16-le")
+    blob[20_000 : 20_000 + len(m1)] = m1  # planted INSIDE the zero gap
+    data = np.frombuffer(bytes(blob), np.uint8)
+    stream = LoadedStream(data, [(None, 0, len(data))])
+    ms = Missions.new(flag_encoding=["UTF-8", "utf-16le"])
+    hot = R._host_hot_ranges(stream, list(enumerate(ms.v)))
+    res = R._scan_arrays(stream, ms, "python")
+    for i, (m, cols, _sb) in enumerate(res):
+        hs, he = hot[i]
+        for pos, ln in zip(cols["position"], cols["str_len"]):
+            # every finding's first byte lies in a hot range
+            k = np.searchsorted(he, int(pos), "right")
+            assert k < len(hs) and hs[k] <= int(pos) < he[k], (
+                m.encoding_name, int(pos))
