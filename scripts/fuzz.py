@@ -165,8 +165,8 @@ def main():
 
             # Randomize the segment-parallel split count so every trial
             # exercises a different split placement (1 = no splits),
-            # and the host-side hot-map prepass (forced on half the
-            # time - corpora here are below its auto threshold).
+            # and toggle the opt-in host-side hot-map prepass so its
+            # skip/segmentation machinery is fuzzed too.
             run_mod._SEGMENT_MAX = rng.choice([1, 2, 3, 5, 8])
             os.environ["STRINGSEXT_HOST_HOTMAP"] = rng.choice(["0", "1"])
             for engine in ("python", "auto", "tpu"):

@@ -330,48 +330,63 @@ def _host_hot_ranges(stream: LoadedStream, jobs):
     """
     import numpy as np
 
-    from .encodings import encoding_kind  # noqa: F401 (spec selection)
     from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
 
     data = stream.data
     n = len(data)
     nb = (n + _HOT_BLOCK - 1) // _HOT_BLOCK
-    npad = nb * _HOT_BLOCK
+    n_body = (nb - 1) * _HOT_BLOCK if nb else 0  # whole blocks
     out = {}
-    dpad = None
     for i, m in jobs:
         spec = swar_mission_spec(m) or cjk_hot_spec(m)
         if spec is None:
             continue
         kind = spec[0]
+        hb = np.zeros(nb, bool)
         if kind == "utf16":
             # High-byte LUT on the strided unit-high positions: a unit
             # is accepted only if its high byte is the high byte of
-            # SOME accepted codepoint, so this is a superset of the
-            # exact unit test at ~1/6 the memory passes. Units sit at
-            # even stream offsets; LE's high byte is the odd position.
+            # SOME accepted codepoint - a superset of the exact unit
+            # test at a fraction of the memory passes. Page 0 (high
+            # byte 0x00) gets an exact low-byte test instead: zero
+            #-filled gaps would otherwise be all-hot whenever the
+            # filter accepts any cp < 0x100 (cp 0x0000 is rejected,
+            # so zeros stay cold). Units sit at even stream offsets;
+            # LE's high byte is the odd position.
             _k, be, cp_iv, _g = spec
             iv = list(cp_iv)
             if any(hi >= 0x10000 for _lo, hi in iv):
                 iv.append((0xD800, 0xDFFF))
             hi_lut = np.zeros(256, bool)
+            lo_lut0 = np.zeros(256, bool)
             for lo, hi in iv:
                 if lo <= 0xFFFF:
-                    hi_lut[lo >> 8 : (min(hi, 0xFFFF) >> 8) + 1] = True
-            if dpad is None:
-                dpad = np.zeros(npad, np.uint8)
-                dpad[:n] = data
-            hi_pos = dpad[(0 if be else 1) :: 2]
-            hb = hi_lut[hi_pos].reshape(nb, _HOT_BLOCK // 2).any(axis=1)
+                    hi_lut[max(lo >> 8, 1) : (min(hi, 0xFFFF) >> 8) + 1] = True
+                if lo <= 0xFF:
+                    lo_lut0[lo : min(hi, 0xFF) + 1] = True
+            nu = n // 2  # whole units
+            hi_pos = data[(0 if be else 1) : 2 * nu : 2]
+            lo_pos = data[(1 if be else 0) : 2 * nu : 2]
+            um = hi_lut[hi_pos]
+            if lo_lut0.any():
+                um |= (hi_pos == 0) & lo_lut0[lo_pos]
+            upb = _HOT_BLOCK // 2
+            nbu = (nu // upb) * upb
+            if nbu:
+                blk = um[:nbu].reshape(-1, upb).any(axis=1)
+                hb[: len(blk)] = blk
+            if nu > nbu and um[nbu:].any():
+                hb[nbu // upb] = True
         else:
             iv = (spec[1] + spec[2]) if kind == "utf8" else spec[1]
             lut = np.zeros(256, bool)
             for lo, hi in iv:
                 lut[lo : hi + 1] = True
-            if dpad is None:
-                dpad = np.zeros(npad, np.uint8)
-                dpad[:n] = data
-            hb = lut[dpad].reshape(nb, _HOT_BLOCK).any(axis=1)
+            bm = lut[data]
+            if n_body:
+                hb[: nb - 1] = bm[:n_body].reshape(-1, _HOT_BLOCK).any(axis=1)
+            if n > n_body and bm[n_body:].any():
+                hb[nb - 1] = True
         if len(hb):
             hb[0] = True
             hb[-1] = True  # stream edges: boundary-spanning carry
@@ -391,22 +406,32 @@ _SEGMENT_KINDS = ("utf8", "utf16le", "utf16be", "single-byte")
 _SEGMENT_MAX = None  # None = os.cpu_count(); tests monkeypatch this
 
 
-def _segment_rows(sl, hot, window_bytes: int, max_segments: int):
+def _segment_rows(sl, hot, window_bytes: int, max_segments: int,
+                  data=None, kind: str = "utf8"):
     """Split a buffered scan into independently scannable row spans of
     the slice table - the HOST analog of the device halo stitching
     (SURVEY.md sec. 5 sequence parallelism).
 
     A segment may start at slice row r iff the previous slice is
-    entirely cold (no hot range intersects it) and at least two decode
-    windows long: the sequential scanner entering that cold slice
-    quiesces within its first window (leftover re-filtered, maybe-cut
-    flag cleared, decoder carry resolved - rejected chars crossing the
-    boundary decode to run-breaking events either way) and skips the
-    rest, so the state at row r is provably the fresh state with
-    cursor = slice start. UTF-16 additionally requires an even start
-    (unit phase is bytes-consumed parity). Returns sorted row indices
-    (possibly empty), at most max_segments-1 of them, balanced by byte
-    span."""
+    entirely cold (no hot range intersects it), at least two decode
+    windows long, and NO event can span the boundary: the sequential
+    scanner entering that cold slice quiesces within its first window
+    (leftover re-filtered, maybe-cut flag cleared) and skips the rest,
+    so the state at row r is provably the fresh state with cursor =
+    slice start. The no-span guard matters even for REJECTED chars: a
+    valid-but-filtered char straddling the boundary reports inside the
+    new segment in the sequential scan but re-decodes as malformed
+    events there in a segmented scan, which advances the decode-call
+    label differently and shifts the (call-granular) printed position
+    of a finding in that first window. Guards per kind (`data` is the
+    stream bytes; both may be omitted for sbyte kinds):
+      utf8:   data[start] must not be a continuation byte (every char
+              spanning the boundary claims one there);
+      utf16*: start must be even (unit phase = bytes-consumed parity,
+              which stays even for UTF-16 streams) and the previous
+              unit must not be a high surrogate (no pair may span).
+    Returns sorted row indices (possibly empty), at most
+    max_segments-1 of them, balanced by byte span."""
     import numpy as np
 
     starts, lens, _fids, _last = sl
@@ -423,7 +448,19 @@ def _segment_rows(sl, hot, window_bytes: int, max_segments: int):
     cold = (k >= len(hs)) | (
         (hs[kk] >= prev_end) if len(hs) else np.ones(n_rows - 1, bool)
     )
-    ok = cold & (lens[:-1] >= 2 * window_bytes) & (starts[1:] % 2 == 0)
+    ok = cold & (lens[:-1] >= 2 * window_bytes)
+    p = starts[1:]
+    if kind == "utf8" and data is not None:
+        b = np.asarray(data[np.minimum(p, len(data) - 1)])
+        ok = ok & ~((b >= 0x80) & (b <= 0xBF))
+    elif kind in ("utf16le", "utf16be"):
+        ok = ok & (p % 2 == 0)
+        if data is not None:
+            hi_off = 1 if kind == "utf16le" else 2
+            hi = np.asarray(
+                data[np.clip(p - hi_off, 0, len(data) - 1)]
+            )
+            ok = ok & ~((hi >= 0xD8) & (hi <= 0xDB) & (p >= 2))
     cand = np.flatnonzero(ok) + 1
     if len(cand) == 0:
         return []
@@ -475,11 +512,11 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
         if engine != "tpu":
             # Host-side hot maps: a numpy prepass gives the native
             # engine the same window-skipping + segmentation machinery
-            # with no device attached. OPT-IN (STRINGSEXT_HOST_HOTMAP=1,
-            # inputs >= 4 MiB): whether the prepass pays off depends on
-            # host memory bandwidth vs the emitter's own cold fast
-            # paths, which already chew rejected bytes at several
-            # hundred MB/s - measure on your host before enabling.
+            # with no device attached. OPT-IN (STRINGSEXT_HOST_HOTMAP=1):
+            # whether the prepass pays off depends on host memory
+            # bandwidth vs the emitter's own cold fast paths, which
+            # already chew rejected bytes at several hundred MB/s -
+            # measure on your host before enabling.
             hm = os.environ.get("STRINGSEXT_HOST_HOTMAP", "0")
             if hm == "1":
                 with profiling.scope("host.hotmap", len(stream.data)):
@@ -513,23 +550,18 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
         # so ONE mission's emitter runs on several cores (the reference
         # is strictly sequential per mission). Each job is
         # (mission_idx, mission, (row0, row1) | None).
-        import os
-
         max_seg = _SEGMENT_MAX or (os.cpu_count() or 1)
         all_jobs = []
-        nseg_by_mission = {}
         for i, m in native_jobs:
             hot = hot_by_mission.get(i)
             splits = []
-            if (
-                hot is not None and max_seg > 1
-                and encoding_kind(m.encoding_name) in _SEGMENT_KINDS
-            ):
+            kind = encoding_kind(m.encoding_name)
+            if hot is not None and max_seg > 1 and kind in _SEGMENT_KINDS:
                 splits = _segment_rows(
-                    sl, hot, 2 * m.output_line_char_nb_max, max_seg
+                    sl, hot, 2 * m.output_line_char_nb_max, max_seg,
+                    data=stream.data, kind=kind,
                 )
             bounds = [0] + splits + [len(sl[0])]
-            nseg_by_mission[i] = len(bounds) - 1
             if len(bounds) == 2:
                 all_jobs.append((i, m, None))
             else:

@@ -111,9 +111,7 @@ def _worker_main():
     print(f"WORKER{pid}-OK", flush=True)
 
 
-def test_two_process_distributed_counts():
-    # Bounded by the workers' communicate(timeout=540) below.
-    port = _free_port()
+def _spawn_round(port, timeout_s):
     env = dict(os.environ)
     env["STRINGSEXT_DIST_COORD"] = f"127.0.0.1:{port}"
     env.pop("JAX_PLATFORMS", None)
@@ -129,12 +127,31 @@ def test_two_process_distributed_counts():
             )
         )
     outs = []
-    for pr in procs:
-        out, _ = pr.communicate(timeout=540)
-        outs.append(out.decode(errors="replace"))
-    for pid, (pr, out) in enumerate(zip(procs, outs)):
-        assert pr.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
-        assert f"WORKER{pid}-OK" in out, out[-3000:]
+    try:
+        for pr in procs:
+            out, _ = pr.communicate(timeout=timeout_s)
+            outs.append(out.decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        for pr in procs:
+            pr.kill()
+            pr.wait()
+        return None
+    return list(zip(procs, outs))
+
+
+def test_two_process_distributed_counts():
+    # The probe socket closes before the coordinator rebinds the port
+    # (TOCTOU), so retry the whole round on a fresh port if a round
+    # fails or hangs.
+    last = None
+    for _attempt in range(3):
+        res = _spawn_round(_free_port(), timeout_s=240)
+        if res is not None and all(pr.returncode == 0 for pr, _ in res):
+            for pid, (pr, out) in enumerate(res):
+                assert f"WORKER{pid}-OK" in out, out[-3000:]
+            return
+        last = res
+    assert False, f"all attempts failed: {last and [o[-2000:] for _, o in last]}"
 
 
 if __name__ == "__main__":

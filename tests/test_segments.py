@@ -141,3 +141,66 @@ def test_host_hotmap_ranges_cover_findings(tmp_path, monkeypatch):
             k = np.searchsorted(he, int(pos), "right")
             assert k < len(hs) and hs[k] <= int(pos) < he[k], (
                 m.encoding_name, int(pos))
+
+
+def test_segment_rows_span_guards():
+    """No split where an event could span the boundary: a continuation
+    byte at the split point (UTF-8) or a preceding high surrogate
+    (UTF-16) vetoes the candidate - a valid-but-REJECTED char
+    straddling the split would otherwise re-decode as malformed events
+    and shift the call-granular printed position of a finding in the
+    segment's first window."""
+    starts = np.array([0, 4096, 8192], np.int64)
+    lens = np.array([4096, 4096, 4096], np.int32)
+    sl = (starts, lens, np.full(3, -1, np.int32), np.zeros(3, np.uint8))
+    hot = (np.array([8200], np.int64), np.array([8300], np.int64))
+
+    data = np.zeros(12288, np.uint8)
+    rows = R._segment_rows(sl, hot, 128, 4, data=data, kind="utf8")
+    assert 4096 in starts[rows] or 8192 in starts[rows]
+
+    # Continuation byte right at every candidate start: all vetoed.
+    data2 = data.copy()
+    data2[4096] = 0xAD
+    data2[8192] = 0x98
+    rows2 = R._segment_rows(sl, hot, 128, 4, data=data2, kind="utf8")
+    assert rows2 == []
+
+    # UTF-16LE: a high surrogate unit just before the boundary vetoes.
+    data3 = data.copy()
+    data3[4095] = 0xD8  # unit [4094,4096) = lone/pair high surrogate
+    rows3 = R._segment_rows(sl, hot, 128, 4, data=data3, kind="utf16le")
+    assert 4096 not in starts[rows3].tolist()
+    # BE: high byte sits at the unit's first byte.
+    data4 = data.copy()
+    data4[4094] = 0xD9
+    rows4 = R._segment_rows(sl, hot, 128, 4, data=data4, kind="utf16be")
+    assert 4096 not in starts[rows4].tolist()
+
+
+def test_segmented_spanning_rejected_char(tmp_path, monkeypatch):
+    """End-to-end adversarial layout from the review: slices land at
+    504 mod 512 (odd-length first file), a filter-rejected 3-byte char
+    straddles the only split-eligible slice boundary, and an accepted
+    string sits 8 bytes after it (hot range starts exactly at the
+    boundary). Output must not depend on segmentation."""
+    f1 = tmp_path / "a.bin"
+    f2 = tmp_path / "b.bin"
+    f1.write_bytes(b"\x00" * (3 * 4096 + 504))
+    blob = bytearray(b"\x00" * 65536)
+    # Slice boundaries in file 2 sit at 504 mod 4096 absolute... build
+    # relative to file 2: its slices start at offsets 0, 4096, ... and
+    # absolute positions 3*4096+504 + k*4096 (== 504 mod 512).
+    for k in (2, 5, 9):
+        b0 = k * 4096  # file-2-relative slice boundary
+        blob[b0 - 2 : b0 + 1] = b"\xe4\xb8\xad"  # rejected CJK char
+        msg = b"boundary finding text"
+        blob[b0 + 8 : b0 + 8 + len(msg)] = msg
+    f2.write_bytes(bytes(blob))
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", str(f1), str(f2)]
+    ref = _run(argv, "python", monkeypatch, 1)
+    un = _run(argv, "tpu", monkeypatch, 1)
+    for max_seg in (2, 4, 8):
+        seg = _run(argv, "tpu", monkeypatch, max_seg)
+        assert seg == ref, max_seg
+    assert un == ref
