@@ -508,3 +508,4 @@ def _compact_runs(accept, length, gflag, capacity: int) -> RunTable:
         count=jnp.minimum(nruns, capacity),
         overflow=nruns > capacity,
     )
+
