@@ -22,6 +22,7 @@ _LIB = os.path.join(_DIR, "libemitter.so")
 
 _lib = None
 _lib_tried = False
+_lib_lock = __import__("threading").Lock()
 
 
 class _SeMission(ctypes.Structure):
@@ -67,11 +68,33 @@ def _build() -> bool:
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    Thread-safe: the per-mission scan threads may race the FIRST call
+    (nothing loads the lib on the main thread for file inputs), and
+    without the lock a losing thread would observe _lib_tried=True with
+    _lib still None and wrongly fall back / crash."""
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
-    _lib_tried = True
+    with _lib_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked():
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    try:
+        _lib = _load_lib()
+    finally:
+        # Only set once the attempt COMPLETED: the unlocked fast path
+        # in get_lib reads it without the lock.
+        _lib_tried = True
+    return _lib
+
+
+def _load_lib():
     if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
         if not _build():
             return None
@@ -128,8 +151,7 @@ def get_lib():
         P(ctypes.c_int64),  # out_len
     ]
     lib.se_format_free.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return _lib
+    return lib
 
 
 def native_format(position, precision, completes, file_id, midx, str_off,

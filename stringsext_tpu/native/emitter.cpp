@@ -602,7 +602,12 @@ static int64_t align_cursor(const Mission& m, const uint8_t* d, int64_t total,
         }
         case 1:
         case 2: {  // UTF-16: unit containing t + surrogate lookbehind
-            int64_t u = t - (t & 1);  // round DOWN to the unit start
+            // Unit phase comes from the CURSOR (a true event start),
+            // not from buffer parity: a streaming chunk buffer can in
+            // principle start at an odd stream offset, where buffer-
+            // even is stream-odd.
+            int64_t ph = cur & 1;
+            int64_t u = t - ((t & 1) ^ ph);  // round DOWN to unit start
             if (u >= 2 && u + 1 < total) {
                 bool be = m.kind == 2;
                 uint32_t prev = be ? (d[u - 2] << 8) | d[u - 1]

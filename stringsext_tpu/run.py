@@ -903,9 +903,15 @@ def _run_streaming_stdin(
 
         if is_final:
             break
-        # Tail carry: drop everything every mission consumed.
+        # Tail carry: drop everything every mission consumed. Trim an
+        # EVEN number of bytes so the chunk buffer's base parity stays
+        # the stream's parity: the device hot-map kernels and the
+        # emitter's skip-resume alignment pair UTF-16 units by buffer
+        # offset, and an odd base would flip the unit phase (fuzz
+        # 987654 trials 696/2884: bogus / missing UTF-16 findings after
+        # a skip in streaming engine=tpu).
         cmin = min(int(st["cursor"]) for st in states)
-        cmin = min(cmin, chunk_end)
+        cmin = min(cmin, chunk_end) & ~1
         carry = data[cmin:].copy()
         for st in states:
             st["cursor"] = int(st["cursor"]) - cmin

@@ -131,3 +131,55 @@ def test_streaming_tpu_engine_hot_maps(chunk, tmp_path):
     _run_streaming_stdin(args, ms, buf, src=io.BytesIO(blob),
                          chunk_bytes=chunk, engine="tpu")
     assert buf.getvalue() == want
+
+
+def test_streaming_tpu_odd_carry_utf16_phase(tmp_path):
+    """Streaming engine=tpu with a mission mix that leaves an ODD
+    unconsumed-tail length (Shift_JIS cursor parked at a pending pair
+    lead on the chunk edge) must keep the UTF-16 unit phase: the chunk
+    buffer's base parity flips, and both the device hot map and the
+    emitter's skip-resume alignment must not pair units off-phase
+    (fuzz 987654 trials 696/2884: a bogus off-phase finding appeared
+    and a real one vanished after cold-window skips)."""
+    import io
+
+    import numpy as np
+
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.mission import Missions
+    from stringsext_tpu.run import _run_streaming_stdin, run
+
+    blob = bytearray(32768)
+    # Shift_JIS pair lead at the last byte of chunk 1: the pair
+    # completes in chunk 2, so the SJIS cursor stays at 4095 (odd) and
+    # the carry tail is odd-length.
+    blob[4095] = 0x81
+    blob[4096] = 0x40
+    # UTF-16LE strings beyond cold gaps: one at an even stream offset
+    # (must be found), one at an odd offset (must NOT be found).
+    w = "UTF16 Кириллица строка".encode("utf-16-le")
+    blob[8194 : 8194 + len(w)] = w
+    blob[16001 : 16001 + len(w)] = w
+    a = "astral \U0001F600 pairs".encode("utf-16-le")
+    blob[24000 : 24000 + len(a)] = a
+    blob = bytes(blob)
+
+    argv = ["-e", "shift_jis", "-e", "utf-16le", "-t", "d"]
+    p = tmp_path / "phase.bin"
+    p.write_bytes(blob)
+    buf = io.BytesIO()
+    run(parse_args(argv + [str(p)]), out=buf, engine="python")
+    ref = buf.getvalue()
+    assert "Кириллица".encode() in ref  # even-offset plant found
+    assert ref.count("Кириллица".encode()) == 1  # odd-offset one not
+
+    for engine in ("auto", "tpu"):
+        for chunk in (4096, 8192):
+            args = parse_args(argv + ["-"])
+            ms = Missions.from_args(args)
+            out = io.BytesIO()
+            _run_streaming_stdin(
+                args, ms, out, src=io.BytesIO(blob), chunk_bytes=chunk,
+                engine=engine,
+            )
+            assert out.getvalue() == ref, (engine, chunk)
