@@ -930,6 +930,8 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
     Output contract (main.rs:103-139): BOM first, then "\\n" before each
     finding line, then a final "\\n"; to stdout or `-p FILE`.
     """
+    import os
+
     from .utils import profiling
 
     missions = Missions.from_args(args)
@@ -940,15 +942,33 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
     use_stdin = (not args.inputs) or (
         len(args.inputs) == 1 and args.inputs[0] == "-"
     )
-    stream_stdin = (
-        use_stdin
-        and engine != "python"
+    native_streamable = (
+        engine != "python"
         and native.get_lib() is not None
         and all(
             native.native_supported(encoding_kind(m.encoding_name))
             for m in missions.v
         )
     )
+    stream_stdin = use_stdin and native_streamable
+    # A huge SINGLE file also streams in constant memory: the findings
+    # columns of a buffered scan grow with the finding count (a dense
+    # 10 GB image holds >100M findings), while the chunked pipeline is
+    # O(chunk). Identical output (the streaming-vs-buffered invariant
+    # is fuzzed); single-file only, so file-letter metadata (absent for
+    # one input) never applies.
+    stream_file = None
+    if (
+        not use_stdin and len(args.inputs) == 1 and native_streamable
+    ):
+        try:
+            fsize = os.path.getsize(args.inputs[0])
+        except OSError:
+            fsize = 0
+        if fsize >= int(
+            os.environ.get("STRINGSEXT_STREAM_FILE_MIN", 1 << 30)
+        ):
+            stream_file = args.inputs[0]
 
     close_out = False
     if out is None:
@@ -961,6 +981,16 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
     try:
         if stream_stdin:
             return _run_streaming_stdin(args, missions, out, engine=engine)
+        if stream_file is not None:
+            try:
+                src = open(stream_file, "rb")
+            except OSError:
+                src = None  # unreadable: buffered path warns + empty
+            if src is not None:
+                with src:
+                    return _run_streaming_stdin(
+                        args, missions, out, src=src, engine=engine
+                    )
         with profiling.scope("input.load"):
             stream = load_stream(args.inputs)
         nbytes = len(stream.data)

@@ -183,3 +183,36 @@ def test_streaming_tpu_odd_carry_utf16_phase(tmp_path):
                 engine=engine,
             )
             assert out.getvalue() == ref, (engine, chunk)
+
+
+def test_large_single_file_streams(tmp_path, monkeypatch):
+    """A single file above STRINGSEXT_STREAM_FILE_MIN scans through the
+    constant-memory streaming pipeline, byte-identical to buffered."""
+    import io
+
+    import numpy as np
+
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.run import run
+
+    rng = np.random.default_rng(31)
+    blob = bytearray(rng.integers(0, 256, 3 * 8 * 1024 * 1024 + 12345,
+                                  np.uint8).tobytes())
+    m = "streamed déjà € file".encode()
+    for off in range(5000, len(blob) - 64, 1_000_003):
+        blob[off : off + len(m)] = m
+    p = tmp_path / "big.bin"
+    p.write_bytes(bytes(blob))
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", str(p)]
+
+    monkeypatch.setenv("STRINGSEXT_STREAM_FILE_MIN", str(1 << 60))
+    buf = io.BytesIO()
+    run(parse_args(argv), out=buf, engine="auto")
+    buffered = buf.getvalue()
+
+    monkeypatch.setenv("STRINGSEXT_STREAM_FILE_MIN", "1")
+    buf = io.BytesIO()
+    run(parse_args(argv), out=buf, engine="auto")
+    streamed = buf.getvalue()
+    assert streamed == buffered
+    assert buffered.count(b"streamed d") >= 25
