@@ -12,6 +12,7 @@ import functools
 import os
 import subprocess
 import sys
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -22,7 +23,7 @@ _LIB = os.path.join(_DIR, "libemitter.so")
 
 _lib = None
 _lib_tried = False
-_lib_lock = __import__("threading").Lock()
+_lib_lock = threading.Lock()
 
 
 class _SeMission(ctypes.Structure):

@@ -508,4 +508,3 @@ def _compact_runs(accept, length, gflag, capacity: int) -> RunTable:
         count=jnp.minimum(nruns, capacity),
         overflow=nruns > capacity,
     )
-

@@ -965,9 +965,13 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
             fsize = os.path.getsize(args.inputs[0])
         except OSError:
             fsize = 0
-        if fsize >= int(
-            os.environ.get("STRINGSEXT_STREAM_FILE_MIN", 1 << 30)
-        ):
+        try:
+            stream_min = int(
+                os.environ.get("STRINGSEXT_STREAM_FILE_MIN", "") or (1 << 30)
+            )
+        except ValueError:
+            stream_min = 1 << 30  # malformed env: keep the default
+        if fsize >= stream_min:
             stream_file = args.inputs[0]
 
     close_out = False

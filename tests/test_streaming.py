@@ -143,8 +143,6 @@ def test_streaming_tpu_odd_carry_utf16_phase(tmp_path):
     and a real one vanished after cold-window skips)."""
     import io
 
-    import numpy as np
-
     from stringsext_tpu.cli import parse_args
     from stringsext_tpu.mission import Missions
     from stringsext_tpu.run import _run_streaming_stdin, run

@@ -430,4 +430,3 @@ def test_hot_only_many_utf16_missions():
         )
         np.testing.assert_array_equal(c_all[2 * mi], c_solo[0], f"m{mi}")
         np.testing.assert_array_equal(c_all[2 * mi + 1], c_solo[1])
-
