@@ -16,7 +16,13 @@ test: native
 bench: native
 	python bench.py
 
+bench-suite: native
+	python scripts/bench_suite.py
+
+fuzz: native
+	python scripts/fuzz.py 300
+
 clean:
 	rm -f stringsext_tpu/native/libemitter.so
 
-.PHONY: native test bench clean
+.PHONY: native test bench bench-suite fuzz clean
