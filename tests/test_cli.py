@@ -170,3 +170,22 @@ def test_parse_integer_rust_parity():
         Missions.new(flag_encoding=["UTF-8"], flag_chars_min_nb="٣")
     with _pytest.raises(MissionError, match="hexadecimal"):
         Missions.new(flag_encoding=["UTF-8"], flag_chars_min_nb="0xzz")
+
+
+def test_debug_options_dump(capsys):
+    """-d pretty-prints every parsed Mission and exits 0 (help.rs:22-45
+    - the config introspection surface). Pin the structure and the
+    parsed per-encoding DSL values."""
+    from stringsext_tpu.cli import main
+
+    rc = main(["-d", "-e", "UTF-8,10,All-Ctrl,Cyrillic,63", "-e", "euc-kr",
+               "--", "/dev/null"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'A = "/dev/null"' in out
+    assert "a = UTF-8,10,All-Ctrl,Cyrillic,63" in out
+    assert "Scanner (a)" in out and "Scanner (b)" in out
+    assert "chars_min_nb: 10," in out
+    assert "grep_char: Some(63)," in out
+    assert "ubf: 0x1f0000," in out  # Cyrillic alias resolved
+    assert "encoding: EUC-KR," in out
