@@ -291,11 +291,13 @@ def _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n):
     caller's slab_flags(b) materializes only the selected (K, _BLOCK)
     flag slabs, and per-run aggregates come from prefix differences.
 
-    All rank lookups are branchless compare-sums over two levels
-    (superblocks of 64 blocks, then a 64-wide window): a binary-search
-    searchsorted over the 10^4-10^5-element block cumsum costs ~17
-    dependent gather rounds on TPU, while the two-level form is three
-    wide vector ops."""
+    All rank lookups are branchless compare-sums over 64-wide levels
+    (two levels up to 4096 blocks = 2 MiB, three beyond): a
+    binary-search searchsorted over the 10^4-10^5-element block cumsum
+    costs ~17 dependent gather rounds on TPU, while the hierarchical
+    form is a few wide vector ops. The items-before prefix is one
+    K-sized point gather blk_cum[b-1] (a (K, nsb) where+max pass here
+    cost ~0.1 ms/mission at 64 MiB)."""
     nb0 = enc_blk.shape[0]
     pad = (-nb0) % _SB
     if pad:
@@ -313,17 +315,42 @@ def _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n):
     row_ok = k <= nruns
 
     def rank_lookup(blk_cum):
-        """(block index, #items before that block) of the k-th item."""
+        """(block index, #items before that block) of the k-th item.
+
+        b = #blocks whose cumsum is < k, found level by level; for
+        valid rows (k <= total) blk_cum[b-1] is then exactly the
+        items-before count (b is the first block with cum >= k).
+        Masked rows (k > total) produce clamped garbage that the
+        row_ok selects discard downstream."""
         c2 = blk_cum.reshape(nsb, _SB)
         sb_last = c2[:, -1]
-        lt_sb = sb_last[None, :] < k[:, None]  # (K, nsb)
-        b_sb = jnp.minimum(jnp.sum(lt_sb.astype(jnp.int32), 1), nsb - 1)
-        sb_prev = jnp.max(jnp.where(lt_sb, sb_last[None, :], 0), 1)
+        if nsb > _SB:
+            # Third level: pad superblock tails to a _SB multiple with
+            # the global total - monotone, and a total-valued entry is
+            # never < k on valid rows, so padding adds no count.
+            pad2 = (-nsb) % _SB
+            sb_pad = (
+                jnp.concatenate(
+                    [sb_last, jnp.full((pad2,), blk_cum[-1], blk_cum.dtype)]
+                )
+                if pad2
+                else sb_last
+            )
+            nss = sb_pad.shape[0] // _SB
+            c3 = sb_pad.reshape(nss, _SB)
+            ss_last = c3[:, -1]
+            lt_ss = ss_last[None, :] < k[:, None]  # (K, nss)
+            b_ss = jnp.minimum(jnp.sum(lt_ss.astype(jnp.int32), 1), nss - 1)
+            win_sb = c3[b_ss]  # (K, SB) contiguous row gather
+            pos_ss = jnp.sum((win_sb < k[:, None]).astype(jnp.int32), 1)
+            b_sb = jnp.minimum(b_ss * _SB + pos_ss, nsb - 1)
+        else:
+            lt_sb = sb_last[None, :] < k[:, None]  # (K, nsb)
+            b_sb = jnp.minimum(jnp.sum(lt_sb.astype(jnp.int32), 1), nsb - 1)
         win = c2[b_sb]  # (K, SB) contiguous row gather
-        lt_w = win < k[:, None]
-        pos_sb = jnp.sum(lt_w.astype(jnp.int32), 1)
+        pos_sb = jnp.sum((win < k[:, None]).astype(jnp.int32), 1)
         b = jnp.minimum(b_sb * _SB + pos_sb, nb0 - 1)
-        prev = jnp.maximum(jnp.max(jnp.where(lt_w, win, 0), 1), sb_prev)
+        prev = jnp.where(b > 0, blk_cum[jnp.maximum(b - 1, 0)], 0)
         return b, prev
 
     def locate(blk_cum, which):

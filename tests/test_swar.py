@@ -169,6 +169,51 @@ def test_swar_counts_path_matches_lanes_path():
             )
 
 
+def test_swar_counts_path_three_level_locate():
+    """Inputs over 2 MiB (nb > 4096 blocks) take the THREE-level rank
+    lookup in _runs_from_block_counts; run tables must still match the
+    lanes + packed4 reference exactly (capacity overflow included -
+    random bytes are dense in valid UTF-16, so both paths truncate at
+    the same first-capacity runs)."""
+    from stringsext_tpu.ops.runs import extract_runs_swar_blocks
+
+    ms = _missions()
+    params = pallas_swar.swar_params(ms.v)
+    rows = 6144  # 3 MiB: nsb = 96 > _SB
+    raw = _corpus(rows, 11)
+    raw[1 << 20 :] = 0  # sparse upper 2 MiB: runs end below capacity
+    words = jnp.asarray(raw.view(np.int32).reshape(rows, 128))
+    outs = pallas_swar.flagship_swar_lanes(
+        words, tile_rows=512, interpret=True, **params
+    )
+    counts = pallas_swar.flagship_swar_counts(
+        words, tile_rows=512, interpret=True, **params
+    )
+    eps = (
+        dict(kind="utf8", af_iv=params["af_iv"], ubf_iv=params["ubf_iv"],
+             grep=params["greps"][0]),
+        dict(kind="utf16", cp_iv=params["cp_iv_le"], grep=params["greps"][1],
+             be=False),
+        dict(kind="utf16", cp_iv=params["cp_iv_be"], grep=params["greps"][2],
+             be=True),
+    )
+    for cap in (1024, 4096):
+        for mi, (ow, ep) in enumerate(zip(outs, eps)):
+            ref = extract_runs_packed4(ow, capacity=cap)
+            got = extract_runs_swar_blocks(
+                words, counts[2 * mi], counts[2 * mi + 1], capacity=cap, **ep
+            )
+            assert int(ref.count) == int(got.count), f"cap {cap} mission {mi}"
+            assert bool(ref.overflow) == bool(got.overflow)
+            c = int(ref.count)
+            for f in ("start", "end", "chars", "grep_hits"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ref, f))[:c],
+                    np.asarray(getattr(got, f))[:c],
+                    f"cap {cap} m{mi} {f}",
+                )
+
+
 def test_swar_counts_mission_subsets():
     """swar_counts accepts arbitrary mission subsets (the generalized
     spec form used by the engine=tpu hot-block path) and must produce
