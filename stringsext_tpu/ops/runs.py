@@ -297,7 +297,15 @@ def _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n):
     costs ~17 dependent gather rounds on TPU, while the hierarchical
     form is a few wide vector ops. The items-before prefix is one
     K-sized point gather blk_cum[b-1] (a (K, nsb) where+max pass here
-    cost ~0.1 ms/mission at 64 MiB)."""
+    cost ~0.1 ms/mission at 64 MiB).
+
+    Negative results (interleaved A/B on the chip, 3-mission 64 MiB
+    full pipeline, both reproducible - do not retry):
+      - stacking the four cumsums into one (4, nb) row-cumsum:
+        2.48 vs 2.40 ms/iter (the 2-D cumsum lowers worse than four
+        1-D scans);
+      - batching the two slab_flags calls into one (2K,) call via
+        jnp.concatenate([sb, eb]): 2.56 vs 2.40 ms/iter."""
     nb0 = enc_blk.shape[0]
     pad = (-nb0) % _SB
     if pad:
