@@ -305,7 +305,12 @@ def _runs_from_block_counts(slab_flags, enc_blk, grep_blk, capacity, n):
         2.48 vs 2.40 ms/iter (the 2-D cumsum lowers worse than four
         1-D scans);
       - batching the two slab_flags calls into one (2K,) call via
-        jnp.concatenate([sb, eb]): 2.56 vs 2.40 ms/iter."""
+        jnp.concatenate([sb, eb]): 2.56 vs 2.40 ms/iter;
+      - replacing the four full-length (nb) cumsums with superblock-
+        granularity cumsums (single-pass row reduce + 64-wide cumsum)
+        plus (K, _SB) window cumsums of gathered raw counts in
+        rank_lookup/pref_at: 2.44 vs 2.40 ms/iter - XLA's 1-D scans
+        are cheaper than the extra window work."""
     nb0 = enc_blk.shape[0]
     pad = (-nb0) % _SB
     if pad:

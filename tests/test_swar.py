@@ -213,6 +213,27 @@ def test_swar_counts_path_three_level_locate():
                     f"cap {cap} m{mi} {f}",
                 )
 
+    # Independent oracle at this size: extract_runs goes through
+    # _compact_runs (its own searchsorted locate), NOT the hierarchical
+    # _runs_from_block_counts shared by packed4 and swar_blocks above.
+    af_w, ubf_w = filter_words(ms[0])
+    lanes = classify.utf8_lanes(jnp.asarray(raw), len(raw))
+    ind = extract_runs(
+        lanes, jnp.asarray(af_w), jnp.asarray(ubf_w), jnp.int32(63),
+        capacity=1024,
+    )
+    got = extract_runs_swar_blocks(
+        words, counts[0], counts[1], capacity=1024, **eps[0]
+    )
+    assert int(ind.count) == int(got.count)
+    c = int(ind.count)
+    for f in ("start", "end", "chars", "grep_hits"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ind, f))[:c],
+            np.asarray(getattr(got, f))[:c],
+            f"oracle {f}",
+        )
+
 
 def test_swar_counts_mission_subsets():
     """swar_counts accepts arbitrary mission subsets (the generalized
