@@ -57,4 +57,30 @@ CASES = [
     ("astral_grep_wrap",
      ["-t", "x", "-q", "8", "-g", "63", "-e", "utf-16le", "-e", "utf-16be"],
      False),
+    # minimum legal line length (options.rs:33): heavy wrapping + `+`
+    ("wrap_min_q6", ["-t", "x", "-q", "6", "-e", "UTF-8", "-e", "utf-16be"],
+     False),
+    # odd --counter-offset with UTF-16 (offsets shift, unit phase is
+    # buffer-relative and must NOT shift)
+    ("odd_counter_offset_utf16",
+     ["-t", "d", "-s", "7", "-e", "utf-16le", "-e", "utf-16be"], False),
+    # control+whitespace AF + grep '/' (path-search pattern)
+    ("ctrlwsp_af_grep_slash",
+     ["-t", "x", "-a", "All-Ctrl+Wsp", "-g", "47", "-e", "UTF-8"], False),
+    # three single-byte encodings scanning the same bytes
+    ("singlebyte_trio",
+     ["-c", "-n", "3", "-e", "ibm866", "-e", "iso-8859-5",
+      "-e", "windows-874"], False),
+    # file letters + radix with 3 missions (A/B/C columns + tie-breaks)
+    ("multifile_letters_3enc",
+     ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-e", "utf-16be"], True),
+    # Uncommon = private-use + astral planes only (4-byte UTF-8 /
+    # surrogate pairs pass, BMP text is filtered out)
+    ("uncommon_astral_only",
+     ["-t", "x", "-u", "Uncommon", "-n", "2", "-e", "UTF-8",
+      "-e", "utf-16le"], False),
+    # custom hexadecimal UBF (Greek|Hebrew leads) on 8859 variants
+    ("hex_ubf_8859",
+     ["-t", "d", "-u", "0xc0c000", "-e", "iso-8859-7", "-e", "iso-8859-8"],
+     False),
 ]
