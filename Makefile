@@ -22,7 +22,12 @@ bench-suite: native
 fuzz: native
 	python scripts/fuzz.py 300
 
+man: docs/stringsext-tpu.1
+
+docs/stringsext-tpu.1: docs/MANUAL.md scripts/make_man.py
+	python scripts/make_man.py
+
 clean:
 	rm -f stringsext_tpu/native/libemitter.so
 
-.PHONY: native test bench bench-suite fuzz clean
+.PHONY: native test bench bench-suite fuzz man clean
