@@ -205,6 +205,66 @@ def main():
                 bad = [e for e in outs if outs[e] != outs["python"]]
                 print(f"FAIL trial={trials} argv={argv} engines={bad} repro={fn}",
                       flush=True)
+
+            # Checkpoint/resume: a scan split at a random slice
+            # boundary with the state JSON-round-tripped between the
+            # halves must equal the one-shot scan (native state ABI +
+            # utils/checkpoint serialization). Probabilistic: it
+            # rescans every mission twice. NOTE for failure replay:
+            # this draws from rng AFTER the streaming branch's draws.
+            if rng.random() < 0.25:
+                from stringsext_tpu import native
+                from stringsext_tpu.encodings import encoding_kind
+                from stringsext_tpu.input import LoadedStream, slice_table
+                from stringsext_tpu.mission import Missions
+                from stringsext_tpu.utils import checkpoint
+
+                args = parse_args(argv + [paths[0]])
+                ms = Missions.from_args(args)
+                if all(
+                    native.native_supported(encoding_kind(m.encoding_name))
+                    for m in ms.v
+                ):
+                    data = np.frombuffer(blob[0::nfiles] if nfiles > 1 else blob,
+                                         np.uint8)
+                    stream = LoadedStream(data, [(1, 0, len(data))])
+                    sl = slice_table(stream)
+                    nsl = len(sl[0])
+                    cut = rng.randint(1, nsl - 1) if nsl >= 2 else 0
+                    for mi, m in enumerate(ms.v):
+                        whole, sb_whole = native.native_scan(m, data, *sl)
+                        if cut == 0:
+                            continue
+                        st = checkpoint.fresh_states(ms)[mi]
+                        parts, bufs = [], []
+                        for lo, hi in ((0, cut), (cut, nsl)):
+                            seg = tuple(a[lo:hi] for a in sl)
+                            res, sb = native.native_scan(
+                                m, data, *seg, state=st
+                            )
+                            st = checkpoint.state_to_dict([st], hi)[
+                                "missions"
+                            ][0]
+                            parts.append(res)
+                            bufs.append(sb)
+                        ok = b"".join(bufs) == sb_whole and all(
+                            np.array_equal(
+                                np.concatenate([p[f] for p in parts]),
+                                whole[f],
+                            )
+                            for f in ("position", "precision", "completes",
+                                      "file_id", "str_len")
+                        )
+                        if not ok:
+                            fails += 1
+                            fn = f"/tmp/fuzz_fail_ckpt_{trials}.bin"
+                            with open(fn, "wb") as f:
+                                f.write(blob)
+                            print(
+                                f"FAIL(ckpt) trial={trials} argv={argv} "
+                                f"enc={m.encoding_name} cut={cut} repro={fn}",
+                                flush=True,
+                            )
         finally:
             for p in paths:
                 os.unlink(p)
