@@ -108,6 +108,61 @@ def test_sharded_swar_counts_match_single_device():
         assert (got_flat == want).all(), f"trial {trial}"
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_sharded_swar_counts_random_missions(seed):
+    """Property form of the sharded-counts bit-exactness: RANDOM
+    mission sets (UTF-8 / UTF-16 / single-byte, random filters/greps)
+    over random sparse corpora with strings planted AT the shard
+    seams."""
+    from stringsext_tpu.ops.pallas_swar import swar_mission_spec, swar_counts
+    from stringsext_tpu.parallel.mesh import build_sharded_counts
+
+    r = np.random.default_rng(seed)
+    pool = ["UTF-8", "utf-16le", "utf-16be", "koi8-r", "windows-1252",
+            "ibm866"]
+    encs = list(r.choice(pool, size=r.integers(1, 4), replace=False))
+    kw = {}
+    if r.random() < 0.5:
+        kw["flag_grep_char"] = str(int(r.integers(33, 127)))
+    if r.random() < 0.4:
+        kw["flag_unicode_block_filter"] = r.choice(
+            ["Cyrillic", "Common", "All", "Latin"]
+        )
+    ms = Missions.new(flag_encoding=encs, **kw)
+    specs = tuple(swar_mission_spec(m) for m in ms.v)
+    if any(s is None for s in specs):
+        pytest.skip("filter decomposed into too many intervals")
+    lens = {"utf8": 4, "utf16": 2, "sbyte": 1}
+    if sum(lens[s[0]] for s in specs) > 8:
+        pytest.skip("mission set exceeds the 8-bit length-class budget")
+
+    n_data, shard_rows = 4, 32
+    mesh = make_mesh(n_data, 1)
+    fn = build_sharded_counts(specs, mesh, shard_rows, interpret=True)
+
+    rows = n_data * shard_rows
+    raw = np.zeros(rows * 512, np.uint8)
+    noise = r.integers(0, 256, size=rows * 64, dtype=np.uint8)
+    raw[:: 8] = noise[: len(raw[::8])]
+    plants = [
+        "seam déjà Кк test?".encode(),
+        "seam УТФ шестнадцать?".encode("utf-16-le"),
+        "seam ΑΒΓ sixteen?".encode("utf-16-be"),
+        bytes(r.integers(0xC0, 0x100, 24, np.uint8).tolist()),  # sbyte food
+    ]
+    for d in range(1, n_data):
+        t = plants[d % len(plants)]
+        off = d * shard_rows * 512 - int(r.integers(1, len(t)))
+        raw[off : off + len(t)] = np.frombuffer(t, np.uint8)
+
+    w = jnp.asarray(raw.view(np.int32).reshape(rows, 128))
+    got = np.asarray(fn(w))
+    want = np.asarray(swar_counts(w, specs, tile_rows=rows, interpret=True))
+    got_flat = np.concatenate([got[d] for d in range(n_data)], axis=1)
+    assert (got_flat == want).all(), f"encs {encs} kw {kw}"
+
+
 def test_host_shard_range_partition():
     """host_shard_range must tile [0, total) without gaps or overlap
     for any process count (single-process here: full range)."""
