@@ -54,7 +54,7 @@ def main():
         nsb = nb // _SB
         cum_start = jnp.cumsum(enc_blk & 0x3FF)
         cum_end = jnp.cumsum((enc_blk >> 10) & 0x3FF)
-        cum_accept = jnp.cumsum(enc_blk >> 20)
+        cum_accept = jnp.cumsum((enc_blk >> 20) & 0x3FF)
         cum_grep = jnp.cumsum(grep_blk)
         nruns = cum_start[-1]
 

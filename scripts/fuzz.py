@@ -231,10 +231,8 @@ def main():
                     sl = slice_table(stream)
                     nsl = len(sl[0])
                     cut = rng.randint(1, nsl - 1) if nsl >= 2 else 0
-                    for mi, m in enumerate(ms.v):
+                    for mi, m in enumerate(ms.v if cut else []):
                         whole, sb_whole = native.native_scan(m, data, *sl)
-                        if cut == 0:
-                            continue
                         st = checkpoint.fresh_states(ms)[mi]
                         parts, bufs = [], []
                         for lo, hi in ((0, cut), (cut, nsl)):

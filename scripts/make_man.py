@@ -106,6 +106,8 @@ def convert(md: str) -> str:
                 if not all(re.fullmatch(r":?-+:?", c) for c in cells):
                     rows.append(cells)
                 i += 1
+            if not rows:  # separator-only block: nothing to render
+                continue
             widths = [
                 max(len(re.sub(r"[`*]", "", r[c])) if c < len(r) else 0
                     for r in rows)
@@ -128,6 +130,9 @@ def convert(md: str) -> str:
         para.append(ln.strip())
         i += 1
     flush()
+    if in_code:  # unclosed fence at EOF: close it to keep troff valid
+        out.append("\\fR")
+        out.append(".fi")
     out.append(".SH SEE ALSO")
     out.append("strings(1), stringsext(1)")
     return "\n".join(out) + "\n"

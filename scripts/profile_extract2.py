@@ -21,8 +21,8 @@ import numpy as np
 
 def main():
     size = (int(sys.argv[1]) if len(sys.argv) > 1 else 64) * 1024 * 1024
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    iters_short = max(1, iters // 4)
+    iters = max(int(sys.argv[2]) if len(sys.argv) > 2 else 100, 2)
+    iters_short = max(1, iters // 4)  # iters >= 2 keeps the divisor > 0
 
     import jax
     import jax.numpy as jnp

@@ -152,7 +152,8 @@ def test_sharded_swar_counts_random_missions(seed):
         bytes(r.integers(0xC0, 0x100, 24, np.uint8).tolist()),  # sbyte food
     ]
     for d in range(1, n_data):
-        t = plants[d % len(plants)]
+        t = plants[(d - 1 + seed) % len(plants)]  # seed-rotated: all 4
+        # plants appear across the seed matrix (3 seams per seed)
         off = d * shard_rows * 512 - int(r.integers(1, len(t)))
         raw[off : off + len(t)] = np.frombuffer(t, np.uint8)
 
