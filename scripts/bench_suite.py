@@ -131,9 +131,11 @@ def main():
     timed_loop(words_of(raw), [(spec,)], False, "4:utf16-cyrillic-32MB",
                32 * 1024 * 1024)
 
-    # Config 5: all-41-encodings sweep, fused hot_only passes (8
-    # missions per launch - the engine=tpu hot-map pass). Rate is input
-    # bytes/s for the WHOLE sweep (all 41 missions together).
+    # Config 5: all-41-encodings sweep, fused hot_only passes (20
+    # missions per launch, the production engine=tpu grouping - the
+    # 8/10/12/16/20 sweep measured 7.93/8.31/8.24/8.43/9.25 GB/s; one
+    # 40-mission launch fails to compile). Rate is input bytes/s for
+    # the WHOLE sweep (all 41 missions together).
     names = ["ascii"] + list(ALL_ENCODING_NAMES)
     ms = Missions.new(flag_encoding=names)
     specs = []
@@ -141,7 +143,7 @@ def main():
         sp = swar_mission_spec(m) or cjk_hot_spec(m)
         if sp is not None:
             specs.append(sp)
-    groups = [tuple(specs[i : i + 8]) for i in range(0, len(specs), 8)]
+    groups = [tuple(specs[i : i + 20]) for i in range(0, len(specs), 20)]
     print(f"# sweep: {len(specs)} device specs in {len(groups)} launches",
           file=sys.stderr)
     timed_loop(words_of(raw), groups, True, "5:all-41-encodings-32MB",

@@ -162,16 +162,22 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
     interpret = jax.default_backend() == "cpu"  # no Mosaic off-TPU
     n = len(stream.data)
 
+    import os
+
     # Hot-only passes skip the run-boundary algebra, so the kernel's
-    # 8-length-class-bit budget does not apply: up to 8 missions of ANY
-    # kind fuse into one pass (the cap just bounds VMEM/register use).
-    groups = [list(jobs[k : k + 8]) for k in range(0, len(jobs), 8)]
+    # 8-length-class-bit budget does not apply: missions of ANY kind
+    # fuse into one pass. The group cap bounds compile size (a single
+    # 40-mission launch fails to compile on v5e); 20/launch measured
+    # 9.25 vs 7.93 GB/s at 8/launch for the all-41 sweep (fewer
+    # fixed-cost launches). Groups that still fail to compile split in
+    # half at launch time (launch_group below).
+    cap = int(os.environ.get("STRINGSEXT_HOT_GROUP", "20"))
+    groups = [list(jobs[k : k + cap]) for k in range(0, len(jobs), cap)]
 
     # Multi-chip: shard each chunk's counts pass over the "data" mesh
     # axis (ppermute halos; bit-exact vs the single-device pass). On
     # by default when >1 accelerator device is attached; STRINGSEXT_MESH=1
     # forces it (the CPU-mesh differential test uses this).
-    import os
 
     ndev = jax.device_count()
     use_mesh = ndev > 1 and (
@@ -186,6 +192,23 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
                 hot_only=True,
             )
         return _mesh_counts(w2, specs_t, ndev, interpret)
+
+    def launch_group(w2, grp, tile_rows):
+        """Counts for one mission group -> [(job, hot_lane), ...]; a
+        group too large for this chip (compile failure) splits in half
+        and retries - same results, one more launch."""
+        try:
+            counts = counts_fn(w2, tuple(sp for _, sp in grp), tile_rows)
+            return [
+                (grp[j], (counts[2 * j] >> 20) > 0) for j in range(len(grp))
+            ]
+        except Exception:
+            if len(grp) <= 8:  # the long-validated minimum group size
+                raise
+            mid = len(grp) // 2
+            return launch_group(w2, grp[:mid], tile_rows) + launch_group(
+                w2, grp[mid:], tile_rows
+            )
 
     launched = []
     pos = 0
@@ -205,17 +228,13 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
         w2 = jnp.asarray(buf.view(np.int32).reshape(-1, 128))
         with profiling.scope("device.dispatch", len(raw)):
             for grp in groups:
-                counts = counts_fn(
-                    w2, tuple(sp for _, sp in grp), tile_rows
-                )
-                hot = [(counts[2 * j] >> 20) > 0 for j in range(len(grp))]
-                launched.append((pos, m_end, grp, hot))
+                launched.append((pos, m_end, launch_group(w2, grp, tile_rows)))
         pos = m_end
 
     raw_ranges = {idx: [] for idx, _sp in jobs}
-    for pos, m_end, grp, hots in launched:
+    for pos, m_end, job_hots in launched:
         nblocks = -(-(m_end - pos) // _HOT_BLOCK)
-        for (idx, _sp), h in zip(grp, hots):
+        for (idx, _sp), h in job_hots:
             with profiling.scope("device.collect"):
                 hb = np.asarray(h)[:nblocks].copy()
             if len(hb):
