@@ -173,6 +173,39 @@ def test_host_shard_range_partition():
     assert (lo, hi) == (0, 10 * 4096)
 
 
+def test_engine_tpu_hot_group_sizes(monkeypatch, tmp_path):
+    """STRINGSEXT_HOT_GROUP: the engine=tpu hot-map pass must produce
+    identical CLI output for any missions-per-launch grouping (1-group,
+    multi-group, and the production default)."""
+    import io
+
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.run import run
+
+    blob = bytearray(rng.integers(0, 256, 200_000, np.uint8).tobytes())
+    blob[60_000:120_000] = b"\x00" * 60_000
+    for off, t in (
+        (70_000, "group déjà € finding".encode()),
+        (90_001, "UTF16 группа?".encode("utf-16-le")),
+    ):
+        blob[off : off + len(t)] = t
+    p = tmp_path / "grp.bin"
+    p.write_bytes(bytes(blob))
+
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-e", "utf-16be",
+            "-e", "koi8-r", "-e", "windows-1252", "-e", "shift_jis",
+            "-e", "euc-kr", str(p)]
+    buf = io.BytesIO()
+    run(parse_args(argv), out=buf, engine="auto")
+    want = buf.getvalue()
+    for grp in ("2", "3", "20"):
+        monkeypatch.setenv("STRINGSEXT_HOT_GROUP", grp)
+        buf = io.BytesIO()
+        run(parse_args(argv), out=buf, engine="tpu")
+        assert buf.getvalue() == want, f"group size {grp}"
+    assert len(want) > 100
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_engine_tpu_mesh_hot_path(monkeypatch, tmp_path):
     """STRINGSEXT_MESH=1: the engine=tpu hot-map pass runs the SHARDED
