@@ -89,10 +89,19 @@ def main():
                 int(looped(words, k))
                 best = min(best, time.perf_counter() - t0)
             return best
-        per = (t(iters) - t(short)) / (iters - short)
-        gbps = size / per / 1e9
+        # Dispatch-dominated configs (1 MB) can difference NEGATIVE
+        # under tunnel jitter; retry, then report null rather than a
+        # nonsense number.
+        per = -1.0
+        for _attempt in range(3):
+            per = (t(iters) - t(short)) / (iters - short)
+            if per > 0:
+                break
+        gbps = size / per / 1e9 if per > 0 else None
         print(json.dumps({
-            "config": label, "value": round(gbps, 2), "unit": "GB/s",
+            "config": label,
+            "value": round(gbps, 2) if gbps is not None else None,
+            "unit": "GB/s",
             "missions": missions, "input_mb": size // (1024 * 1024),
         }))
         return gbps
