@@ -70,3 +70,42 @@ def test_checkpoint_file_round_trip(tmp_path):
     assert d["next_slice"] == 7
     assert d["missions"][0]["consumed"] == 12345
     assert d["missions"][0]["leftover_cps"] == [104, 105]
+
+
+def test_checkpoint_rejects_bad_version_and_mission_count(tmp_path):
+    """Resume must refuse a checkpoint from a different format version
+    or a different -e mission set (silently mixing states would emit
+    wrong offsets/continuations)."""
+    ms = Missions.new(flag_encoding=["UTF-8", "ascii"])
+    p = str(tmp_path / "ckpt.json")
+    checkpoint.save_checkpoint(p, checkpoint.fresh_states(ms), next_slice=0)
+
+    # mission-count mismatch
+    with pytest.raises(ValueError, match="mission"):
+        checkpoint.load_checkpoint(p, expected_missions=3)
+    # matching count passes
+    assert len(checkpoint.load_checkpoint(p, expected_missions=2)["missions"]) == 2
+
+    # version mismatch
+    d = json.loads(open(p).read())
+    d["version"] = 99
+    open(p, "w").write(json.dumps(d))
+    with pytest.raises(ValueError, match="version"):
+        checkpoint.load_checkpoint(p)
+
+
+def test_checkpoint_save_is_atomic(tmp_path):
+    """save_checkpoint writes temp+rename: the target never holds a
+    partial dump, and a pre-existing good checkpoint survives a
+    same-path rewrite."""
+    import os
+
+    ms = Missions.new(flag_encoding=["UTF-8"])
+    p = str(tmp_path / "ckpt.json")
+    checkpoint.save_checkpoint(p, checkpoint.fresh_states(ms), next_slice=1)
+    first = open(p).read()
+    checkpoint.save_checkpoint(p, checkpoint.fresh_states(ms), next_slice=2)
+    assert checkpoint.load_checkpoint(p)["next_slice"] == 2
+    assert json.loads(first)["next_slice"] == 1
+    # no stray temp files left behind
+    assert [f for f in os.listdir(tmp_path) if ".tmp." in f] == []
