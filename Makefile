@@ -22,6 +22,21 @@ bench-suite: native
 fuzz: native
 	python scripts/fuzz.py 300
 
+# Memory-safety fuzz of the C++ engine: rebuild instrumented, run the
+# differential fuzzer with every jax-tracing path disabled (ASan's
+# __cxa_throw interceptor CHECK-fails inside jaxlib's MLIR bindings -
+# a jaxlib/ASan incompatibility, not a bug here), restore the
+# optimized build afterwards.
+ASAN_RT := $(shell g++ -print-file-name=libasan.so)
+asan-fuzz:
+	$(CXX) -O1 -g -fsanitize=address,undefined -fno-omit-frame-pointer \
+	  -march=native -shared -fPIC -std=c++17 \
+	  -o stringsext_tpu/native/libemitter.so stringsext_tpu/native/emitter.cpp
+	STRINGSEXT_FUZZ_ENGINES=python,auto LD_PRELOAD=$(ASAN_RT) \
+	  ASAN_OPTIONS=detect_leaks=0:log_path=/tmp/asan_fuzz \
+	  python scripts/fuzz.py 600; \
+	status=$$?; $(MAKE) clean native; exit $$status
+
 man: docs/stringsext-tpu.1
 
 docs/stringsext-tpu.1: docs/MANUAL.md scripts/make_man.py
@@ -30,4 +45,4 @@ docs/stringsext-tpu.1: docs/MANUAL.md scripts/make_man.py
 clean:
 	rm -f stringsext_tpu/native/libemitter.so
 
-.PHONY: native test bench bench-suite fuzz man clean
+.PHONY: native test bench bench-suite fuzz asan-fuzz man clean

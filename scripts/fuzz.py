@@ -169,7 +169,14 @@ def main():
             # skip/segmentation machinery is fuzzed too.
             run_mod._SEGMENT_MAX = rng.choice([1, 2, 3, 5, 8])
             os.environ["STRINGSEXT_HOST_HOTMAP"] = rng.choice(["0", "1"])
-            for engine in ("python", "auto", "tpu"):
+            # STRINGSEXT_FUZZ_ENGINES=python,auto -> ASan mode: skip
+            # every jax-tracing path (ASan's __cxa_throw interceptor
+            # CHECK-fails inside jaxlib's MLIR bindings, a jaxlib/ASan
+            # incompatibility - not a bug here). Same rng draw order.
+            engines = os.environ.get(
+                "STRINGSEXT_FUZZ_ENGINES", "python,auto,tpu"
+            ).split(",")
+            for engine in engines:
                 args = parse_args(argv + paths)
                 buf = io.BytesIO()
                 run(args, out=buf, engine=engine)
@@ -194,7 +201,11 @@ def main():
                     _run_streaming_stdin(
                         args, ms, buf, src=io.BytesIO(blob),
                         chunk_bytes=4096 * rng.choice([1, 2, 3]),
-                        engine=rng.choice(["auto", "tpu"]),
+                        # draw first (stable replay order), then clamp
+                        # to the allowed engine set (ASan mode).
+                        engine=(lambda e: e if e in engines else "auto")(
+                            rng.choice(["auto", "tpu"])
+                        ),
                     )
                     outs["stream"] = buf.getvalue()
             if not all(v == outs["python"] for v in outs.values()):
