@@ -189,3 +189,32 @@ def test_debug_options_dump(capsys):
     assert "grep_char: Some(63)," in out
     assert "ubf: 0x1f0000," in out  # Cyrillic alias resolved
     assert "encoding: EUC-KR," in out
+
+
+def test_version_flag(capsys):
+    """-V prints 'Version X, AUTHOR' and exits 0 (help.rs:17-20)."""
+    from stringsext_tpu import __version__
+    from stringsext_tpu.cli import main
+
+    rc = main(["-V"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith(f"Version {__version__}, ")
+
+
+def test_list_encodings(capsys):
+    """-l lists the ascii label + 40 WHATWG encodings and both filter
+    alias tables with resolved hex values (help.rs:47-144)."""
+    from stringsext_tpu.cli import main
+    from stringsext_tpu.encodings import ALL_ENCODING_NAMES
+
+    rc = main(["-l"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    names = [ln.strip() for ln in out.splitlines() if ln.startswith("\t")]
+    for e in ["ascii", *ALL_ENCODING_NAMES]:
+        assert e in names, e
+    assert len(ALL_ENCODING_NAMES) == 40  # 41 listed incl. the ascii label
+    # alias tables with resolved values (mission.rs:167-218, 255-274)
+    assert "All-Ctrl     =  0x7fffffffffffffffffffffff00000000" in out
+    assert "Cyrillic     =           0x1f0000" in out
