@@ -23,7 +23,7 @@ def main():
     raw = rng.integers(0, 256, size=size, dtype=np.uint8)
     words = jax.device_put(jnp.asarray(raw.view(np.int32).reshape(-1, 128)))
 
-    for gs in (8, 10, 12, 16, 20, 41):
+    for gs in (8, 16, 20, 24, 28):
         groups = [tuple(specs[i:i + gs]) for i in range(0, len(specs), gs)]
 
         @jax.jit

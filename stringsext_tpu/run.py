@@ -166,12 +166,12 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
 
     # Hot-only passes skip the run-boundary algebra, so the kernel's
     # 8-length-class-bit budget does not apply: missions of ANY kind
-    # fuse into one pass. The group cap bounds compile size (a single
-    # 40-mission launch fails to compile on v5e); 20/launch measured
-    # 9.25 vs 7.93 GB/s at 8/launch for the all-41 sweep (fewer
+    # fuse into one pass. The group cap bounds compile size (a 28- or
+    # 40-mission launch fails to compile on v5e); for the all-41 sweep
+    # 24/launch measured 10.30 GB/s vs 9.26 at 20 vs 7.93 at 8 (fewer
     # fixed-cost launches). Groups that still fail to compile split in
     # half at launch time (launch_group below).
-    cap = int(os.environ.get("STRINGSEXT_HOT_GROUP", "20"))
+    cap = int(os.environ.get("STRINGSEXT_HOT_GROUP", "24"))
     groups = [list(jobs[k : k + cap]) for k in range(0, len(jobs), cap)]
 
     # Multi-chip: shard each chunk's counts pass over the "data" mesh
