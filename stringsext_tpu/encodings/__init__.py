@@ -270,35 +270,16 @@ def single_byte_table(name: str) -> np.ndarray:
     """128-entry int32 table: byte 0x80+i -> Unicode codepoint, or -1 if
     the byte is undefined (malformed) in this encoding.
 
-    x-user-defined maps 0x80+i -> U+F780+i (WHATWG 14.5; the reference
-    relies on this for ASCII emulation, mission.rs:623-679).
+    Loaded from the vendored WHATWG index corpus (see
+    `stringsext_tpu.encodings.whatwg`); x-user-defined maps
+    0x80+i -> U+F780+i (WHATWG 14.5; the reference relies on this for
+    ASCII emulation, mission.rs:623-679).
     """
-    out = np.full(128, -1, dtype=np.int32)
     if name == "x-user-defined":
-        out[:] = 0xF780 + np.arange(128, dtype=np.int32)
-        return out
-    codec = _SINGLE_BYTE_CODECS[name]
-    for i in range(128):
-        try:
-            ch = bytes([0x80 + i]).decode(codec)
-            if len(ch) == 1:
-                out[i] = ord(ch)
-        except UnicodeDecodeError:
-            pass
-    # WHATWG index divergences from Python's codecs (encoding_rs uses
-    # the WHATWG indexes): koi8-u is the KOI8-RU variant (index-koi8-u
-    # maps 0xAE/0xBE to Cyrillic short U), and index-windows-1255
-    # defines 0xCA (HEBREW POINT HOLAM HASER FOR VAV) where cp1255
-    # leaves a hole.
-    for b, cp in _WHATWG_OVERRIDES.get(name, ()):
-        out[b - 0x80] = cp
-    return out
+        return 0xF780 + np.arange(128, dtype=np.int32)
+    from . import whatwg
 
-
-_WHATWG_OVERRIDES = {
-    "KOI8-U": ((0xAE, 0x045E), (0xBE, 0x040E)),
-    "windows-1255": ((0xCA, 0x05BA),),
-}
+    return whatwg.single_byte(name).copy()
 
 
 @functools.lru_cache(maxsize=None)

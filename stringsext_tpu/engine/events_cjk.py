@@ -13,10 +13,11 @@ O(log n) vectorized rounds.
 Decoder semantics follow the WHATWG Encoding Standard (what encoding_rs
 implements): error pushback of ASCII trail bytes, gb18030 four-byte
 handling, Shift_JIS 0x80 -> U+0080, EUC-JP 0x8E katakana / 0x8F
-JIS X 0212 three-byte forms. Codepoint mappings come from Python's
-codecs (cp949, big5hkscs, cp932, euc_jp, gb18030), which implement the
-same vendor index tables; known deviations from the WHATWG indexes are
-limited to a handful of rare Big5-HKSCS/GB18030-2005 codepoints.
+JIS X 0212 three-byte forms. Codepoint mappings come from the vendored
+WHATWG index corpus (stringsext_tpu/encodings/whatwg_data.npz, see
+encodings/whatwg.py and scripts/gen_whatwg_tables.py) — the same index
+tables encoding_rs compiles in; no Python codec is consulted at
+runtime.
 """
 
 from __future__ import annotations
@@ -35,63 +36,29 @@ from ..encodings import (
 )
 from .events import Events
 
-_CODEC = {
-    KIND_BIG5: "big5hkscs",
-    KIND_EUC_KR: "cp949",
-    KIND_GB18030: "gb18030",
-    KIND_SHIFT_JIS: "cp932",
-    KIND_EUC_JP: "euc_jp",
-}
-
-
 @functools.lru_cache(maxsize=None)
 def _pair_table(kind: str) -> Tuple[np.ndarray, Dict[int, Tuple[int, ...]]]:
     """(valid, multi) for two-byte sequences: `valid[lead, trail]` is
     True when the pair decodes; `multi` maps lead*256+trail to the
     decoded codepoints for the rare pairs that decode to more than one
-    codepoint (four Big5 pointers per WHATWG)."""
-    codec = _CODEC[kind]
-    valid = np.zeros((256, 256), dtype=bool)
-    multi: Dict[int, Tuple[int, ...]] = {}
-    if kind == KIND_SHIFT_JIS:
-        leads = list(range(0x81, 0xA0)) + list(range(0xE0, 0xFD))
-        trails = [t for t in range(0x40, 0xFD) if t != 0x7F]
-    elif kind == KIND_BIG5:
-        leads = list(range(0x81, 0xFF))
-        trails = list(range(0x40, 0x7F)) + list(range(0xA1, 0xFF))
-    elif kind == KIND_EUC_KR:
-        leads = list(range(0x81, 0xFF))
-        trails = list(range(0x41, 0xFF))
-    elif kind == KIND_GB18030:
-        leads = list(range(0x81, 0xFF))
-        trails = [t for t in range(0x40, 0xFF) if t != 0x7F]
-    else:  # EUC-JP jis0208 plane
-        leads = list(range(0xA1, 0xFF))
-        trails = list(range(0xA1, 0xFF))
-    for l in leads:
-        for t in trails:
-            try:
-                s = bytes([l, t]).decode(codec)
-            except UnicodeDecodeError:
-                continue
-            valid[l, t] = True
-            if len(s) != 1:
-                multi[l * 256 + t] = tuple(ord(c) for c in s)
+    codepoint (four Big5 pointers per WHATWG). Sourced from the
+    vendored WHATWG index corpus (encodings/whatwg.py)."""
+    from ..encodings import whatwg
+
+    cp = whatwg.pair_cp(kind)
+    multi = whatwg.pair_multi(kind)
+    valid = cp >= 0
+    for key in multi:
+        valid[key // 256, key % 256] = True
     return valid, multi
 
 
 @functools.lru_cache(maxsize=None)
 def _eucjp_0212_table() -> np.ndarray:
     """valid[t2, t3] for EUC-JP 0x8F three-byte (JIS X 0212) forms."""
-    valid = np.zeros((256, 256), dtype=bool)
-    for t2 in range(0xA1, 0xFF):
-        for t3 in range(0xA1, 0xFF):
-            try:
-                bytes([0x8F, t2, t3]).decode("euc_jp")
-                valid[t2, t3] = True
-            except UnicodeDecodeError:
-                continue
-    return valid
+    from ..encodings import whatwg
+
+    return whatwg.jis0212_cp() >= 0
 
 
 def _resolve_orbit(step: np.ndarray) -> np.ndarray:
@@ -154,37 +121,48 @@ def generate(data: np.ndarray, kind: str) -> Events:
     pushback = c.pushback[starts]
     cp = c.cp[starts].copy()
 
-    # Batch-decode the table-mapped sequences in one codec call.
+    # Map the table-mapped sequences through the vendored WHATWG
+    # indexes (vectorized gathers; no codec calls).
     nd = np.flatnonzero(c.needs_decode[starts])
     extra_rows = []
     if len(nd):
-        codec = _CODEC[kind]
-        data_b = data.tobytes()
-        seqs = [
-            data_b[starts[i] : starts[i] + int(in_len[i])] for i in nd
-        ]
-        decoded = b"".join(seqs).decode(codec)
-        # Each sequence decodes to >=1 chars; almost always exactly 1.
-        # Count chars per sequence to realign (rare multi-char pairs).
-        _, multi = _pair_table(kind)
-        out_cps = []
-        di = 0
-        for i in nd:
-            key = None
-            if int(in_len[i]) == 2:
-                key = int(data[starts[i]]) * 256 + int(data[starts[i] + 1])
-            if key is not None and key in multi:
-                k = len(multi[key])
-                out_cps.append([ord(ch) for ch in decoded[di : di + k]])
-                di += k
-            else:
-                out_cps.append([ord(decoded[di])])
-                di += 1
-        # First char goes into cp; extra chars become zero-length events.
-        for j, i in enumerate(nd):
-            cp[i] = out_cps[j][0]
-            for extra_cp in out_cps[j][1:]:
-                extra_rows.append((int(pos[i]), 0, extra_cp, int(report[i]), 0))
+        from ..encodings import whatwg
+
+        lens = in_len[nd]
+        # Two-byte: pair_cp gather (covers every kind's 2-byte forms).
+        m2 = lens == 2
+        if m2.any():
+            pt = whatwg.pair_cp(kind)
+            i2 = nd[m2]
+            cp[i2] = pt[data[starts[i2]], data[starts[i2] + 1]]
+            _, multi = _pair_table(kind)
+            if multi:
+                keys = (data[starts[i2]].astype(np.int64) * 256
+                        + data[starts[i2] + 1])
+                for j, key in zip(i2, keys.tolist()):
+                    if key in multi:
+                        cps = multi[key]
+                        cp[j] = cps[0]
+                        for extra_cp in cps[1:]:
+                            extra_rows.append(
+                                (int(pos[j]), 0, extra_cp, int(report[j]), 0))
+        # Three-byte (EUC-JP 0x8F + jis0212).
+        m3 = lens == 3
+        if m3.any():
+            t0212 = whatwg.jis0212_cp()
+            i3 = nd[m3]
+            cp[i3] = t0212[data[starts[i3] + 1], data[starts[i3] + 2]]
+        # Four-byte (gb18030 ranges).
+        m4 = lens == 4
+        if m4.any():
+            rp, rc = whatwg.gb18030_ranges()
+            i4 = nd[m4]
+            q = [data[starts[i4] + k].astype(np.int64) for k in range(4)]
+            p = ((q[0] - 0x81) * 12600 + (q[1] - 0x30) * 1260
+                 + (q[2] - 0x81) * 10 + (q[3] - 0x30))
+            k = np.searchsorted(rp, p, side="right") - 1
+            cp[i4] = (rc[k].astype(np.int64) + (p - rp[k])).astype(np.int32)
+        assert (cp[nd] >= 0).all(), "needs_decode event missing a mapping"
 
     ev = Events(pos, in_len, cp, report, pushback)
     if extra_rows:

@@ -108,13 +108,12 @@ def _decode_lead_segment(
             cp = np.full(npairs, -1, dtype=np.int32)
             vi = np.flatnonzero(pair_ok)
             if len(vi):
-                eb = np.empty((len(vi), 2), dtype=np.uint8)
-                eb[:, 0] = (l[vi] | 0x80).astype(np.uint8)
-                eb[:, 1] = (t[vi] | 0x80).astype(np.uint8)
-                decoded = eb.tobytes().decode("euc_jp")
-                cp[vi] = np.frombuffer(
-                    decoded.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int32)
+                # WHATWG 12.2.2: iso-2022-jp double-byte maps through
+                # index jis0208 (the vendored euc-jp pair plane).
+                from ..encodings import whatwg
+
+                pt = whatwg.pair_cp(KIND_EUC_JP)
+                cp[vi] = pt[(l[vi] | 0x80), (t[vi] | 0x80)]
                 emitted = True
             idx = start + lead_idx.astype(np.int64)
             acc.add_many(idx, np.full(npairs, 2, np.int32), cp, idx + 1)
@@ -136,7 +135,9 @@ def _decode_lead_segment(
             return emitted  # else: pending at stream end
         t = int(seg[i + 1])
         if 0x21 <= t <= 0x7E and valid08[l | 0x80, t | 0x80]:
-            cp = ord(bytes([l | 0x80, t | 0x80]).decode("euc_jp"))
+            from ..encodings import whatwg
+
+            cp = int(whatwg.pair_cp(KIND_EUC_JP)[l | 0x80, t | 0x80])
             acc.add(start + i, 2, cp, start + i + 1)
             emitted = True
         else:

@@ -225,72 +225,28 @@ def native_supported(encoding_kind: str) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _pair_cp_table(kind: str) -> np.ndarray:
-    """int32[256,256]: decoded cp per (lead, trail) pair, -1 invalid."""
-    from ..engine.events_cjk import _CODEC, _pair_table
+    """int32[256,256]: decoded cp per (lead, trail) pair, -1 invalid.
+    Sourced from the vendored WHATWG index corpus; Big5's four
+    double-codepoint pairs stay -1 here (they ride the sparse multi
+    side table, see `native_scan`)."""
+    from ..encodings import whatwg
 
-    valid, multi = _pair_table(kind)
-    codec = _CODEC[kind]
-    out = np.full((256, 256), -1, dtype=np.int32)
-    ls, ts = np.nonzero(valid)
-    for l, t in zip(ls.tolist(), ts.tolist()):
-        key = l * 256 + t
-        if key in multi:
-            continue  # multi-cp pairs unsupported natively (Big5 only)
-        out[l, t] = ord(bytes([l, t]).decode(codec))
-    return out
+    return whatwg.pair_cp(kind)
 
 
 @functools.lru_cache(maxsize=None)
 def _eucjp_0212_cp_table() -> np.ndarray:
-    from ..engine.events_cjk import _eucjp_0212_table
+    from ..encodings import whatwg
 
-    valid = _eucjp_0212_table()
-    out = np.full((256, 256), -1, dtype=np.int32)
-    ls, ts = np.nonzero(valid)
-    for l, t in zip(ls.tolist(), ts.tolist()):
-        out[l, t] = ord(bytes([0x8F, l, t]).decode("euc_jp"))
-    return out
+    return whatwg.jis0212_cp()
 
 
-@functools.lru_cache(maxsize=None)
 def _gb18030_ranges() -> "tuple[np.ndarray, np.ndarray]":
     """(pointers, cps): breakpoints of the gb18030 four-byte linear
-    ranges, found by bisecting the codec-probed delta function."""
+    ranges (vendored WHATWG gb18030-ranges table)."""
+    from ..encodings import whatwg
 
-    def cp_of(ptr: int) -> int:
-        b1 = 0x81 + ptr // 12600
-        r = ptr % 12600
-        b2 = 0x30 + r // 1260
-        r %= 1260
-        b3 = 0x81 + r // 10
-        b4 = 0x30 + r % 10
-        return ord(bytes([b1, b2, b3, b4]).decode("gb18030"))
-
-    breaks = []
-
-    def scan(lo, hi):  # delta(cp-ptr) constant? else bisect
-        dlo = cp_of(lo) - lo
-        dhi = cp_of(hi) - hi
-        if dlo == dhi:
-            return
-        if hi == lo + 1:
-            breaks.append(hi)
-            return
-        mid = (lo + hi) // 2
-        scan(lo, mid)
-        scan(mid, hi)
-
-    segs = [(0, 39419), (189000, 1237575)]
-    ptrs = []
-    cps = []
-    for lo, hi in segs:
-        breaks.clear()
-        scan(lo, hi)
-        pts = [lo] + sorted(breaks)
-        for p in pts:
-            ptrs.append(p)
-            cps.append(cp_of(p))
-    return np.array(ptrs, dtype=np.int64), np.array(cps, dtype=np.int32)
+    return whatwg.gb18030_ranges()
 
 
 def native_scan(
