@@ -65,6 +65,33 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print version and exit")
     p.add_argument("inputs", nargs="*", metavar="FILE",
                    help="paths to files to scan (or `-` for stdin)")
+    ext = p.add_argument_group(
+        "tpu/runtime extensions",
+        "flags without a stringsext analog; the STRINGSEXT_* environment "
+        "variable of the same name overrides each flag when set")
+    ext.add_argument("--engine", dest="engine",
+                     choices=["auto", "tpu", "python"],
+                     help="scan engine: auto (native C++), tpu (device "
+                          "hot-map kernels + native emitter), python "
+                          "(pure-python oracle); default auto")
+    ext.add_argument("--checkpoint", dest="checkpoint", metavar="FILE",
+                     help="checkpoint scan state to FILE after every chunk "
+                          "and resume from it if it exists (single input "
+                          "or stdin; removed on successful completion)")
+    ext.add_argument("--hot-group", dest="hot_group", metavar="NUM",
+                     help="missions per fused device hot-map launch "
+                          "(engine=tpu; default 24)")
+    ext.add_argument("--mesh", dest="mesh", action="store_true",
+                     help="force mesh-sharded device passes (on by default "
+                          "when >1 accelerator device is attached)")
+    ext.add_argument("--stream-file-min", dest="stream_file_min",
+                     metavar="BYTES",
+                     help="stream (constant-memory) single files at least "
+                          "this large; default 1073741824")
+    ext.add_argument("--host-hotmap", dest="host_hotmap",
+                     action="store_true",
+                     help="enable the numpy host hot-map prepass for "
+                          "engine=auto (window skipping without a device)")
     return p
 
 
@@ -93,6 +120,12 @@ def parse_args(argv: Optional[List[str]] = None) -> Args:
         radix=radix,
         unicode_block_filter=ns.unicode_block_filter,
         version=ns.version,
+        engine=ns.engine,
+        checkpoint=ns.checkpoint,
+        hot_group=ns.hot_group,
+        mesh=ns.mesh,
+        stream_file_min=ns.stream_file_min,
+        host_hotmap=ns.host_hotmap,
     )
 
 
@@ -107,7 +140,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         # Engine selection: "auto" (native C++), "tpu" (device kernels
         # pre-filter + native emitter), "python" (reference impl).
-        engine = os.environ.get("STRINGSEXT_ENGINE", "auto")
+        # The env var overrides the --engine flag (scripts/CI may pin
+        # an engine around arbitrary invocations).
+        engine = os.environ.get("STRINGSEXT_ENGINE") or args.engine or "auto"
         if engine not in ("auto", "tpu", "python"):
             print(
                 f"Error: unknown STRINGSEXT_ENGINE `{engine}` "

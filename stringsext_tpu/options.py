@@ -71,3 +71,14 @@ class Args:
     radix: Optional[Radix] = None  # -t
     unicode_block_filter: Optional[str] = None  # -u
     version: bool = False  # -V
+
+    # --- Extension flags (no reference analog; options.rs:43-91 ends
+    # at -V). Environment variables of the same name override these
+    # (STRINGSEXT_ENGINE, STRINGSEXT_HOT_GROUP, STRINGSEXT_MESH,
+    # STRINGSEXT_STREAM_FILE_MIN, STRINGSEXT_HOST_HOTMAP).
+    engine: Optional[str] = None  # --engine auto|tpu|python
+    checkpoint: Optional[str] = None  # --checkpoint FILE
+    hot_group: Optional[str] = None  # --hot-group N
+    mesh: bool = False  # --mesh
+    stream_file_min: Optional[str] = None  # --stream-file-min BYTES
+    host_hotmap: bool = False  # --host-hotmap

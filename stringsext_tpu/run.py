@@ -84,6 +84,19 @@ def scan_stream_batches(
 
 _HOT_BLOCK = 512  # hot-map granularity (one SWAR compaction block)
 
+_WARNED: set = set()
+
+
+def _warn_once(key, msg: str) -> None:
+    """One-shot stderr warning for silent-degradation events (the
+    reference warns on its only lossy path the same way,
+    finding_collection.rs:311-317). Output on stdout is unaffected;
+    these surface when a fast path quietly fell back to a slower one."""
+    if key in _WARNED:
+        return
+    _WARNED.add(key)
+    print(msg, file=sys.stderr)
+
 
 def _merge_ranges(starts, ends, n):
     """Merge possibly-overlapping (starts, ends) intervals, clipped to
@@ -139,7 +152,9 @@ def _mesh_counts(w2, specs, ndev, interpret):
     return jnp.swapaxes(out, 0, 1).reshape(out.shape[1], -1)[:, :rows]
 
 
-def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 * 1024):
+def _device_hot_ranges_swar(stream: LoadedStream, jobs,
+                            chunk: int = 32 * 1024 * 1024,
+                            pad_to: int = 0):
     """Hot byte ranges for every SWAR-able mission at once, from the
     fused counts kernel's per-512-byte-block accept counts.
 
@@ -206,6 +221,13 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
             if len(grp) <= 8:  # the long-validated minimum group size
                 raise
             mid = len(grp) // 2
+            _warn_once(
+                ("swar-split", len(grp)),
+                f"Warning: device hot-map kernel failed to compile for a "
+                f"{len(grp)}-mission group; splitting in half and retrying "
+                f"(same output, one extra launch). Consider a smaller "
+                f"--hot-group.",
+            )
             return launch_group(w2, grp[:mid], tile_rows) + launch_group(
                 w2, grp[mid:], tile_rows
             )
@@ -217,12 +239,17 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs, chunk: int = 32 * 1024 *
         raw = stream.data[pos:m_end]
         # Pad to whole kernel tiles: 512-row (256 KiB) tiles for real
         # chunks, a single 8-row-multiple tile for small inputs.
-        if len(raw) > 512 * _HOT_BLOCK:
+        # `pad_to` pins the padded size (streaming passes the steady
+        # chunk size so the short TAIL chunk reuses the compiled shape
+        # instead of triggering a fresh multi-second Mosaic compile;
+        # pad bytes are zeros and the collector clips to real blocks).
+        eff = max(len(raw), min(pad_to, chunk))
+        if eff > 512 * _HOT_BLOCK:
             tile_rows = 512
         else:
-            tile_rows = -(-len(raw) // (8 * _HOT_BLOCK)) * 8
+            tile_rows = -(-eff // (8 * _HOT_BLOCK)) * 8
         tile_bytes = tile_rows * _HOT_BLOCK
-        padded = ((len(raw) + tile_bytes - 1) // tile_bytes) * tile_bytes
+        padded = ((eff + tile_bytes - 1) // tile_bytes) * tile_bytes
         buf = np.zeros(padded, np.uint8)
         buf[: len(raw)] = raw
         w2 = jnp.asarray(buf.view(np.int32).reshape(-1, 128))
@@ -307,6 +334,13 @@ def _device_hot_ranges(stream: LoadedStream, mission, chunk: int = 8 * 1024 * 10
             cnt = int(rt.count)
             overflow = bool(rt.overflow)
         if overflow:
+            _warn_once(
+                ("runtable-overflow", mission.mission_id),
+                f"Warning: device run-table overflow in bytes "
+                f"{pos}..{m_end} (mission {mission.mission_id}, "
+                f"{mission.encoding_name}); treating the whole chunk as "
+                f"hot - output is unaffected, the host rescans it.",
+            )
             raw_ranges.append((pos, m_end))  # conservative: all hot
         elif cnt:
             s = np.asarray(rt.start)[:cnt].astype(np.int64) + pos
@@ -563,6 +597,13 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
                 )
             for i, m, _sp in lanes_jobs:
                 hot_by_mission[i] = _device_hot_ranges(stream, m)
+                if hot_by_mission[i] is None:
+                    _warn_once(
+                        ("no-device-kernel", m.encoding_name),
+                        f"Warning: engine=tpu has no device kernel for "
+                        f"{m.encoding_name} (mission {m.mission_id}); "
+                        f"falling back to a full host scan for it.",
+                    )
 
         # Segment-parallel dispatch: missions with device hot maps and a
         # re-synchronizing kind split at provably-quiescent cold slices
@@ -817,6 +858,7 @@ STREAM_CHUNK = 8 * 1024 * 1024  # stdin streaming chunk (multiple of 4096)
 def _run_streaming_stdin(
     args: Args, missions: Missions, out, src=None,
     chunk_bytes: int = STREAM_CHUNK, engine: str = "auto",
+    checkpoint_path: Optional[str] = None,
 ) -> int:
     """Constant-memory stdin scan: state-carrying native chunk scans +
     per-chunk merge/format - the reference's lock-step batch pipeline
@@ -839,20 +881,53 @@ def _run_streaming_stdin(
     from . import native
     from .utils import checkpoint, profiling
 
+    import os
+
     assert chunk_bytes % 4096 == 0
     if src is None:
         src = sys.stdin.buffer
-    states = checkpoint.fresh_states(missions)
-    out.write(b"\xef\xbb\xbf")  # BOM (main.rs:116)
+
+    # --checkpoint FILE: resume when the file exists (restore mission
+    # states, the unconsumed carry tail, the held-back boundary
+    # findings, and skip the already-scanned stream prefix; the prior
+    # run already wrote the BOM), else start fresh. Saved after every
+    # chunk, removed on successful completion.
+    held = None  # chunk-boundary-position findings deferred one chunk
+    carry = np.zeros(0, np.uint8)  # unconsumed tail (buffer-relative)
+    stream_pos = 0  # absolute bytes read from src so far
+    resumed = False
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        states, stream_pos, carry_b, held = checkpoint.load_stream_checkpoint(
+            checkpoint_path, missions
+        )
+        carry = np.frombuffer(carry_b, np.uint8).copy()
+        resumed = True
+        # Skip the scanned prefix: seek when possible, else drain.
+        try:
+            src.seek(stream_pos)
+        except (AttributeError, OSError):
+            left = stream_pos
+            while left > 0:
+                got = src.read(min(left, chunk_bytes))
+                if not got:
+                    raise RuntimeError(
+                        f"checkpoint {checkpoint_path} expects at least "
+                        f"{stream_pos} input bytes but the stream ended "
+                        f"at {stream_pos - left}"
+                    )
+                left -= len(got)
+    else:
+        states = checkpoint.fresh_states(missions)
+    if not resumed:
+        out.write(b"\xef\xbb\xbf")  # BOM (main.rs:116)
 
     pool = (
         ThreadPoolExecutor(max_workers=len(missions.v))
         if len(missions.v) > 1 else None
     )
-    held = None  # chunk-boundary-position findings deferred one chunk
-    carry = np.zeros(0, np.uint8)  # unconsumed tail (buffer-relative)
     while True:
         raw = src.read(chunk_bytes)
+        stream_pos += len(raw)
         data = np.concatenate([carry, np.frombuffer(raw, np.uint8)])
         carry_len = len(carry)
         chunk_end = carry_len + len(raw)  # buffer-relative
@@ -881,8 +956,10 @@ def _run_streaming_stdin(
                 if spec is not None:
                     swar_jobs.append((i, spec))
             if swar_jobs:
+                # pad_to pins the kernel shape so the short final chunk
+                # reuses the steady-state compile.
                 hot_by_mission = _device_hot_ranges_swar(
-                    chunk_stream, swar_jobs
+                    chunk_stream, swar_jobs, pad_to=chunk_bytes + 4096
                 )
 
         def job(im):
@@ -912,15 +989,20 @@ def _run_streaming_stdin(
                 continue
             at = res["position"] == int(states[i]["consumed"])
             emit.append((m, {k: v[~at] for k, v in res.items()}, sb))
-            hold.append((m, {k: v[at] for k, v in res.items()}, sb))
+            hold.append((i, m, {k: v[at] for k, v in res.items()}, sb))
         if held is not None:
-            emit = held + emit
+            emit = [(m, r, s) for (_i, m, r, s) in held] + emit
         held = hold if not is_final else None
 
         with profiling.scope("merge+format"):
             _emit_lines(out, args, emit)
 
         if is_final:
+            if checkpoint_path is not None:
+                try:
+                    os.remove(checkpoint_path)
+                except OSError:
+                    pass
             break
         # Tail carry: drop everything every mission consumed. Trim an
         # EVEN number of bytes so the chunk buffer's base parity stays
@@ -935,12 +1017,38 @@ def _run_streaming_stdin(
         for st in states:
             st["cursor"] = int(st["cursor"]) - cmin
 
+        if checkpoint_path is not None:
+            checkpoint.save_stream_checkpoint(
+                checkpoint_path, states, stream_pos, carry.tobytes(), held
+            )
+
     out.write(b"\n")
     out.flush()
     if pool is not None:
         pool.shutdown()
     profiling.report()
     return 0
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache for engine=tpu: without it,
+    every CLI process pays the multi-second (on TPU: multi-minute for
+    large mission groups) Mosaic compile again. Honors an explicit
+    JAX_COMPILATION_CACHE_DIR; defaults under ~/.cache."""
+    import os
+
+    try:
+        import jax
+
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "stringsext-tpu", "jax-cache"
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is an optimization; never fail the scan over it
 
 
 def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> int:
@@ -958,6 +1066,21 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
     from . import native
     from .encodings import encoding_kind
 
+    # Extension flags -> env bridge: the inner passes read the
+    # STRINGSEXT_* variables; an already-set variable overrides the
+    # flag (see options.py). setdefault keeps that precedence.
+    if args.hot_group is not None:
+        os.environ.setdefault("STRINGSEXT_HOT_GROUP", args.hot_group)
+    if args.mesh:
+        os.environ.setdefault("STRINGSEXT_MESH", "1")
+    if args.stream_file_min is not None:
+        os.environ.setdefault("STRINGSEXT_STREAM_FILE_MIN",
+                              args.stream_file_min)
+    if args.host_hotmap:
+        os.environ.setdefault("STRINGSEXT_HOST_HOTMAP", "1")
+    if engine == "tpu":
+        _enable_compilation_cache()
+
     use_stdin = (not args.inputs) or (
         len(args.inputs) == 1 and args.inputs[0] == "-"
     )
@@ -969,6 +1092,42 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
             for m in missions.v
         )
     )
+    if args.checkpoint is not None:
+        # Checkpointed scans always take the chunked streaming path
+        # (its state is what the checkpoint captures). Requirements:
+        # one input (or stdin) and native-supported missions.
+        if len(args.inputs) > 1:
+            raise RuntimeError(
+                "--checkpoint requires a single input file or stdin"
+            )
+        if not native_streamable:
+            raise RuntimeError(
+                "--checkpoint requires the native engine (engine=auto or "
+                "tpu) and native-supported encodings"
+            )
+        close_ck = False
+        if out is None:
+            if args.output is not None:
+                # resume appends: the printed prefix must survive
+                out = open(args.output,
+                           "ab" if os.path.exists(args.checkpoint) else "wb")
+                close_ck = True
+            else:
+                out = sys.stdout.buffer
+        try:
+            if use_stdin:
+                return _run_streaming_stdin(
+                    args, missions, out, engine=engine,
+                    checkpoint_path=args.checkpoint,
+                )
+            with open(args.inputs[0], "rb") as src:
+                return _run_streaming_stdin(
+                    args, missions, out, src=src, engine=engine,
+                    checkpoint_path=args.checkpoint,
+                )
+        finally:
+            if close_ck:
+                out.close()
     stream_stdin = use_stdin and native_streamable
     # A huge SINGLE file also streams in constant memory: the findings
     # columns of a buffered scan grow with the finding count (a dense

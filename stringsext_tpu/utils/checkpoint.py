@@ -42,11 +42,15 @@ def save_checkpoint(path: str, mission_states: List[dict], next_slice: int) -> N
     """Atomic write (temp + rename): a crash mid-dump must never
     destroy the previous good checkpoint - surviving crashes is the
     whole point of checkpointing."""
+    _atomic_dump(path, state_to_dict(mission_states, next_slice))
+
+
+def _atomic_dump(path: str, payload: dict) -> None:
     import os
 
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump(state_to_dict(mission_states, next_slice), f)
+        json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
@@ -55,7 +59,7 @@ def save_checkpoint(path: str, mission_states: List[dict], next_slice: int) -> N
 def load_checkpoint(path: str, expected_missions: int | None = None) -> dict:
     with open(path) as f:
         d = json.load(f)
-    if d.get("version") != 1:
+    if d.get("version") not in (1, 2):
         raise ValueError(f"unsupported checkpoint version in {path}")
     if expected_missions is not None and len(d.get("missions", [])) != expected_missions:
         raise ValueError(
@@ -64,6 +68,101 @@ def load_checkpoint(path: str, expected_missions: int | None = None) -> dict:
             "must use the same -e mission set"
         )
     return d
+
+
+# --- v2: the CLI streaming checkpoint (`--checkpoint FILE`). Besides
+# the per-mission carry states it records everything the chunk loop
+# holds between chunks: the absolute stream read offset, the
+# unconsumed tail bytes (cursor-rebased carry), and the boundary-
+# position findings held back one chunk for merge-order stability.
+
+
+def _ser_held(held) -> list:
+    import base64
+
+    out = []
+    for i, _m, res, sb in held:
+        strings = [
+            base64.b64encode(
+                sb[int(o):int(o) + int(ln)]
+            ).decode("ascii")
+            for o, ln in zip(res["str_off"].tolist(), res["str_len"].tolist())
+        ]
+        out.append({
+            "mission": int(i),
+            "position": [int(v) for v in res["position"]],
+            "precision": [int(v) for v in res["precision"]],
+            "completes": [int(v) for v in res["completes"]],
+            "file_id": [int(v) for v in res["file_id"]],
+            "strings": strings,
+        })
+    return out
+
+
+def _deser_held(rows, missions):
+    import base64
+
+    import numpy as np
+
+    held = []
+    for r in rows:
+        payloads = [base64.b64decode(s) for s in r["strings"]]
+        sb = b"".join(payloads)
+        lens = np.array([len(p) for p in payloads], np.uint32)
+        offs = np.zeros(len(payloads), np.uint64)
+        if len(payloads):
+            offs[1:] = np.cumsum(lens.astype(np.uint64))[:-1]
+        res = {
+            "position": np.array(r["position"], np.uint64),
+            "precision": np.array(r["precision"], np.int8),
+            "completes": np.array(r["completes"], np.uint8),
+            "file_id": np.array(r["file_id"], np.int32),
+            "str_off": offs,
+            "str_len": lens,
+        }
+        i = int(r["mission"])
+        held.append((i, missions.v[i], res, sb))
+    return held
+
+
+def save_stream_checkpoint(
+    path: str, mission_states: List[dict], stream_pos: int,
+    carry: bytes, held,
+) -> None:
+    import base64
+
+    d = state_to_dict(mission_states, 0)
+    d["version"] = 2
+    del d["next_slice"]
+    d["stream_pos"] = int(stream_pos)
+    d["carry"] = base64.b64encode(bytes(carry)).decode("ascii")
+    d["held"] = _ser_held(held or [])
+    _atomic_dump(path, d)
+
+
+def load_stream_checkpoint(path: str, missions: Missions):
+    """Returns (states, stream_pos, carry_bytes, held) or raises."""
+    import base64
+
+    d = load_checkpoint(path, len(missions.v))
+    if d["version"] != 2:
+        raise ValueError(
+            f"checkpoint {path} is not a stream checkpoint (version 2)"
+        )
+    states = [
+        {
+            "consumed": int(st["consumed"]),
+            "cursor": int(st["cursor"]),
+            "printed_maybe_cut": bool(st["printed_maybe_cut"]),
+            "dec_mode": int(st.get("dec_mode", 0)),
+            "dec_output_flag": bool(st.get("dec_output_flag", False)),
+            "leftover_cps": list(map(int, st.get("leftover_cps", []))),
+        }
+        for st in d["missions"]
+    ]
+    carry = base64.b64decode(d["carry"])
+    held = _deser_held(d["held"], missions)
+    return states, int(d["stream_pos"]), carry, held
 
 
 def fresh_states(missions: Missions) -> List[dict]:
