@@ -468,11 +468,41 @@ struct SplitStr {
                 if (!grep_ok && mm.grep_char == cp) grep_ok = true;
                 char_ok = pass_af(mm, cp);
                 goto_next = true;
+                if (char_ok) {
+                    // ASCII burst: consume the run of accepted ASCII
+                    // chars in one tight loop (ASCII never touches
+                    // last_multi_lead, so the ladder below is a no-op
+                    // for them). Dominant loop on text-dense input.
+                    ok_char_nb++; p++;
+                    while (p < n && ok_char_nb < mm.line_max) {
+                        int32_t c2 = cps[p];
+                        if ((uint32_t)c2 >= 0x80u || !pass_af(mm, c2)) break;
+                        if (!grep_ok && mm.grep_char == c2) grep_ok = true;
+                        ok_char_nb++; p++;
+                    }
+                    continue;
+                }
             } else {
                 int lead = utf8_lead_of(cp);
                 if (pass_ubf(mm, lead)) {
                     if (!mm.same_block || lead == last_multi_lead || last_multi_lead == 0) {
                         last_multi_lead = lead; char_ok = true; goto_next = true;
+                        if (!mm.same_block) {
+                            // Multibyte burst (same_block off): accepted
+                            // multibyte chars never touch grep_ok (grep
+                            // chars are ASCII-only, mission.rs:547-555),
+                            // so the run consumes in one tight loop.
+                            ok_char_nb++; p++;
+                            while (p < n && ok_char_nb < mm.line_max) {
+                                int32_t c2 = cps[p];
+                                if ((uint32_t)c2 < 0x80u) break;
+                                int l2 = utf8_lead_of(c2);
+                                if (!pass_ubf(mm, l2)) break;
+                                last_multi_lead = l2;
+                                ok_char_nb++; p++;
+                            }
+                            continue;
+                        }
                     } else {
                         last_multi_lead = lead; char_ok = false; goto_next = false;
                     }
@@ -700,9 +730,10 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     };
     advance();
 
-    std::vector<int32_t> chars;
+    std::vector<int32_t> chars, call_chars;
     std::vector<uint8_t> fresh, refpfx;
     chars.reserve(4096);
+    call_chars.reserve(4096);
     int64_t hot_cursor = 0;
 
     for (int64_t s = 0; s < nslices; s++) {
@@ -744,26 +775,49 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     if (differ) precision = -1;
                 }
             }
-            chars.clear();
+            // Feed SplitStr from call_chars directly when no leftover
+            // needs prepending (the common case) - copying every call
+            // into `chars` costs a full extra pass on dense text.
+            const int32_t* base;
+            int32_t nbase;
             if (have_pending) {
+                chars.clear();
                 chars.insert(chars.end(), pending.begin(), pending.end());
                 precision = -1;
                 have_pending = false;
                 pending.clear();
+                chars.insert(chars.end(), call_chars.begin(), call_chars.end());
+                base = chars.data();
+                nbase = (int32_t)chars.size();
+            } else {
+                base = call_chars.data();
+                nbase = (int32_t)call_chars.size();
             }
-            chars.insert(chars.end(), call_chars.begin(), call_chars.end());
 
             bool continue_str = flag;
             flag = false;
 
-            SplitStr ss{chars.data(), (int32_t)chars.size(), &m, continue_str,
-                        invalid_after};
+            SplitStr ss{base, nbase, &m, continue_str, invalid_after};
             Chunk ch;
             while (ss.next(&ch)) {
                 if (!ch.filtered_again) {
                     uint64_t off = out.strbuf.size();
-                    for (int32_t i = ch.start; i < ch.end; i++)
-                        utf8_append(out.strbuf, chars[i]);
+                    // Bulk-append: narrow ASCII spans with one resize
+                    // (vectorizable), scalar utf8_append otherwise.
+                    int32_t i = ch.start;
+                    while (i < ch.end) {
+                        int32_t j = i;
+                        while (j < ch.end && (uint32_t)base[j] < 0x80u) j++;
+                        if (j > i) {
+                            size_t o = out.strbuf.size();
+                            out.strbuf.resize(o + (size_t)(j - i));
+                            uint8_t* d8 = out.strbuf.data() + o;
+                            for (int32_t t = i; t < j; t++)
+                                d8[t - i] = (uint8_t)base[t];
+                            i = j;
+                        }
+                        if (i < ch.end) { utf8_append(out.strbuf, base[i]); i++; }
+                    }
                     out.position.push_back(st.consumed + (uint64_t)call_label);
                     out.precision.push_back(precision);
                     out.completes.push_back(ch.completes ? 1 : 0);
@@ -774,7 +828,7 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     have_pending = false;
                     flag = ch.maybe_cut;
                 } else {
-                    pending.assign(chars.begin() + ch.start, chars.begin() + ch.end);
+                    pending.assign(base + ch.start, base + ch.end);
                     have_pending = true;
                     flag = false;
                 }
@@ -782,8 +836,6 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
             }
         };
 
-        std::vector<int32_t> call_chars;
-        call_chars.reserve(4096);
         int64_t ws = 0;
         while (ws < slen) {
             int64_t we = ws + w < slen ? ws + w : slen;
@@ -845,8 +897,28 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                                 int64_t c2 = cand + ev.pushback;
                                 if (c2 > label) label = c2;
                             }
-                            call_label = label;
                             cursor = ev.pos + ev.in_len;
+                            if (m.kind == 0) {
+                                // Batch runs of intrinsic 1-byte
+                                // malformed bytes (stray continuation
+                                // / C0 / C1 / F5-FF: in_len 1, report
+                                // = pos, no pushback) without the
+                                // Event round trip - 25% of uniform
+                                // random bytes.
+                                const int64_t lim2 =
+                                    sstart + we < total ? sstart + we
+                                                        : total;
+                                while (cursor < lim2) {
+                                    uint8_t b2 = data[cursor];
+                                    if (!((b2 >= 0x80 && b2 < 0xC2) ||
+                                          b2 >= 0xF5))
+                                        break;
+                                    cursor++;
+                                }
+                                int64_t cand2 = cursor - sstart;
+                                if (cand2 > label) label = cand2;
+                            }
+                            call_label = label;
                             advance();
                             continue;
                         }
@@ -867,21 +939,70 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     // round trip (their report == pos, so the window
                     // partition test is just cursor < window end):
                     // UTF-8 / CJK ASCII bytes, and defined single-byte
-                    // table entries.
+                    // table entries. Span-first + bulk widen: find the
+                    // span end (8-byte SWAR for the ASCII case), then
+                    // one resize + a widening loop the compiler
+                    // vectorizes - per-element push_back measured ~5x
+                    // slower on dense text.
                     {
                         const int64_t lim =
                             sstart + we < total ? sstart + we : total;
                         // (kind 9, modal ISO-2022-JP, never batches:
                         // sub-0x80 bytes there are mode-dependent)
                         if (m.kind == 0 || (m.kind >= 4 && m.kind <= 8)) {
-                            while (cursor < lim && data[cursor] < 0x80)
+                            // Short probe (random data: spans of 1-3
+                            // bytes, push_back wins), then SWAR span +
+                            // one bulk widen for real text runs.
+                            while (cursor < lim && data[cursor] < 0x80) {
                                 call_chars.push_back(data[cursor++]);
+                                if (((cursor ^ (cursor - 1)) & 7) == 7 &&
+                                    cursor + 8 <= lim) {
+                                    int64_t e = cursor;
+                                    while (e + 8 <= lim) {
+                                        uint64_t wd;
+                                        memcpy(&wd, data + e, 8);
+                                        if (wd & 0x8080808080808080ull)
+                                            break;
+                                        e += 8;
+                                    }
+                                    while (e < lim && data[e] < 0x80) e++;
+                                    if (e > cursor) {
+                                        size_t old = call_chars.size();
+                                        call_chars.resize(
+                                            old + (size_t)(e - cursor));
+                                        int32_t* dst =
+                                            call_chars.data() + old;
+                                        const uint8_t* src = data + cursor;
+                                        for (int64_t i = 0; i < e - cursor;
+                                             i++)
+                                            dst[i] = src[i];
+                                        cursor = e;
+                                    }
+                                    break;
+                                }
+                            }
                         } else if (m.kind == 3) {
                             int32_t c;
                             while (cursor < lim &&
                                    (c = m.table256[data[cursor]]) >= 0) {
                                 call_chars.push_back(c);
                                 cursor++;
+                            }
+                        } else if (m.kind == 1 || m.kind == 2) {
+                            // UTF-16 BMP batch: any unit outside the
+                            // surrogate range is a complete 1-unit
+                            // char (report == its second byte, still
+                            // inside the window iff unit end <= lim).
+                            const bool be16 = m.kind == 2;
+                            while (cursor + 2 <= lim) {
+                                uint32_t u = be16
+                                    ? ((uint32_t)data[cursor] << 8) |
+                                          data[cursor + 1]
+                                    : ((uint32_t)data[cursor + 1] << 8) |
+                                          data[cursor];
+                                if (u - 0xD800 < 0x800u) break;
+                                call_chars.push_back((int32_t)u);
+                                cursor += 2;
                             }
                         }
                     }
@@ -895,8 +1016,11 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                 // chunk) can neither emit a finding nor change state -
                 // skip the SplitStr walk. Dominant on malformed-dense
                 // (machine-code-like) inputs, where decode calls split
-                // every few bytes.
-                if (!(ended_mal && !have_pending && !flag &&
+                // every few bytes. An EMPTY stateless call is likewise
+                // a provable no-op whatever cut it.
+                bool noop_call = call_chars.empty() && !have_pending && !flag;
+                if (!noop_call &&
+                    !(ended_mal && !have_pending && !flag &&
                       (int64_t)call_chars.size() < (int64_t)m.chars_min_nb))
                     process_call(call_label, call_chars, invalid_after);
                 if (!ended_mal) break;
@@ -911,7 +1035,9 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
             ws = we;
         }
 
-        if (is_last && slen > 0) {
+        if (is_last && slen > 0 && (have_pending || flag)) {
+            // (with no pending leftover and a clear flag the flush
+            // call is a no-op - see noop_call above)
             call_chars.clear();
             process_call(label, call_chars, true);
         }

@@ -921,12 +921,20 @@ def _run_streaming_stdin(
     if not resumed:
         out.write(b"\xef\xbb\xbf")  # BOM (main.rs:116)
 
-    pool = (
-        ThreadPoolExecutor(max_workers=len(missions.v))
-        if len(missions.v) > 1 else None
-    )
-    while True:
-        raw = src.read(chunk_bytes)
+    pool = ThreadPoolExecutor(max_workers=max(1, len(missions.v)))
+
+    def build_and_launch():
+        """Read the next chunk, build its slice grid + hot maps, and
+        launch the per-mission scans on the pool. Called only once the
+        mission states are settled for the PREVIOUS chunk (native_scan
+        mutates them in place), so the scans of chunk N+1 overlap the
+        merge+format of chunk N - the reference's lock-step pipeline
+        (main.rs:118-136: scan batch N+1 while the merger prints N)."""
+        nonlocal stream_pos
+        try:
+            raw = src.read(chunk_bytes)
+        except BaseException as e:  # defer: the PREVIOUS chunk must
+            return ("err", e)  # still be emitted + checkpointed first
         stream_pos += len(raw)
         data = np.concatenate([carry, np.frombuffer(raw, np.uint8)])
         carry_len = len(carry)
@@ -962,21 +970,28 @@ def _run_streaming_stdin(
                     chunk_stream, swar_jobs, pad_to=chunk_bytes + 4096
                 )
 
-        def job(im):
-            i, m = im
+        def job(i, m):
             return i, native.native_scan(
                 m, data, *sl, state=states[i],
                 hot_ranges=hot_by_mission.get(i),
             )
 
+        futs = [pool.submit(job, i, m) for i, m in enumerate(missions.v)]
+        return chunk_end, is_final, data, futs
+
+    inflight = build_and_launch()
+    while True:
+        if inflight[0] == "err":
+            pool.shutdown()
+            raise inflight[1]
+        chunk_end, is_final, data, futs = inflight
         results = [None] * len(missions.v)
         with profiling.scope("scan", chunk_end * len(missions.v)):
-            if pool is None:
-                i, (res, sb) = job((0, missions.v[0]))
-                results[i] = (missions.v[0], res, sb)
-            else:
-                for i, (res, sb) in pool.map(job, enumerate(missions.v)):
-                    results[i] = (missions.v[i], res, sb)
+            # (reports only the NON-overlapped scan residual once the
+            # pipeline is warm)
+            for f in futs:
+                i, (res, sb) = f.result()
+                results[i] = (missions.v[i], res, sb)
 
         # Split off boundary-position findings (they can tie with the
         # next chunk under the merge key) unless this is the last
@@ -994,8 +1009,40 @@ def _run_streaming_stdin(
             emit = [(m, r, s) for (_i, m, r, s) in held] + emit
         held = hold if not is_final else None
 
+        ck_snapshot = None
+        if not is_final:
+            # Tail carry: drop everything every mission consumed. Trim
+            # an EVEN number of bytes so the chunk buffer's base parity
+            # stays the stream's parity: the device hot-map kernels and
+            # the emitter's skip-resume alignment pair UTF-16 units by
+            # buffer offset, and an odd base would flip the unit phase
+            # (fuzz 987654 trials 696/2884: bogus / missing UTF-16
+            # findings after a skip in streaming engine=tpu).
+            cmin = min(int(st["cursor"]) for st in states)
+            cmin = min(cmin, chunk_end) & ~1
+            carry = data[cmin:].copy()
+            for st in states:
+                st["cursor"] = int(st["cursor"]) - cmin
+            if checkpoint_path is not None:
+                # Snapshot before the next launch starts mutating the
+                # states (shallow per-state copies: native_scan
+                # replaces values, never mutates them).
+                ck_snapshot = (
+                    [dict(st) for st in states], stream_pos,
+                    carry.tobytes(),
+                )
+            # Launch chunk N+1 now; merge+format of chunk N below
+            # overlaps with its scans.
+            inflight = build_and_launch()
+
         with profiling.scope("merge+format"):
             _emit_lines(out, args, emit)
+
+        if ck_snapshot is not None:
+            checkpoint.save_stream_checkpoint(
+                checkpoint_path, ck_snapshot[0], ck_snapshot[1],
+                ck_snapshot[2], held,
+            )
 
         if is_final:
             if checkpoint_path is not None:
@@ -1004,28 +1051,10 @@ def _run_streaming_stdin(
                 except OSError:
                     pass
             break
-        # Tail carry: drop everything every mission consumed. Trim an
-        # EVEN number of bytes so the chunk buffer's base parity stays
-        # the stream's parity: the device hot-map kernels and the
-        # emitter's skip-resume alignment pair UTF-16 units by buffer
-        # offset, and an odd base would flip the unit phase (fuzz
-        # 987654 trials 696/2884: bogus / missing UTF-16 findings after
-        # a skip in streaming engine=tpu).
-        cmin = min(int(st["cursor"]) for st in states)
-        cmin = min(cmin, chunk_end) & ~1
-        carry = data[cmin:].copy()
-        for st in states:
-            st["cursor"] = int(st["cursor"]) - cmin
-
-        if checkpoint_path is not None:
-            checkpoint.save_stream_checkpoint(
-                checkpoint_path, states, stream_pos, carry.tobytes(), held
-            )
 
     out.write(b"\n")
     out.flush()
-    if pool is not None:
-        pool.shutdown()
+    pool.shutdown()
     profiling.report()
     return 0
 
