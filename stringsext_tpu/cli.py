@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
                      action="store_true",
                      help="enable the numpy host hot-map prepass for "
                           "engine=auto (window skipping without a device)")
+    ext.add_argument("--dist-nprocs", dest="dist_nprocs", metavar="N",
+                     help="distributed scan: total number of processes "
+                          "(run the same command on every host with "
+                          "matching --dist-rank; process 0 prints)")
+    ext.add_argument("--dist-rank", dest="dist_rank", metavar="K",
+                     help="distributed scan: this process's rank (0..N-1)")
+    ext.add_argument("--dist-coord", dest="dist_coord", metavar="HOST:PORT",
+                     help="distributed scan: jax.distributed coordinator "
+                          "address (rank 0's host)")
     return p
 
 
@@ -121,6 +130,9 @@ def parse_args(argv: Optional[List[str]] = None) -> Args:
         unicode_block_filter=ns.unicode_block_filter,
         version=ns.version,
         engine=ns.engine,
+        dist_nprocs=ns.dist_nprocs,
+        dist_rank=ns.dist_rank,
+        dist_coord=ns.dist_coord,
         checkpoint=ns.checkpoint,
         hot_group=ns.hot_group,
         mesh=ns.mesh,

@@ -82,3 +82,6 @@ class Args:
     mesh: bool = False  # --mesh
     stream_file_min: Optional[str] = None  # --stream-file-min BYTES
     host_hotmap: bool = False  # --host-hotmap
+    dist_nprocs: Optional[str] = None  # --dist-nprocs N
+    dist_rank: Optional[str] = None  # --dist-rank K
+    dist_coord: Optional[str] = None  # --dist-coord HOST:PORT

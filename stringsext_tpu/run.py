@@ -459,6 +459,46 @@ _SEGMENT_KINDS = ("utf8", "utf16le", "utf16be", "single-byte")
 _SEGMENT_MAX = None  # None = os.cpu_count(); tests monkeypatch this
 
 
+def _quiescent_mask(sl, hot, window_bytes: int, data=None,
+                    kind: str = "utf8"):
+    """bool[n_rows-1]: entry r-1 is True iff an independent scan
+    segment may start at slice row r for this mission - the previous
+    slice is entirely cold (no hot range intersects it), at least two
+    decode windows long, and the per-kind no-span guard holds at the
+    boundary byte (see _segment_rows for the full argument). Shared by
+    the in-process segment splitter and the multi-process distributed
+    shard-boundary search (parallel/distributed.py), which must agree
+    on boundaries deterministically."""
+    import numpy as np
+
+    starts, lens, _fids, _last = sl
+    hs, he = hot
+    n_rows = len(starts)
+    prev_start = starts[:-1]
+    prev_end = prev_start + lens[:-1]
+    # First hot range ending after prev_start; cold iff it starts at or
+    # after prev_end.
+    k = np.searchsorted(he, prev_start, "right")
+    kk = np.minimum(k, max(len(hs) - 1, 0))
+    cold = (k >= len(hs)) | (
+        (hs[kk] >= prev_end) if len(hs) else np.ones(n_rows - 1, bool)
+    )
+    ok = cold & (lens[:-1] >= 2 * window_bytes)
+    p = starts[1:]
+    if kind == "utf8" and data is not None:
+        b = np.asarray(data[np.minimum(p, len(data) - 1)])
+        ok = ok & ~((b >= 0x80) & (b <= 0xBF))
+    elif kind in ("utf16le", "utf16be"):
+        ok = ok & (p % 2 == 0)
+        if data is not None:
+            hi_off = 1 if kind == "utf16le" else 2
+            hi = np.asarray(
+                data[np.clip(p - hi_off, 0, len(data) - 1)]
+            )
+            ok = ok & ~((hi >= 0xD8) & (hi <= 0xDB) & (p >= 2))
+    return ok
+
+
 def _segment_rows(sl, hot, window_bytes: int, max_segments: int,
                   data=None, kind: str = "utf8"):
     """Split a buffered scan into independently scannable row spans of
@@ -488,32 +528,10 @@ def _segment_rows(sl, hot, window_bytes: int, max_segments: int,
     import numpy as np
 
     starts, lens, _fids, _last = sl
-    hs, he = hot
     n_rows = len(starts)
     if n_rows < 2 or max_segments <= 1:
         return []
-    prev_start = starts[:-1]
-    prev_end = prev_start + lens[:-1]
-    # First hot range ending after prev_start; cold iff it starts at or
-    # after prev_end.
-    k = np.searchsorted(he, prev_start, "right")
-    kk = np.minimum(k, max(len(hs) - 1, 0))
-    cold = (k >= len(hs)) | (
-        (hs[kk] >= prev_end) if len(hs) else np.ones(n_rows - 1, bool)
-    )
-    ok = cold & (lens[:-1] >= 2 * window_bytes)
-    p = starts[1:]
-    if kind == "utf8" and data is not None:
-        b = np.asarray(data[np.minimum(p, len(data) - 1)])
-        ok = ok & ~((b >= 0x80) & (b <= 0xBF))
-    elif kind in ("utf16le", "utf16be"):
-        ok = ok & (p % 2 == 0)
-        if data is not None:
-            hi_off = 1 if kind == "utf16le" else 2
-            hi = np.asarray(
-                data[np.clip(p - hi_off, 0, len(data) - 1)]
-            )
-            ok = ok & ~((hi >= 0xD8) & (hi <= 0xDB) & (p >= 2))
+    ok = _quiescent_mask(sl, hot, window_bytes, data=data, kind=kind)
     cand = np.flatnonzero(ok) + 1
     if len(cand) == 0:
         return []
@@ -1113,6 +1131,38 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
     use_stdin = (not args.inputs) or (
         len(args.inputs) == 1 and args.inputs[0] == "-"
     )
+
+    if args.dist_nprocs is not None and int(args.dist_nprocs) > 1:
+        # Multi-process distributed scan: every process runs the same
+        # command with its --dist-rank; the input must be a real file
+        # set visible to all hosts (no stdin), and process 0 prints
+        # the merged byte-identical stream.
+        if use_stdin:
+            raise RuntimeError(
+                "distributed scan requires file inputs (stdin cannot be "
+                "sharded across processes)"
+            )
+        from .parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.dist_coord,
+            num_processes=int(args.dist_nprocs),
+            process_id=int(args.dist_rank or 0),
+        )
+        close_d = False
+        if out is None:
+            if args.output is not None and int(args.dist_rank or 0) == 0:
+                out = open(args.output, "wb")
+                close_d = True
+            else:
+                out = sys.stdout.buffer
+        try:
+            return distributed.distributed_run(
+                args, missions, out, engine=engine
+            )
+        finally:
+            if close_d:
+                out.close()
     native_streamable = (
         engine != "python"
         and native.get_lib() is not None

@@ -1,9 +1,18 @@
-"""TRUE multi-process distributed scan test: 2 OS processes x 4 CPU
-devices join one jax.distributed runtime (Gloo collectives over
-localhost - the CI stand-in for a 2-host pod slice, SURVEY.md sec. 4),
-run the mesh-sharded counts kernel over an 8-way "data" axis with
-cross-PROCESS ppermute halo exchange, and every process checks its
-addressable output shards bit-exactly against the single-device pass.
+"""TRUE multi-process distributed scan tests: 2 OS processes join one
+jax.distributed runtime (Gloo collectives over localhost - the CI
+stand-in for a 2-host pod slice, SURVEY.md sec. 4).
+
+Round 1 case ("counts"): the mesh-sharded counts kernel over an 8-way
+"data" axis with cross-PROCESS ppermute halo exchange, checked
+bit-exactly against the single-device pass.
+
+Round 2 case ("cli"): the FULL pipeline - each process scans its
+quiescent shard of a shared input file, findings (not counts) are
+gathered to process 0, merged with the finding.rs:92-109 key and
+printed; process 0's bytes must equal the single-process engine=auto
+output exactly (the reference's whole observable behavior,
+main.rs:93-175). Includes the dense-corpus fallback (no safe split ->
+process 0 scans everything) and a boundary-straddling string.
 
 The reference has no distributed tests (nothing distributed to test);
 this pins the TPU build's added multi-host path end-to-end at the
@@ -26,6 +35,59 @@ def _free_port():
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def _cli_worker_main():
+    pid = int(os.environ[_WORKER_ENV])
+    coord = os.environ["STRINGSEXT_DIST_COORD"]
+    work = os.environ["STRINGSEXT_DIST_WORKDIR"]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import io
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from stringsext_tpu.parallel import distributed
+
+    distributed.initialize(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2
+
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.mission import Missions
+
+    cases = [
+        ("sparse", ["-t", "x", "-e", "UTF-8", "-e", "utf-16le"]),
+        ("dense", ["-t", "d", "-e", "UTF-8", "-e", "KOI8-R", "-n", "5"]),
+    ]
+    for name, argv in cases:
+        corpus = os.path.join(work, f"{name}.bin")
+        args = parse_args(argv + [corpus])
+        ms = Missions.from_args(args)
+        buf = io.BytesIO()
+        rc = distributed.distributed_run(args, ms, buf, engine="auto")
+        assert rc == 0
+        if pid == 0:
+            expected = open(os.path.join(work, f"{name}.expected"),
+                            "rb").read()
+            got = buf.getvalue()
+            assert got == expected, (
+                f"case {name}: {len(got)} vs {len(expected)} bytes; "
+                f"first diff at "
+                f"{next((i for i, (a, b) in enumerate(zip(got, expected)) if a != b), min(len(got), len(expected)))}"
+            )
+        else:
+            assert buf.getvalue() == b""  # only process 0 prints
+        # the sparse corpus must actually split across processes
+        from stringsext_tpu.input import load_stream
+
+        stream = load_stream([corpus])
+        bounds = distributed.shard_boundaries(stream, ms, 2)
+        if name == "sparse":
+            assert bounds is not None and 0 < bounds[1] < bounds[2], bounds
+    print(f"WORKER{pid}-OK", flush=True)
 
 
 def _worker_main():
@@ -111,9 +173,12 @@ def _worker_main():
     print(f"WORKER{pid}-OK", flush=True)
 
 
-def _spawn_round(port, timeout_s):
+def _spawn_round(port, timeout_s, mode="counts", workdir=None):
     env = dict(os.environ)
     env["STRINGSEXT_DIST_COORD"] = f"127.0.0.1:{port}"
+    env["STRINGSEXT_DIST_TEST_MODE"] = mode
+    if workdir is not None:
+        env["STRINGSEXT_DIST_WORKDIR"] = str(workdir)
     env.pop("JAX_PLATFORMS", None)
     procs = []
     for pid in range(2):
@@ -154,11 +219,76 @@ def test_two_process_distributed_counts():
     assert False, f"all attempts failed: {last and [o[-2000:] for _, o in last]}"
 
 
+def _make_cli_corpora(workdir):
+    """Sparse corpus (cold zero-gaps, findings on both sides, a string
+    straddling the nominal midpoint) + dense corpus (every block hot:
+    no safe split, exercises the rank-0-scans-all fallback), with
+    single-process engine=auto expected outputs."""
+    import io
+
+    import numpy as np
+
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.run import run
+
+    rng = np.random.default_rng(5)
+    n = 256 * 1024
+    sparse = bytearray(n)
+    msgs = [
+        b"left-side ascii finding",
+        "wide ЖЖ utf16 string".encode("utf-16-le"),
+        "d\u00e9j\u00e0 vu \u20ac utf8".encode("utf-8"),
+    ]
+    mid = n // 2
+    k = 0
+    for off in range(512, n - 64, 3000):
+        if mid < off < mid + 48 * 1024:
+            continue  # cold gap after the midpoint -> a real split
+        m = msgs[k % len(msgs)]
+        sparse[off:off + len(m)] = m
+        k += 1
+    strad = b"THIS STRING STRADDLES THE NOMINAL MIDPOINT BOUNDARY"
+    sparse[mid - 20:mid - 20 + len(strad)] = strad
+    (workdir / "sparse.bin").write_bytes(bytes(sparse))
+
+    dense = rng.integers(0, 256, n // 4, np.uint8).tobytes()
+    (workdir / "dense.bin").write_bytes(dense)
+
+    for name, argv in [
+        ("sparse", ["-t", "x", "-e", "UTF-8", "-e", "utf-16le"]),
+        ("dense", ["-t", "d", "-e", "UTF-8", "-e", "KOI8-R", "-n", "5"]),
+    ]:
+        buf = io.BytesIO()
+        rc = run(parse_args(argv + [str(workdir / f"{name}.bin")]),
+                 out=buf, engine="auto")
+        assert rc == 0
+        (workdir / f"{name}.expected").write_bytes(buf.getvalue())
+
+
+def test_two_process_distributed_cli(tmp_path):
+    """Full end-to-end: 2 processes, shared input file, process 0's
+    output byte-identical to the single-process scan."""
+    _make_cli_corpora(tmp_path)
+    last = None
+    for _attempt in range(3):
+        res = _spawn_round(_free_port(), timeout_s=240, mode="cli",
+                           workdir=tmp_path)
+        if res is not None and all(pr.returncode == 0 for pr, _ in res):
+            for pid, (pr, out) in enumerate(res):
+                assert f"WORKER{pid}-OK" in out, out[-3000:]
+            return
+        last = res
+    assert False, f"all attempts failed: {last and [o[-2000:] for _, o in last]}"
+
+
 if __name__ == "__main__":
     if _WORKER_ENV in os.environ:
         sys.path.insert(
             0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        _worker_main()
+        if os.environ.get("STRINGSEXT_DIST_TEST_MODE") == "cli":
+            _cli_worker_main()
+        else:
+            _worker_main()
     else:
         raise SystemExit("worker entry only")
