@@ -736,6 +736,28 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     call_chars.reserve(4096);
     int64_t hot_cursor = 0;
 
+    // Dense accepted-ASCII fast lane (see the window loop below):
+    // eligible for the kinds whose sub-0x80 bytes are always complete
+    // 1-byte events decoding to themselves (UTF-8, single-byte tables,
+    // and the non-modal CJK kinds - WHATWG maps their ASCII range to
+    // identity; UTF-16 units and modal ISO-2022-JP are not byte==cp).
+    const bool ascii_fast =
+        (m.kind == 0 || m.kind == 3 || (m.kind >= 4 && m.kind <= 8)) &&
+        m.grep_char < 0 && m.chars_min_nb <= m.line_max;
+    // UTF-16 sibling: a full window is exactly line_max BMP units ->
+    // ONE wrapped maybe-cut finding. ubf_acc indexes by the would-be
+    // UTF-8 lead byte of the unit (mission.rs:341-348 semantics).
+    const bool utf16_fast = (m.kind == 1 || m.kind == 2) &&
+                            m.grep_char < 0 && !m.same_block &&
+                            m.chars_min_nb <= m.line_max;
+    bool ascii_acc[128];
+    if (ascii_fast || utf16_fast)
+        for (int c = 0; c < 128; c++) ascii_acc[c] = pass_af(m, c);
+    bool ubf_acc[256];
+    if (utf16_fast)
+        for (int c = 0; c < 256; c++)
+            ubf_acc[c] = c >= 0xC0 && pass_ubf(m, c);
+
     for (int64_t s = 0; s < nslices; s++) {
         const int64_t sstart = sl_start[s];
         const int32_t slen = sl_len[s];
@@ -869,6 +891,98 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     continue;
                 }
             }
+            // Accepted-ASCII full-window fast lane: a full 2*line_max
+            // window whose bytes are ALL AF-accepted ASCII, entered at
+            // an event boundary with no pending leftover, is by
+            // SplitStr semantics exactly two line_max-char wrapped
+            // findings sharing the window's call label - the first
+            // Exact and completing iff the continuation flag was set,
+            // the second an After '+' continuation, both maybe-cut
+            // (helper.rs:226-237 wrapping + :349-392 flags). Emit them
+            // with two strbuf memcpys and skip the whole char
+            // materialization + SplitStr walk - the dominant window
+            // shape on text-dense input (~3x end-to-end there).
+            if (ascii_fast && ev_ok && !have_pending &&
+                we - ws == w && cursor == sstart + ws) {
+                const uint8_t* p8 = data + sstart + ws;
+                int64_t k = 0;
+                while (k < w && p8[k] < 0x80 && ascii_acc[p8[k]]) k++;
+                if (k == w) {
+                    const int64_t lm = m.line_max;
+                    const uint64_t pos = st.consumed + (uint64_t)label;
+                    const size_t off = out.strbuf.size();
+                    out.strbuf.resize(off + (size_t)w);
+                    memcpy(out.strbuf.data() + off, p8, (size_t)w);
+                    out.position.push_back(pos);
+                    out.precision.push_back(0);
+                    out.completes.push_back(flag ? 1 : 0);
+                    out.file_id.push_back(file_id);
+                    out.str_off.push_back((uint64_t)off);
+                    out.str_len.push_back((uint32_t)lm);
+                    out.position.push_back(pos);
+                    out.precision.push_back(1);
+                    out.completes.push_back(1);
+                    out.file_id.push_back(file_id);
+                    out.str_off.push_back((uint64_t)off + (uint64_t)lm);
+                    out.str_len.push_back((uint32_t)(w - lm));
+                    flag = true;
+                    cursor = sstart + we;
+                    advance();
+                    label = we;
+                    ws = we;
+                    continue;
+                }
+            }
+            // UTF-16 full-window fast lane: a full window is exactly
+            // line_max 2-byte units; if every unit is a non-surrogate
+            // accepted BMP char, SplitStr yields ONE wrapped finding
+            // covering the whole window (ok_char_nb hits line_max at
+            // the window end: maybe-cut, completes iff the flag was
+            // set). label>0 keeps the first-window Before-precision
+            // heuristic (finding_collection.rs:155-207) on the generic
+            // path. Dominant on random/CJK-dense input, where ~96% of
+            // unit pairs are valid BMP chars (README.md:30-36).
+            if (utf16_fast && ev_ok && !have_pending && label > 0 &&
+                we - ws == w && cursor == sstart + ws) {
+                const uint8_t* p8 = data + sstart + ws;
+                const bool be16 = m.kind == 2;
+                int64_t k = 0;
+                for (; k < w; k += 2) {
+                    uint32_t u = be16
+                        ? ((uint32_t)p8[k] << 8) | p8[k + 1]
+                        : ((uint32_t)p8[k + 1] << 8) | p8[k];
+                    bool okc;
+                    if (u < 0x80) okc = ascii_acc[u];
+                    else if (u - 0xD800 < 0x800u) okc = false;
+                    else
+                        okc = ubf_acc[u < 0x800 ? (0xC0 | (u >> 6))
+                                                : (0xE0 | (u >> 12))];
+                    if (!okc) break;
+                }
+                if (k == w) {
+                    const uint64_t pos = st.consumed + (uint64_t)label;
+                    const size_t off = out.strbuf.size();
+                    for (int64_t t = 0; t < w; t += 2) {
+                        uint32_t u = be16
+                            ? ((uint32_t)p8[t] << 8) | p8[t + 1]
+                            : ((uint32_t)p8[t + 1] << 8) | p8[t];
+                        utf8_append(out.strbuf, (int32_t)u);
+                    }
+                    out.position.push_back(pos);
+                    out.precision.push_back(0);
+                    out.completes.push_back(flag ? 1 : 0);
+                    out.file_id.push_back(file_id);
+                    out.str_off.push_back((uint64_t)off);
+                    out.str_len.push_back(
+                        (uint32_t)(out.strbuf.size() - off));
+                    flag = true;
+                    cursor = sstart + we;
+                    advance();
+                    label = we;
+                    ws = we;
+                    continue;
+                }
+            }
             for (;;) {
                 int64_t call_label = label;
                 call_chars.clear();
@@ -878,9 +992,25 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     int64_t r = ev.report - sstart;
                     if (r >= we) break;  // belongs to a later window/slice
                     if (ev.cp < 0) {
-                        if ((int64_t)call_chars.size() <
-                                (int64_t)m.chars_min_nb &&
-                            !have_pending && !flag) {
+                        if (!flag &&
+                            (int64_t)call_chars.size() +
+                                    (have_pending ? (int64_t)pending.size()
+                                                  : 0) <
+                                (int64_t)m.chars_min_nb) {
+                            // With a leftover prepended the combined
+                            // walk still can't reach chars_min, and a
+                            // malformed cut (invalid_after) dismisses
+                            // the right-edge chunk (helper.rs:389-392
+                            // needs !invalid_after; completes needs the
+                            // flag) - the call's only effect is
+                            // clearing the leftover. Dominant on
+                            // binary/random input, where window-end
+                            // tails chain 1-3-char leftovers and
+                            // malformed events cut every few bytes.
+                            if (have_pending) {
+                                pending.clear();
+                                have_pending = false;
+                            }
                             // Sterile malformed event: the call it
                             // cuts is shorter than the min finding
                             // length and stateless, so the
@@ -1019,9 +1149,19 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                 // every few bytes. An EMPTY stateless call is likewise
                 // a provable no-op whatever cut it.
                 bool noop_call = call_chars.empty() && !have_pending && !flag;
-                if (!noop_call &&
-                    !(ended_mal && !have_pending && !flag &&
-                      (int64_t)call_chars.size() < (int64_t)m.chars_min_nb))
+                // Same sterile rule as the inline malformed path above:
+                // a malformed-cut call whose chars (leftover included)
+                // can't reach chars_min only clears the leftover.
+                bool sterile_mal =
+                    ended_mal && !flag &&
+                    (int64_t)call_chars.size() +
+                            (have_pending ? (int64_t)pending.size() : 0) <
+                        (int64_t)m.chars_min_nb;
+                if (sterile_mal && have_pending) {
+                    pending.clear();
+                    have_pending = false;
+                }
+                if (!noop_call && !sterile_mal)
                     process_call(call_label, call_chars, invalid_after);
                 if (!ended_mal) break;
                 int64_t cand = mal.pos + mal.in_len - sstart;
