@@ -100,7 +100,7 @@ def _load_lib():
         if not _build():
             return None
     try:
-        lib = ctypes.CDLL(_LIB)
+        lib = ctypes.CDLL(_LIB, use_errno=True)
     except OSError:
         return None
     P = ctypes.POINTER
@@ -152,16 +152,42 @@ def _load_lib():
         P(ctypes.c_int64),  # out_len
     ]
     lib.se_format_free.argtypes = [ctypes.c_void_p]
+    lib.se_format_fd.restype = ctypes.c_int64
+    lib.se_format_fd.argtypes = [ctypes.c_int32] + lib.se_format.argtypes[:-2]
+    lib.se_merge_fd.restype = ctypes.c_int64
+    lib.se_merge_fd.argtypes = [
+        ctypes.c_int32,  # fd
+        ctypes.c_int32,  # k streams
+        ctypes.c_void_p,  # n_m int64[k]
+        ctypes.c_void_p,  # pos_m uint64*[k]
+        ctypes.c_void_p,  # prec_m int8*[k]
+        ctypes.c_void_p,  # comp_m uint8*[k]
+        ctypes.c_void_p,  # fid_m int32*[k]
+        ctypes.c_void_p,  # soff_m uint64*[k]
+        ctypes.c_void_p,  # slen_m uint32*[k]
+        ctypes.c_void_p,  # strbufs uint8*[k]
+        ctypes.c_void_p,  # mission_ids int32[k]
+        ctypes.c_void_p,  # enc_prefix bytes
+        ctypes.c_void_p,  # enc_pref_off int32[k]
+        ctypes.c_void_p,  # enc_pref_len int32[k]
+        ctypes.c_int32,  # flags
+        ctypes.c_char,  # radix
+    ]
     return lib
 
 
 def native_format(position, precision, completes, file_id, midx, str_off,
-                  str_len, strbufs, enc_prefixes, flags, radix_char):
+                  str_len, strbufs, enc_prefixes, flags, radix_char,
+                  fd=None):
     """Byte-exact merge-ordered line formatting in C++ (se_format).
     All array arguments are contiguous numpy arrays already gathered
     into merge order; `strbufs` is the per-mission string buffer list
     (bytes), `enc_prefixes` the per-mission b"(a ENC)\\t" prefixes.
-    Returns the formatted bytes, or None when the library is absent."""
+    Returns the formatted bytes, or None when the library is absent.
+    With `fd` given, the payload is written straight to that file
+    descriptor in C (se_format_fd - no Python bytes / BufferedWriter
+    copies) and the byte count is returned; raises OSError on a write
+    failure."""
     import numpy as np
 
     lib = get_lib()
@@ -184,18 +210,90 @@ def native_format(position, precision, completes, file_id, midx, str_off,
     def p(a):
         return a.ctypes.data if len(a) else None
 
-    out_buf = ctypes.POINTER(ctypes.c_uint8)()
-    out_len = ctypes.c_int64()
-    handle = lib.se_format(
+    common = (
         n, p(position), p(precision), p(completes), p(file_id), p(midx),
         p(str_off), p(str_len), ctypes.addressof(bufs),
         ctypes.addressof(ep_buf), offs.ctypes.data, lens.ctypes.data,
-        flags, radix_char, ctypes.byref(out_buf), ctypes.byref(out_len),
+        flags, radix_char,
+    )
+    if fd is not None:
+        wrote = lib.se_format_fd(fd, *common)
+        if wrote < 0:
+            raise OSError(ctypes.get_errno(), "se_format_fd write failed")
+        return wrote
+    out_buf = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int64()
+    handle = lib.se_format(
+        *common, ctypes.byref(out_buf), ctypes.byref(out_len),
     )
     try:
         return ctypes.string_at(out_buf, out_len.value)
     finally:
         lib.se_format_free(handle)
+
+
+def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
+    """Fused k-way merge + format + straight-to-fd write (se_merge_fd).
+
+    `streams` is a list of (res, strbuf, mission_id) where `res` holds
+    the per-mission finding columns (position uint64, precision int8,
+    completes uint8, file_id int32, str_off uint64, str_len uint32) in
+    scan (position-sorted) order; ties on (position, mission_id) across
+    streams resolve to the earliest stream, matching the stable lexsort
+    of the Python path. `enc_prefixes` is per-STREAM. Returns bytes
+    written, or None when the library is absent; raises OSError on a
+    write failure."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    k = len(streams)
+    keep = []
+
+    def col(res, name, dtype):
+        a = np.ascontiguousarray(res[name], dtype=dtype)
+        keep.append(a)
+        return a.ctypes.data
+
+    n_m = np.array([len(r["position"]) for r, _sb, _mid in streams], np.int64)
+    ptr_tables = {}
+    for cname, dtype in (
+        ("position", np.uint64), ("precision", np.int8),
+        ("completes", np.uint8), ("file_id", np.int32),
+        ("str_off", np.uint64), ("str_len", np.uint32),
+    ):
+        arr = (ctypes.c_void_p * k)()
+        for j, (r, _sb, _mid) in enumerate(streams):
+            arr[j] = col(r, cname, dtype)
+        ptr_tables[cname] = arr
+    bufs = (ctypes.c_void_p * k)()
+    for j, (_r, sb, _mid) in enumerate(streams):
+        a = np.frombuffer(sb, np.uint8) if len(sb) else np.zeros(1, np.uint8)
+        keep.append(a)
+        bufs[j] = a.ctypes.data
+    mids = np.array([mid for _r, _sb, mid in streams], np.int32)
+    ep = b"".join(enc_prefixes)
+    ep_buf = ctypes.create_string_buffer(ep, max(len(ep), 1))
+    offs = np.zeros(k, np.int32)
+    lens = np.array([len(x) for x in enc_prefixes], np.int32)
+    if k > 1:
+        offs[1:] = np.cumsum(lens[:-1])
+    wrote = lib.se_merge_fd(
+        fd, k, n_m.ctypes.data,
+        ctypes.addressof(ptr_tables["position"]),
+        ctypes.addressof(ptr_tables["precision"]),
+        ctypes.addressof(ptr_tables["completes"]),
+        ctypes.addressof(ptr_tables["file_id"]),
+        ctypes.addressof(ptr_tables["str_off"]),
+        ctypes.addressof(ptr_tables["str_len"]),
+        ctypes.addressof(bufs), mids.ctypes.data,
+        ctypes.addressof(ep_buf), offs.ctypes.data, lens.ctypes.data,
+        flags, radix_char,
+    )
+    if wrote < 0:
+        raise OSError(ctypes.get_errno(), "se_merge_fd write failed")
+    return wrote
 
 
 # kind codes (emitter.cpp). Big5's four WHATWG double-codepoint

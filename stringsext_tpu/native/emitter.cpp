@@ -13,10 +13,12 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libemitter.so emitter.cpp
 
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <unistd.h>
 #include <vector>
 
 namespace {
@@ -753,6 +755,24 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     bool ascii_acc[128];
     if (ascii_fast || utf16_fast)
         for (int c = 0; c < 128; c++) ascii_acc[c] = pass_af(m, c);
+    // When the accepted-ASCII set is one contiguous range [lo,hi]
+    // (true for the default 0x20-0x7E All-Ctrl filter and most
+    // aliases), the fast-lane window check runs 8 bytes per step with
+    // the hasless/hasmore SWAR range tests (false positives only fall
+    // back to the per-byte loop; false negatives are impossible for
+    // lo <= 0x7F - the subtraction borrow can only over-flag).
+    int32_t acc_lo = 128, acc_hi = -1;
+    bool acc_contig = false;
+    if (ascii_fast) {
+        for (int c = 0; c < 128; c++)
+            if (ascii_acc[c]) {
+                if (c < acc_lo) acc_lo = c;
+                acc_hi = c;
+            }
+        acc_contig = acc_hi >= acc_lo;
+        for (int c = acc_lo; c <= acc_hi && acc_contig; c++)
+            if (!ascii_acc[c]) acc_contig = false;
+    }
     bool ubf_acc[256];
     if (utf16_fast)
         for (int c = 0; c < 256; c++)
@@ -906,6 +926,19 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                 we - ws == w && cursor == sstart + ws) {
                 const uint8_t* p8 = data + sstart + ws;
                 int64_t k = 0;
+                if (acc_contig) {
+                    const uint64_t ones = 0x0101010101010101ull;
+                    const uint64_t highs = 0x8080808080808080ull;
+                    const uint64_t lo8 = ones * (uint64_t)acc_lo;
+                    const uint64_t add = ones * (uint64_t)(127 - acc_hi);
+                    while (k + 8 <= w) {
+                        uint64_t x;
+                        memcpy(&x, p8 + k, 8);
+                        if ((((x - lo8) & ~x) | ((x + add) | x)) & highs)
+                            break;
+                        k += 8;
+                    }
+                }
                 while (k < w && p8[k] < 0x80 && ascii_acc[p8[k]]) k++;
                 if (k == w) {
                     const int64_t lm = m.line_max;
@@ -1029,22 +1062,115 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                             }
                             cursor = ev.pos + ev.in_len;
                             if (m.kind == 0) {
-                                // Batch runs of intrinsic 1-byte
-                                // malformed bytes (stray continuation
-                                // / C0 / C1 / F5-FF: in_len 1, report
-                                // = pos, no pushback) without the
-                                // Event round trip - 25% of uniform
-                                // random bytes.
+                                // Sterile-call lookahead: consume, in
+                                // one tight loop with no Event round
+                                // trips, every whole call that is
+                                // provably sterile - valid-char runs
+                                // whose char count stays below
+                                // chars_min before the next malformed
+                                // cut (the same rule the inline path
+                                // above used for this call). Mirrors
+                                // utf8_next's valid/malformed
+                                // classification exactly; `run_start`
+                                // tracks the current (possibly still
+                                // growing) call start, and the loop
+                                // exits by rewinding the cursor there,
+                                // so a run that might reach chars_min,
+                                // cross the window (report
+                                // partitioning), or end pending is
+                                // re-decoded by the generic path.
+                                // Dominant on binary/random input.
                                 const int64_t lim2 =
                                     sstart + we < total ? sstart + we
                                                         : total;
+                                int64_t run_start = cursor;
+                                int32_t vcount = 0;
+                                const int32_t vmin = m.chars_min_nb;
                                 while (cursor < lim2) {
                                     uint8_t b2 = data[cursor];
-                                    if (!((b2 >= 0x80 && b2 < 0xC2) ||
-                                          b2 >= 0xF5))
-                                        break;
-                                    cursor++;
+                                    if ((b2 >= 0x80 && b2 < 0xC2) ||
+                                        b2 >= 0xF5) {
+                                        // intrinsic 1-byte malformed
+                                        // (report = pos): cuts the
+                                        // sterile call
+                                        cursor++;
+                                        run_start = cursor;
+                                        vcount = 0;
+                                        continue;
+                                    }
+                                    int32_t L;
+                                    bool valid;
+                                    if (b2 < 0x80) {
+                                        L = 1;
+                                        valid = true;
+                                    } else if (b2 <= 0xDF) {
+                                        if (cursor + 1 >= total) break;
+                                        if ((data[cursor + 1] & 0xC0) ==
+                                            0x80) {
+                                            L = 2; valid = true;
+                                        } else {
+                                            L = 1; valid = false;
+                                        }
+                                    } else if (b2 <= 0xEF) {
+                                        if (cursor + 1 >= total) break;
+                                        uint8_t t1 = data[cursor + 1];
+                                        bool c1ok =
+                                            (t1 & 0xC0) == 0x80 &&
+                                            !(b2 == 0xE0 && t1 < 0xA0) &&
+                                            !(b2 == 0xED && t1 > 0x9F);
+                                        if (!c1ok) {
+                                            L = 1; valid = false;
+                                        } else if (cursor + 2 >= total) {
+                                            break;
+                                        } else if ((data[cursor + 2] &
+                                                    0xC0) == 0x80) {
+                                            L = 3; valid = true;
+                                        } else {
+                                            L = 2; valid = false;
+                                        }
+                                    } else {
+                                        if (cursor + 1 >= total) break;
+                                        uint8_t t1 = data[cursor + 1];
+                                        bool c1ok =
+                                            (t1 & 0xC0) == 0x80 &&
+                                            !(b2 == 0xF0 && t1 < 0x90) &&
+                                            !(b2 == 0xF4 && t1 > 0x8F);
+                                        if (!c1ok) {
+                                            L = 1; valid = false;
+                                        } else if (cursor + 2 >= total) {
+                                            break;
+                                        } else if ((data[cursor + 2] &
+                                                    0xC0) != 0x80) {
+                                            L = 2; valid = false;
+                                        } else if (cursor + 3 >= total) {
+                                            break;
+                                        } else if ((data[cursor + 3] &
+                                                    0xC0) == 0x80) {
+                                            L = 4; valid = true;
+                                        } else {
+                                            L = 3; valid = false;
+                                        }
+                                    }
+                                    if (valid) {
+                                        // a run reaching chars_min may
+                                        // emit: rewind and re-decode
+                                        if (vcount + 1 >= vmin) break;
+                                        // report = pos+L-1 must stay
+                                        // inside this window
+                                        if (cursor + L > lim2) break;
+                                        vcount++;
+                                        cursor += L;
+                                    } else {
+                                        // malformed report = pos+L:
+                                        // only consume while it stays
+                                        // inside this window
+                                        if (cursor + L >= lim2) break;
+                                        cursor += L;
+                                        run_start = cursor;
+                                        vcount = 0;
+                                    }
                                 }
+                                cursor = run_start;
                                 int64_t cand2 = cursor - sstart;
                                 if (cand2 > label) label = cand2;
                             }
@@ -1291,16 +1417,60 @@ void* se_scan(const uint8_t* data, int64_t total,
 
 void se_free(void* handle) { delete (Output*)handle; }
 
+// One finding line (finding.rs:112-155 grammar): "\n" + [file id
+// letter+space] + [precision mark + radix position + "+\t"/" \t"] +
+// ["(a ENC)\t"] + UTF-8 string bytes. Caller guarantees >= 28 +
+// enc_pref_len + slen bytes of room at `w`.
+static inline uint8_t* se_write_line(
+    uint8_t* w, bool show_file, bool show_radix, bool show_enc,
+    bool no_meta, char radix, uint64_t position, int8_t precision,
+    uint8_t completes, int32_t file_id, int32_t mi,
+    const uint8_t* enc_prefix, const int32_t* enc_pref_off,
+    const int32_t* enc_pref_len, const uint8_t* sptr, uint32_t slen) {
+    *w++ = '\n';
+    if (!no_meta) {
+        if (show_file && file_id >= 0) {
+            *w++ = (uint8_t)(file_id + 64);
+            *w++ = ' ';
+        }
+        if (show_radix) {
+            *w++ = precision > 0 ? '>' : (precision < 0 ? '<' : ' ');
+            // Branch-free-ish radix conversion (snprintf per finding
+            // measured ~4x the whole loop's budget).
+            unsigned long long v = position;
+            char tmp[24];
+            int k = 0;
+            if (radix == 'x') {
+                do { unsigned d = (unsigned)(v & 15);
+                     tmp[k++] = (char)(d < 10 ? '0' + d : 'a' + d - 10);
+                     v >>= 4; } while (v);
+            } else if (radix == 'o') {
+                do { tmp[k++] = (char)('0' + (v & 7)); v >>= 3; } while (v);
+            } else {
+                do { tmp[k++] = (char)('0' + (v % 10)); v /= 10; } while (v);
+            }
+            while (k) *w++ = (uint8_t)tmp[--k];
+            *w++ = completes ? '+' : ' ';
+            *w++ = '\t';
+        }
+        if (show_enc) {
+            memcpy(w, enc_prefix + enc_pref_off[mi], enc_pref_len[mi]);
+            w += enc_pref_len[mi];
+        }
+    }
+    memcpy(w, sptr, slen);
+    return w + slen;
+}
+
 // Merge-ordered output formatting (finding.rs:112-155 grammar): the
 // caller pre-gathers every finding column into merge order (numpy
-// fancy-indexing, vectorized) and this writes the byte-exact lines -
-// "\n" + [file id letter+space] + [precision mark + radix position +
-// "+\t"/" \t"] + ["(a ENC)\t"] + UTF-8 string. The BOM and the final
-// "\n" stay with the caller. Returns a malloc'd buffer via
-// out_buf/out_len; free the returned handle with se_format_free (the
-// Python side copies once via ctypes.string_at - the buffer itself is
-// never duplicated here).
-void* se_format(int64_t n, const uint64_t* position, const int8_t* precision,
+// fancy-indexing, vectorized) and this writes the byte-exact lines.
+// The BOM and the final "\n" stay with the caller. Returns a malloc'd
+// buffer via out_buf/out_len; free the returned handle with
+// se_format_free (the Python side copies once via ctypes.string_at -
+// the buffer itself is never duplicated here).
+static void* se_format_impl(int64_t n, const uint64_t* position,
+               const int8_t* precision,
                const uint8_t* completes, const int32_t* file_id,
                const int32_t* midx, const uint64_t* str_off,
                const uint32_t* str_len, const uint8_t* const* strbufs,
@@ -1330,41 +1500,12 @@ void* se_format(int64_t n, const uint64_t* position, const int8_t* precision,
     if (!base) { *out_buf = nullptr; *out_len = 0; return nullptr; }
     uint8_t* w = base;
     for (int64_t i = 0; i < n; i++) {
-        *w++ = '\n';
-        if (!no_meta) {
-            if (show_file && file_id[i] >= 0) {
-                *w++ = (uint8_t)(file_id[i] + 64);
-                *w++ = ' ';
-            }
-            if (show_radix) {
-                int8_t p = precision[i];
-                *w++ = p > 0 ? '>' : (p < 0 ? '<' : ' ');
-                // Branch-free-ish radix conversion (snprintf per
-                // finding measured ~4x the whole loop's budget).
-                unsigned long long v = position[i];
-                char tmp[24];
-                int k = 0;
-                if (radix == 'x') {
-                    do { unsigned d = (unsigned)(v & 15);
-                         tmp[k++] = (char)(d < 10 ? '0' + d : 'a' + d - 10);
-                         v >>= 4; } while (v);
-                } else if (radix == 'o') {
-                    do { tmp[k++] = (char)('0' + (v & 7)); v >>= 3; } while (v);
-                } else {
-                    do { tmp[k++] = (char)('0' + (v % 10)); v /= 10; } while (v);
-                }
-                while (k) *w++ = (uint8_t)tmp[--k];
-                *w++ = completes[i] ? '+' : ' ';
-                *w++ = '\t';
-            }
-            if (show_enc) {
-                int32_t mi = midx[i];
-                memcpy(w, enc_prefix + enc_pref_off[mi], enc_pref_len[mi]);
-                w += enc_pref_len[mi];
-            }
-        }
-        memcpy(w, strbufs[midx[i]] + str_off[i], str_len[i]);
-        w += str_len[i];
+        int32_t mi = midx[i];
+        w = se_write_line(w, show_file, show_radix, show_enc, no_meta,
+                          radix, position[i], precision[i], completes[i],
+                          file_id[i], mi, enc_prefix, enc_pref_off,
+                          enc_pref_len, strbufs[mi] + str_off[i],
+                          str_len[i]);
     }
     static uint8_t empty = 0;
     *out_buf = w == base ? &empty : base;
@@ -1372,6 +1513,130 @@ void* se_format(int64_t n, const uint64_t* position, const int8_t* precision,
     return base;
 }
 
+void* se_format(int64_t n, const uint64_t* position, const int8_t* precision,
+               const uint8_t* completes, const int32_t* file_id,
+               const int32_t* midx, const uint64_t* str_off,
+               const uint32_t* str_len, const uint8_t* const* strbufs,
+               const uint8_t* enc_prefix, const int32_t* enc_pref_off,
+               const int32_t* enc_pref_len, int32_t flags, char radix,
+               uint8_t** out_buf, int64_t* out_len) {
+    return se_format_impl(n, position, precision, completes, file_id, midx,
+                          str_off, str_len, strbufs, enc_prefix, enc_pref_off,
+                          enc_pref_len, flags, radix, out_buf, out_len);
+}
+
+// Same formatting, but the payload is written straight to `fd`
+// (looping over short writes) and freed here - no Python bytes copy
+// and no BufferedWriter copy for forensic-scale outputs. Returns bytes
+// written, or -1 on malloc/write failure (errno holds the write
+// error).
+int64_t se_format_fd(int32_t fd, int64_t n, const uint64_t* position,
+               const int8_t* precision,
+               const uint8_t* completes, const int32_t* file_id,
+               const int32_t* midx, const uint64_t* str_off,
+               const uint32_t* str_len, const uint8_t* const* strbufs,
+               const uint8_t* enc_prefix, const int32_t* enc_pref_off,
+               const int32_t* enc_pref_len, int32_t flags, char radix) {
+    uint8_t* buf = nullptr;
+    int64_t len = 0;
+    void* h = se_format_impl(n, position, precision, completes, file_id,
+                             midx, str_off, str_len, strbufs, enc_prefix,
+                             enc_pref_off, enc_pref_len, flags, radix,
+                             &buf, &len);
+    if (!h && len == 0 && n > 0 && !buf) return -1;  // malloc failure
+    int64_t done = 0;
+    while (done < len) {
+        ssize_t k = write(fd, buf + done, (size_t)(len - done));
+        if (k < 0) {
+            if (errno == EINTR) continue;
+            free(h);
+            return -1;
+        }
+        done += k;
+    }
+    free(h);
+    return done;
+}
+
 void se_format_free(void* handle) { free(handle); }
+
+// Fused k-way merge + format + write: merges per-stream finding
+// columns by the reference merge key (position, mission_id;
+// finding.rs:92-109 - ids are unique per mission so the ubf/!af
+// tie-breaks can never engage across streams), formats each line, and
+// writes straight to `fd` from a bounded buffer - no lexsort, no
+// gathers, no Python-side payload. Streams must be position-sorted
+// (scan order); ties on the full key across streams resolve to the
+// LOWEST stream index, matching the stable lexsort over concatenated
+// columns (the streaming path passes held-back boundary findings as
+// earlier streams). enc prefix tables are indexed BY STREAM. Returns
+// bytes written, -1 on malloc/write failure.
+int64_t se_merge_fd(int32_t fd, int32_t k, const int64_t* n_m,
+    const uint64_t* const* pos_m, const int8_t* const* prec_m,
+    const uint8_t* const* comp_m, const int32_t* const* fid_m,
+    const uint64_t* const* soff_m, const uint32_t* const* slen_m,
+    const uint8_t* const* strbufs, const int32_t* mission_ids,
+    const uint8_t* enc_prefix, const int32_t* enc_pref_off,
+    const int32_t* enc_pref_len, int32_t flags, char radix) {
+    const bool show_file = flags & 1, show_radix = flags & 2,
+               show_enc = flags & 4, no_meta = flags & 8;
+    size_t cap = 4u << 20;
+    uint8_t* buf = (uint8_t*)malloc(cap);
+    if (!buf) return -1;
+    std::vector<int64_t> c(k, 0);
+    uint8_t* w = buf;
+    int64_t total = 0;
+    auto flush = [&]() -> bool {
+        int64_t len = (int64_t)(w - buf), done = 0;
+        while (done < len) {
+            ssize_t r = write(fd, buf + done, (size_t)(len - done));
+            if (r < 0) {
+                if (errno == EINTR) continue;
+                return false;
+            }
+            done += r;
+        }
+        total += len;
+        w = buf;
+        return true;
+    };
+    for (;;) {
+        int32_t best = -1;
+        uint64_t bpos = 0;
+        int32_t bmid = 0;
+        for (int32_t j = 0; j < k; j++) {
+            if (c[j] >= n_m[j]) continue;
+            uint64_t pj = pos_m[j][c[j]];
+            if (best < 0 || pj < bpos ||
+                (pj == bpos && mission_ids[j] < bmid)) {
+                best = j;
+                bpos = pj;
+                bmid = mission_ids[j];
+            }
+        }
+        if (best < 0) break;
+        const int64_t i = c[best]++;
+        const uint32_t sl = slen_m[best][i];
+        size_t need = 28 + (size_t)(show_enc ? enc_pref_len[best] : 0) + sl;
+        if ((size_t)(w - buf) + need > cap) {
+            if (!flush()) { free(buf); return -1; }
+            if (need > cap) {  // pathological single line > buffer
+                uint8_t* nb = (uint8_t*)realloc(buf, need);
+                if (!nb) { free(buf); return -1; }
+                buf = nb;
+                cap = need;
+                w = buf;
+            }
+        }
+        w = se_write_line(w, show_file, show_radix, show_enc, no_meta,
+                          radix, bpos, prec_m[best][i], comp_m[best][i],
+                          fid_m[best][i], best, enc_prefix, enc_pref_off,
+                          enc_pref_len, strbufs[best] + soff_m[best][i],
+                          sl);
+    }
+    if (!flush()) { free(buf); return -1; }
+    free(buf);
+    return total;
+}
 
 }  // extern "C"

@@ -770,6 +770,48 @@ def _emit_lines(out, args: Args, results) -> None:
     from .finding import PRECISION_AFTER, PRECISION_BEFORE
     from .options import Radix
 
+    import os
+
+    from . import native as native_mod
+
+    show_file0 = len(args.inputs) > 1
+    flags0 = (
+        (1 if show_file0 else 0) | (2 if args.radix is not None else 0)
+        | (4 if len(args.encoding) > 1 else 0)
+        | (8 if args.no_metadata else 0)
+    )
+    radix_fmt0 = {Radix.X: "x", Radix.D: "d", Radix.O: "o"}.get(args.radix)
+    if (
+        results
+        and os.environ.get("STRINGSEXT_NATIVE_FORMAT", "1") != "0"
+        and os.environ.get("STRINGSEXT_FD_WRITE", "1") != "0"
+        and native_mod.get_lib() is not None
+    ):
+        # Fused C k-way merge + format + straight-to-fd write: skips
+        # the whole numpy concat/lexsort/gather stage AND the Python
+        # payload copies. Only for real OS-level outputs (tests pass
+        # BytesIO and fall through to the paths below).
+        try:
+            fd = out.fileno()
+            out.flush()
+        except (AttributeError, OSError, ValueError):
+            fd = None
+        if fd is not None:
+            streams = []
+            prefixes = []
+            for i, (m, res, sb) in enumerate(results):
+                streams.append((res, sb, m.mission_id))
+                prefixes.append(
+                    b"(" + bytes([(m.mission_id + 97) & 0xFF]) + b" "
+                    + m.display_encoding_name.encode() + b")\t"
+                )
+            wrote = native_mod.native_merge_fd(
+                fd, streams, prefixes, flags0,
+                (radix_fmt0 or "d").encode(),
+            )
+            if wrote is not None:
+                return
+
     positions = np.concatenate([r[1]["position"] for r in results])
     mids = np.concatenate(
         [np.full(len(r[1]["position"]), r[0].mission_id, np.int32) for r in results]
@@ -822,6 +864,17 @@ def _emit_lines(out, args: Args, results) -> None:
             (1 if show_file else 0) | (2 if show_radix else 0)
             | (4 if show_enc else 0) | (8 if no_meta else 0)
         )
+        # Straight-to-fd writes (se_format_fd) skip the Python bytes +
+        # BufferedWriter copies - at forensic scale the payload is
+        # larger than the input. Only for real OS-level outputs; the
+        # preceding flush keeps the BOM/line interleaving exact.
+        fd = None
+        if os.environ.get("STRINGSEXT_FD_WRITE", "1") != "0":
+            try:
+                fd = out.fileno()
+                out.flush()
+            except (AttributeError, OSError, ValueError):
+                fd = None
         batch = _FORMAT_BATCH
         for lo in range(0, len(order), batch):
             sel = order[lo : lo + batch]
@@ -837,10 +890,13 @@ def _emit_lines(out, args: Args, results) -> None:
                 enc_prefix,
                 flags,
                 (radix_fmt or "d").encode(),
+                fd=fd,
             )
             # native_format is None only when the lib is absent, which
-            # get_lib() above already excluded.
-            out.write(payload)
+            # get_lib() above already excluded; with fd it returned the
+            # byte count after writing directly.
+            if fd is None:
+                out.write(payload)
         return
 
     w = out.write
@@ -949,15 +1005,34 @@ def _run_streaming_stdin(
         merge+format of chunk N - the reference's lock-step pipeline
         (main.rs:118-136: scan batch N+1 while the merger prints N)."""
         nonlocal stream_pos
+        carry_len = len(carry)
+        buf = np.empty(carry_len + chunk_bytes, np.uint8)
+        buf[:carry_len] = carry
+        # readinto the preallocated buffer: avoids the bytes object +
+        # np.concatenate copies (a full extra pass over the stream).
+        # Loop to a full chunk so a short raw-stream read is not
+        # mistaken for EOF (is_final = short read, as with
+        # BufferedReader.read semantics).
+        got = 0
+        view = memoryview(buf)[carry_len:]
         try:
-            raw = src.read(chunk_bytes)
+            readinto = getattr(src, "readinto", None)
+            while got < chunk_bytes:
+                if readinto is not None:
+                    k = readinto(view[got:])
+                else:
+                    raw = src.read(chunk_bytes - got)
+                    k = len(raw)
+                    view[got : got + k] = raw
+                if not k:
+                    break
+                got += k
         except BaseException as e:  # defer: the PREVIOUS chunk must
             return ("err", e)  # still be emitted + checkpointed first
-        stream_pos += len(raw)
-        data = np.concatenate([carry, np.frombuffer(raw, np.uint8)])
-        carry_len = len(carry)
-        chunk_end = carry_len + len(raw)  # buffer-relative
-        is_final = len(raw) < chunk_bytes
+        stream_pos += got
+        data = buf[: carry_len + got]
+        chunk_end = carry_len + got  # buffer-relative
+        is_final = got < chunk_bytes
 
         # Slice grid: 4096-byte slices starting at the first new byte
         # (chunks are 4096-multiples, so the grid stays stream-aligned).
