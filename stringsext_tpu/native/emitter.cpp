@@ -851,11 +851,11 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                         int32_t j = i;
                         while (j < ch.end && (uint32_t)base[j] < 0x80u) j++;
                         if (j > i) {
-                            size_t o = out.strbuf.size();
-                            out.strbuf.resize(o + (size_t)(j - i));
-                            uint8_t* d8 = out.strbuf.data() + o;
-                            for (int32_t t = i; t < j; t++)
-                                d8[t - i] = (uint8_t)base[t];
+                            // insert, not resize+write: resize would
+                            // zero-fill the new tail first (a second
+                            // full pass over the span)
+                            out.strbuf.insert(out.strbuf.end(),
+                                              base + i, base + j);
                             i = j;
                         }
                         if (i < ch.end) { utf8_append(out.strbuf, base[i]); i++; }
@@ -944,8 +944,9 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     const int64_t lm = m.line_max;
                     const uint64_t pos = st.consumed + (uint64_t)label;
                     const size_t off = out.strbuf.size();
-                    out.strbuf.resize(off + (size_t)w);
-                    memcpy(out.strbuf.data() + off, p8, (size_t)w);
+                    // insert, not resize+memcpy: resize zero-fills
+                    // the new tail first (a second pass per window)
+                    out.strbuf.insert(out.strbuf.end(), p8, p8 + w);
                     out.position.push_back(pos);
                     out.precision.push_back(0);
                     out.completes.push_back(flag ? 1 : 0);
