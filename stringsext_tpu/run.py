@@ -1086,21 +1086,7 @@ def _run_streaming_stdin(
                 i, (res, sb) = f.result()
                 results[i] = (missions.v[i], res, sb)
 
-        # Split off boundary-position findings (they can tie with the
-        # next chunk under the merge key) unless this is the last
-        # chunk. The boundary position is per mission: its `consumed`
-        # counter after this chunk (counter offsets may differ).
-        emit, hold = [], []
-        for i, (m, res, sb) in enumerate(results):
-            if is_final:
-                emit.append((m, res, sb))
-                continue
-            at = res["position"] == int(states[i]["consumed"])
-            emit.append((m, {k: v[~at] for k, v in res.items()}, sb))
-            hold.append((i, m, {k: v[at] for k, v in res.items()}, sb))
-        if held is not None:
-            emit = [(m, r, s) for (_i, m, r, s) in held] + emit
-        held = hold if not is_final else None
+        consumed_now = [int(st["consumed"]) for st in states]
 
         ck_snapshot = None
         if not is_final:
@@ -1124,9 +1110,36 @@ def _run_streaming_stdin(
                     [dict(st) for st in states], stream_pos,
                     carry.tobytes(),
                 )
-            # Launch chunk N+1 now; merge+format of chunk N below
-            # overlaps with its scans.
+            # Launch chunk N+1 now (states and carry are settled;
+            # consumed_now snapshots the boundary positions the scans
+            # are about to advance); the holdback split and the
+            # merge+format below overlap with its scans.
             inflight = build_and_launch()
+
+        # Split off boundary-position findings (they can tie with the
+        # next chunk under the merge key) unless this is the last
+        # chunk. The boundary position is per mission: its `consumed`
+        # counter after this chunk (counter offsets may differ).
+        # Positions are nondecreasing, so boundary ties can only sit at
+        # the tail: one searchsorted + O(1) slicing (views, no copies).
+        emit, hold = [], []
+        for i, (m, res, sb) in enumerate(results):
+            if is_final:
+                emit.append((m, res, sb))
+                continue
+            pos = res["position"]
+            cut = int(np.searchsorted(pos, consumed_now[i], "left"))
+            if cut == len(pos):
+                emit.append((m, res, sb))
+                hold.append((i, m, {k: v[:0] for k, v in res.items()}, sb))
+            else:
+                emit.append((m, {k: v[:cut] for k, v in res.items()}, sb))
+                hold.append(
+                    (i, m, {k: v[cut:] for k, v in res.items()}, sb)
+                )
+        if held is not None:
+            emit = [(m, r, s) for (_i, m, r, s) in held] + emit
+        held = hold if not is_final else None
 
         with profiling.scope("merge+format"):
             _emit_lines(out, args, emit)
