@@ -47,6 +47,7 @@ class _SeMission(ctypes.Structure):
         ("multi_cp1", ctypes.POINTER(ctypes.c_int32)),
         ("multi_cp2", ctypes.POINTER(ctypes.c_int32)),
         ("n_multi", ctypes.c_int32),
+        ("input_refs", ctypes.c_int32),
     ]
 
 
@@ -166,6 +167,7 @@ def _load_lib():
         ctypes.c_void_p,  # soff_m uint64*[k]
         ctypes.c_void_p,  # slen_m uint32*[k]
         ctypes.c_void_p,  # strbufs uint8*[k]
+        ctypes.c_void_p,  # inbufs uint8*[k] (SE_INREF base per stream)
         ctypes.c_void_p,  # mission_ids int32[k]
         ctypes.c_void_p,  # enc_prefix bytes
         ctypes.c_void_p,  # enc_pref_off int32[k]
@@ -235,14 +237,16 @@ def native_format(position, precision, completes, file_id, midx, str_off,
 def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
     """Fused k-way merge + format + straight-to-fd write (se_merge_fd).
 
-    `streams` is a list of (res, strbuf, mission_id) where `res` holds
-    the per-mission finding columns (position uint64, precision int8,
-    completes uint8, file_id int32, str_off uint64, str_len uint32) in
-    scan (position-sorted) order; ties on (position, mission_id) across
-    streams resolve to the earliest stream, matching the stable lexsort
-    of the Python path. `enc_prefixes` is per-STREAM. Returns bytes
-    written, or None when the library is absent; raises OSError on a
-    write failure."""
+    `streams` is a list of (res, strbuf, mission_id[, inbuf]) where
+    `res` holds the per-mission finding columns (position uint64,
+    precision int8, completes uint8, file_id int32, str_off uint64,
+    str_len uint32) in scan (position-sorted) order; ties on (position,
+    mission_id) across streams resolve to the earliest stream, matching
+    the stable lexsort of the Python path. `inbuf`, when present, is
+    the stream's input byte buffer for SE_INREF-flagged str_off values
+    (native_scan input_refs=True). `enc_prefixes` is per-STREAM.
+    Returns bytes written, or None when the library is absent; raises
+    OSError on a write failure."""
     import numpy as np
 
     lib = get_lib()
@@ -256,7 +260,7 @@ def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
         keep.append(a)
         return a.ctypes.data
 
-    n_m = np.array([len(r["position"]) for r, _sb, _mid in streams], np.int64)
+    n_m = np.array([len(s[0]["position"]) for s in streams], np.int64)
     ptr_tables = {}
     for cname, dtype in (
         ("position", np.uint64), ("precision", np.int8),
@@ -264,15 +268,24 @@ def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
         ("str_off", np.uint64), ("str_len", np.uint32),
     ):
         arr = (ctypes.c_void_p * k)()
-        for j, (r, _sb, _mid) in enumerate(streams):
-            arr[j] = col(r, cname, dtype)
+        for j, s in enumerate(streams):
+            arr[j] = col(s[0], cname, dtype)
         ptr_tables[cname] = arr
     bufs = (ctypes.c_void_p * k)()
-    for j, (_r, sb, _mid) in enumerate(streams):
+    inbufs = (ctypes.c_void_p * k)()
+    for j, s in enumerate(streams):
+        sb = s[1]
         a = np.frombuffer(sb, np.uint8) if len(sb) else np.zeros(1, np.uint8)
         keep.append(a)
         bufs[j] = a.ctypes.data
-    mids = np.array([mid for _r, _sb, mid in streams], np.int32)
+        ib = s[3] if len(s) > 3 else None
+        if ib is not None and len(ib):
+            ia = np.ascontiguousarray(ib, dtype=np.uint8)
+            keep.append(ia)
+            inbufs[j] = ia.ctypes.data
+        else:
+            inbufs[j] = bufs[j]  # flag never set for this stream
+    mids = np.array([s[2] for s in streams], np.int32)
     ep = b"".join(enc_prefixes)
     ep_buf = ctypes.create_string_buffer(ep, max(len(ep), 1))
     offs = np.zeros(k, np.int32)
@@ -287,7 +300,8 @@ def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
         ctypes.addressof(ptr_tables["file_id"]),
         ctypes.addressof(ptr_tables["str_off"]),
         ctypes.addressof(ptr_tables["str_len"]),
-        ctypes.addressof(bufs), mids.ctypes.data,
+        ctypes.addressof(bufs), ctypes.addressof(inbufs),
+        mids.ctypes.data,
         ctypes.addressof(ep_buf), offs.ctypes.data, lens.ctypes.data,
         flags, radix_char,
     )
@@ -386,8 +400,15 @@ def native_scan(
     slice_is_last: np.ndarray,
     state: Optional[dict] = None,
     hot_ranges: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    input_refs: bool = False,
 ):
     """Scan one mission natively. Returns (columns_dict, strbuf_bytes).
+
+    `input_refs=True` lets the fast lanes emit findings whose bytes are
+    verbatim input spans as SE_INREF-flagged str_off values (bit 63 =
+    offset into `data`, zero strbuf copy). ONLY pass it when every
+    consumer of the result resolves the flag (the fused se_merge_fd
+    output path with per-stream inbufs).
 
     `state`, when given, is the resumable scanner state
     {"consumed", "cursor", "printed_maybe_cut", "leftover_cps"} - used
@@ -473,6 +494,7 @@ def native_scan(
         multi_cp1=m1_ptr,
         multi_cp2=m2_ptr,
         n_multi=n_multi,
+        input_refs=1 if input_refs else 0,
     )
 
     data = np.ascontiguousarray(data, dtype=np.uint8)

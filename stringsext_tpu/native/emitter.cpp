@@ -45,7 +45,15 @@ struct Mission {
     const int32_t* multi_cp1;
     const int32_t* multi_cp2;
     int32_t n_multi;
+    // Findings whose bytes are a verbatim input span may carry
+    // SE_INREF-flagged str_off values (offsets into the INPUT buffer,
+    // no strbuf copy). Only set when the caller's output path resolves
+    // the flag (se_merge_fd with inbufs).
+    int32_t input_refs = 0;
 };
+
+// str_off bit 63: the offset addresses the input buffer, not strbuf.
+static constexpr uint64_t SE_INREF = 1ull << 63;
 
 // Findings are stored struct-of-arrays for clean numpy interop.
 struct Output;
@@ -943,21 +951,29 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                 if (k == w) {
                     const int64_t lm = m.line_max;
                     const uint64_t pos = st.consumed + (uint64_t)label;
-                    const size_t off = out.strbuf.size();
-                    // insert, not resize+memcpy: resize zero-fills
-                    // the new tail first (a second pass per window)
-                    out.strbuf.insert(out.strbuf.end(), p8, p8 + w);
+                    uint64_t off;
+                    if (m.input_refs) {
+                        // zero-copy: the finding bytes ARE the input
+                        // span; flag the offset instead of copying
+                        // (the fused merge reads through inbufs)
+                        off = SE_INREF | (uint64_t)(sstart + ws);
+                    } else {
+                        off = (uint64_t)out.strbuf.size();
+                        // insert, not resize+memcpy: resize zero-fills
+                        // the new tail first (a second pass per window)
+                        out.strbuf.insert(out.strbuf.end(), p8, p8 + w);
+                    }
                     out.position.push_back(pos);
                     out.precision.push_back(0);
                     out.completes.push_back(flag ? 1 : 0);
                     out.file_id.push_back(file_id);
-                    out.str_off.push_back((uint64_t)off);
+                    out.str_off.push_back(off);
                     out.str_len.push_back((uint32_t)lm);
                     out.position.push_back(pos);
                     out.precision.push_back(1);
                     out.completes.push_back(1);
                     out.file_id.push_back(file_id);
-                    out.str_off.push_back((uint64_t)off + (uint64_t)lm);
+                    out.str_off.push_back(off + (uint64_t)lm);
                     out.str_len.push_back((uint32_t)(w - lm));
                     flag = true;
                     cursor = sstart + we;
@@ -1351,6 +1367,7 @@ struct se_mission {
     const int32_t* multi_cp1;
     const int32_t* multi_cp2;
     int32_t n_multi;
+    int32_t input_refs;
 };
 
 // Scans one mission over the sliced stream. Returns an opaque handle
@@ -1385,6 +1402,7 @@ void* se_scan(const uint8_t* data, int64_t total,
     m.gb_nranges = sm->gb_nranges;
     m.multi_keys = sm->multi_keys; m.multi_cp1 = sm->multi_cp1;
     m.multi_cp2 = sm->multi_cp2; m.n_multi = sm->n_multi;
+    m.input_refs = sm->input_refs;
 
     std::vector<int32_t> lo_in, lo_out;
     if (state_io && leftover_io && leftover_len_io && *leftover_len_io > 0)
@@ -1576,7 +1594,8 @@ int64_t se_merge_fd(int32_t fd, int32_t k, const int64_t* n_m,
     const uint64_t* const* pos_m, const int8_t* const* prec_m,
     const uint8_t* const* comp_m, const int32_t* const* fid_m,
     const uint64_t* const* soff_m, const uint32_t* const* slen_m,
-    const uint8_t* const* strbufs, const int32_t* mission_ids,
+    const uint8_t* const* strbufs, const uint8_t* const* inbufs,
+    const int32_t* mission_ids,
     const uint8_t* enc_prefix, const int32_t* enc_pref_off,
     const int32_t* enc_pref_len, int32_t flags, char radix) {
     const bool show_file = flags & 1, show_radix = flags & 2,
@@ -1629,11 +1648,14 @@ int64_t se_merge_fd(int32_t fd, int32_t k, const int64_t* n_m,
                 w = buf;
             }
         }
+        const uint64_t so = soff_m[best][i];
+        const uint8_t* sptr = (so & SE_INREF)
+            ? inbufs[best] + (so & ~SE_INREF)
+            : strbufs[best] + so;
         w = se_write_line(w, show_file, show_radix, show_enc, no_meta,
                           radix, bpos, prec_m[best][i], comp_m[best][i],
                           fid_m[best][i], best, enc_prefix, enc_pref_off,
-                          enc_pref_len, strbufs[best] + soff_m[best][i],
-                          sl);
+                          enc_pref_len, sptr, sl);
     }
     if (!flush()) { free(buf); return -1; }
     free(buf);

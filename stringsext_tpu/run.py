@@ -799,8 +799,10 @@ def _emit_lines(out, args: Args, results) -> None:
         if fd is not None:
             streams = []
             prefixes = []
-            for i, (m, res, sb) in enumerate(results):
-                streams.append((res, sb, m.mission_id))
+            for entry in results:
+                m, res, sb = entry[0], entry[1], entry[2]
+                inbuf = entry[3] if len(entry) > 3 else None
+                streams.append((res, sb, m.mission_id, inbuf))
                 prefixes.append(
                     b"(" + bytes([(m.mission_id + 97) & 0xFF]) + b" "
                     + m.display_encoding_name.encode() + b")\t"
@@ -997,6 +999,25 @@ def _run_streaming_stdin(
 
     pool = ThreadPoolExecutor(max_workers=max(1, len(missions.v)))
 
+    # Zero-copy findings: when the fused se_merge_fd path will render
+    # this stream (real fd + native formatter on + no checkpointing,
+    # whose JSON serializer slices strbuf by offset), the fast lanes
+    # may emit SE_INREF-flagged offsets into the chunk buffer instead
+    # of copying bytes into strbuf (SURVEY.md sec. 5: findings as
+    # offsets into a resident buffer, not owned strings).
+    use_input_refs = (
+        checkpoint_path is None
+        and os.environ.get("STRINGSEXT_NATIVE_FORMAT", "1") != "0"
+        and os.environ.get("STRINGSEXT_FD_WRITE", "1") != "0"
+        and native.get_lib() is not None
+    )
+    if use_input_refs:
+        try:
+            out.fileno()
+            out.flush()
+        except (AttributeError, OSError, ValueError):
+            use_input_refs = False
+
     def build_and_launch():
         """Read the next chunk, build its slice grid + hot maps, and
         launch the per-mission scans on the pool. Called only once the
@@ -1067,6 +1088,7 @@ def _run_streaming_stdin(
             return i, native.native_scan(
                 m, data, *sl, state=states[i],
                 hot_ranges=hot_by_mission.get(i),
+                input_refs=use_input_refs,
             )
 
         futs = [pool.submit(job, i, m) for i, m in enumerate(missions.v)]
@@ -1084,7 +1106,12 @@ def _run_streaming_stdin(
             # pipeline is warm)
             for f in futs:
                 i, (res, sb) = f.result()
-                results[i] = (missions.v[i], res, sb)
+                # 4th element: the chunk buffer SE_INREF offsets point
+                # into (None when input_refs is off)
+                results[i] = (
+                    missions.v[i], res, sb,
+                    data if use_input_refs else None,
+                )
 
         consumed_now = [int(st["consumed"]) for st in states]
 
@@ -1123,22 +1150,31 @@ def _run_streaming_stdin(
         # Positions are nondecreasing, so boundary ties can only sit at
         # the tail: one searchsorted + O(1) slicing (views, no copies).
         emit, hold = [], []
-        for i, (m, res, sb) in enumerate(results):
+        for i, (m, res, sb, ib) in enumerate(results):
             if is_final:
-                emit.append((m, res, sb))
+                emit.append((m, res, sb, ib))
                 continue
             pos = res["position"]
             cut = int(np.searchsorted(pos, consumed_now[i], "left"))
             if cut == len(pos):
-                emit.append((m, res, sb))
-                hold.append((i, m, {k: v[:0] for k, v in res.items()}, sb))
-            else:
-                emit.append((m, {k: v[:cut] for k, v in res.items()}, sb))
+                emit.append((m, res, sb, ib))
                 hold.append(
-                    (i, m, {k: v[cut:] for k, v in res.items()}, sb)
+                    (i, m, {k: v[:0] for k, v in res.items()}, sb, ib)
+                )
+            else:
+                emit.append(
+                    (m, {k: v[:cut] for k, v in res.items()}, sb, ib)
+                )
+                hold.append(
+                    (i, m, {k: v[cut:] for k, v in res.items()}, sb, ib)
                 )
         if held is not None:
-            emit = [(m, r, s) for (_i, m, r, s) in held] + emit
+            # (resumed checkpoints deserialize held rows without the
+            # input-buffer element)
+            emit = [
+                (r[1], r[2], r[3], r[4] if len(r) > 4 else None)
+                for r in held
+            ] + emit
         held = hold if not is_final else None
 
         with profiling.scope("merge+format"):

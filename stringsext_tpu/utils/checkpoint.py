@@ -81,7 +81,8 @@ def _ser_held(held) -> list:
     import base64
 
     out = []
-    for i, _m, res, sb in held:
+    for row in held:
+        i, _m, res, sb = row[:4]
         strings = [
             base64.b64encode(
                 sb[int(o):int(o) + int(ln)]
@@ -121,7 +122,7 @@ def _deser_held(rows, missions):
             "str_len": lens,
         }
         i = int(r["mission"])
-        held.append((i, missions.v[i], res, sb))
+        held.append((i, missions.v[i], res, sb, None))
     return held
 
 
