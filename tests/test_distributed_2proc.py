@@ -41,6 +41,7 @@ def _cli_worker_main():
     pid = int(os.environ[_WORKER_ENV])
     coord = os.environ["STRINGSEXT_DIST_COORD"]
     work = os.environ["STRINGSEXT_DIST_WORKDIR"]
+    nprocs = int(os.environ.get("STRINGSEXT_DIST_NPROCS", "2"))
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import io
@@ -51,9 +52,9 @@ def _cli_worker_main():
     from stringsext_tpu.parallel import distributed
 
     distributed.initialize(
-        coordinator_address=coord, num_processes=2, process_id=pid
+        coordinator_address=coord, num_processes=nprocs, process_id=pid
     )
-    assert jax.process_count() == 2
+    assert jax.process_count() == nprocs
 
     from stringsext_tpu.cli import parse_args
     from stringsext_tpu.mission import Missions
@@ -84,7 +85,7 @@ def _cli_worker_main():
         from stringsext_tpu.input import load_stream
 
         stream = load_stream([corpus])
-        bounds = distributed.shard_boundaries(stream, ms, 2)
+        bounds = distributed.shard_boundaries(stream, ms, nprocs)
         if name == "sparse":
             assert bounds is not None and 0 < bounds[1] < bounds[2], bounds
     print(f"WORKER{pid}-OK", flush=True)
@@ -173,15 +174,16 @@ def _worker_main():
     print(f"WORKER{pid}-OK", flush=True)
 
 
-def _spawn_round(port, timeout_s, mode="counts", workdir=None):
+def _spawn_round(port, timeout_s, mode="counts", workdir=None, nprocs=2):
     env = dict(os.environ)
     env["STRINGSEXT_DIST_COORD"] = f"127.0.0.1:{port}"
     env["STRINGSEXT_DIST_TEST_MODE"] = mode
+    env["STRINGSEXT_DIST_NPROCS"] = str(nprocs)
     if workdir is not None:
         env["STRINGSEXT_DIST_WORKDIR"] = str(workdir)
     env.pop("JAX_PLATFORMS", None)
     procs = []
-    for pid in range(2):
+    for pid in range(nprocs):
         e = dict(env)
         e[_WORKER_ENV] = str(pid)
         procs.append(
@@ -273,6 +275,24 @@ def test_two_process_distributed_cli(tmp_path):
     for _attempt in range(3):
         res = _spawn_round(_free_port(), timeout_s=240, mode="cli",
                            workdir=tmp_path)
+        if res is not None and all(pr.returncode == 0 for pr, _ in res):
+            for pid, (pr, out) in enumerate(res):
+                assert f"WORKER{pid}-OK" in out, out[-3000:]
+            return
+        last = res
+    assert False, f"all attempts failed: {last and [o[-2000:] for _, o in last]}"
+
+
+def test_three_process_distributed_cli(tmp_path):
+    """Same full-pipeline contract at 3 processes: shard-boundary
+    search, per-shard scans, findings gather, and the rank-0 merge must
+    be process-count-agnostic (the sparse corpus has two cold gaps, so
+    a 3-way split is generally real)."""
+    _make_cli_corpora(tmp_path)
+    last = None
+    for _attempt in range(3):
+        res = _spawn_round(_free_port(), timeout_s=300, mode="cli",
+                           workdir=tmp_path, nprocs=3)
         if res is not None and all(pr.returncode == 0 for pr, _ in res):
             for pid, (pr, out) in enumerate(res):
                 assert f"WORKER{pid}-OK" in out, out[-3000:]
