@@ -100,7 +100,34 @@ def random_corpus(rng, nprng):
                     data[pos : pos + len(t)] = t
             pos += isl
         return bytes(data)
-    if rng.random() < 0.35:
+    if rng.random() < 0.2:
+        # Text-dense corpus: long accepted-ASCII / UTF-16 text runs
+        # interleaved with junk - the emitter full-window fast lanes
+        # (accepted-ASCII, UTF-16 BMP) and the sterile-call lookahead
+        # trigger constantly here, and run edges land at every
+        # window-grid phase.
+        data = bytearray()
+        words = [b"lorem", b"ipsum", b"dolor", b"sit", b"amet", b"sed"]
+        while len(data) < size:
+            r = rng.random()
+            if r < 0.5:
+                n = rng.randint(3, 120)
+                data += b" ".join(
+                    words[rng.randint(0, len(words) - 1)]
+                    for _ in range(n)
+                ) + b". "
+            elif r < 0.75:
+                n = rng.randint(2, 40)
+                data += (" ".join(
+                    "text" for _ in range(n)
+                )).encode(rng.choice(["utf-16le", "utf-16be"]))
+            else:
+                n = rng.randint(4, 200)
+                data += nprng.integers(
+                    0, 256, size=n, dtype=np.uint8
+                ).tobytes()
+        data = bytearray(data[:size])
+    elif rng.random() < 0.35:
         # Sparse corpus: mostly zeros (cold blocks for the engine=tpu
         # hot-range skipper) with random hot islands and CJK chain-byte
         # noise (0x81-0xFE runs) that lands lead/trail bytes right at
