@@ -271,6 +271,38 @@ def distributed_run(args, missions, out, engine: str = "auto") -> int:
         bounds = [0] + [n_rows] * nproc
     hot_by_mission = None
     r0, r1 = bounds[pid], bounds[pid + 1]
+    if engine == "tpu" and r1 > r0:
+        # Device hot maps over THIS RANK'S shard only (each rank pays
+        # one device pass for its bytes, the distributed analog of the
+        # engine=tpu single-process path); range coordinates rebase to
+        # stream offsets for scan_shard's clipping. Requires an even
+        # shard base: the device kernels pair UTF-16 units by buffer
+        # offset (docs/KERNELS.md invariant) - shard starts are slice
+        # starts, which are odd only after odd-sized earlier files; in
+        # that rare case this rank falls back to a full host scan.
+        from ..input import LoadedStream, slice_table
+        from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+        from ..run import _device_hot_ranges_swar
+
+        sl = slice_table(stream)
+        seg_start = int(sl[0][r0])
+        seg_end = int(sl[0][r1 - 1] + sl[1][r1 - 1])
+        if seg_start % 2 == 0:
+            sub = LoadedStream(
+                stream.data[seg_start:seg_end],
+                [(None, 0, seg_end - seg_start)],
+            )
+            swar_jobs = []
+            for i, m in enumerate(missions.v):
+                spec = swar_mission_spec(m) or cjk_hot_spec(m)
+                if spec is not None:
+                    swar_jobs.append((i, spec))
+            if swar_jobs:
+                hb = _device_hot_ranges_swar(sub, swar_jobs)
+                hot_by_mission = {
+                    i: (s + seg_start, e + seg_start)
+                    for i, (s, e) in hb.items()
+                }
     per_mission = scan_shard(stream, missions, r0, r1, hot_by_mission)
     gathered = gather_findings(per_mission, len(missions.v))
     if pid == 0:

@@ -774,13 +774,26 @@ def _emit_lines(out, args: Args, results) -> None:
 
     from . import native as native_mod
 
-    show_file0 = len(args.inputs) > 1
-    flags0 = (
-        (1 if show_file0 else 0) | (2 if args.radix is not None else 0)
-        | (4 if len(args.encoding) > 1 else 0)
-        | (8 if args.no_metadata else 0)
+    show_file = len(args.inputs) > 1
+    show_radix = args.radix is not None
+    show_enc = len(args.encoding) > 1
+    no_meta = args.no_metadata
+    flags = (
+        (1 if show_file else 0) | (2 if show_radix else 0)
+        | (4 if show_enc else 0) | (8 if no_meta else 0)
     )
-    radix_fmt0 = {Radix.X: "x", Radix.D: "d", Radix.O: "o"}.get(args.radix)
+    radix_fmt = {Radix.X: "x", Radix.D: "d", Radix.O: "o"}.get(args.radix)
+    enc_prefix = [
+        b"(" + bytes([(r[0].mission_id + 97) & 0xFF]) + b" "
+        + r[0].display_encoding_name.encode() + b")\t"
+        for r in results
+    ]
+    # Streams may carry SE_INREF-flagged str_off values (bit 63 =
+    # offset into the stream's input buffer, emitted only when the
+    # fused path was promised at scan time); ONLY native_merge_fd
+    # resolves them, so the fallback paths below must never see one.
+    has_input_refs = any(len(r) > 3 and r[3] is not None for r in results)
+
     if (
         results
         and os.environ.get("STRINGSEXT_NATIVE_FORMAT", "1") != "0"
@@ -790,29 +803,35 @@ def _emit_lines(out, args: Args, results) -> None:
         # Fused C k-way merge + format + straight-to-fd write: skips
         # the whole numpy concat/lexsort/gather stage AND the Python
         # payload copies. Only for real OS-level outputs (tests pass
-        # BytesIO and fall through to the paths below).
+        # BytesIO and fall through to the paths below). fileno()
+        # failing (no real fd) falls back; a FAILING FLUSH is a real
+        # output error and must propagate (with input-ref streams the
+        # fallback could not render them anyway).
         try:
             fd = out.fileno()
-            out.flush()
         except (AttributeError, OSError, ValueError):
             fd = None
         if fd is not None:
-            streams = []
-            prefixes = []
-            for entry in results:
-                m, res, sb = entry[0], entry[1], entry[2]
-                inbuf = entry[3] if len(entry) > 3 else None
-                streams.append((res, sb, m.mission_id, inbuf))
-                prefixes.append(
-                    b"(" + bytes([(m.mission_id + 97) & 0xFF]) + b" "
-                    + m.display_encoding_name.encode() + b")\t"
-                )
+            out.flush()
+            streams = [
+                (r[1], r[2], r[0].mission_id,
+                 r[3] if len(r) > 3 else None)
+                for r in results
+            ]
             wrote = native_mod.native_merge_fd(
-                fd, streams, prefixes, flags0,
-                (radix_fmt0 or "d").encode(),
+                fd, streams, enc_prefix, flags,
+                (radix_fmt or "d").encode(),
             )
             if wrote is not None:
                 return
+    if has_input_refs:
+        # The scan-time promise was broken (env changed mid-process or
+        # the output object lost its fd): refuse rather than feed
+        # bit-63 offsets to a formatter that would read wild memory.
+        raise RuntimeError(
+            "internal: input-referencing findings require the fused "
+            "fd output path"
+        )
 
     positions = np.concatenate([r[1]["position"] for r in results])
     mids = np.concatenate(
@@ -825,21 +844,6 @@ def _emit_lines(out, args: Args, results) -> None:
         [np.arange(len(r[1]["position"]), dtype=np.int64) for r in results]
     )
     order = np.lexsort((mids, positions))
-
-    show_file = len(args.inputs) > 1
-    show_radix = args.radix is not None
-    show_enc = len(args.encoding) > 1
-    no_meta = args.no_metadata
-    enc_names = [r[0].display_encoding_name.encode() for r in results]
-    enc_prefix = [
-        b"(" + bytes([(r[0].mission_id + 97) & 0xFF]) + b" " + enc_names[i] + b")\t"
-        for i, r in enumerate(results)
-    ]
-    radix_fmt = {Radix.X: "x", Radix.D: "d", Radix.O: "o"}.get(args.radix)
-
-    import os
-
-    from . import native as native_mod
 
     use_native_fmt = os.environ.get("STRINGSEXT_NATIVE_FORMAT", "1") != "0"
     if use_native_fmt and native_mod.get_lib() is not None and len(order):
@@ -862,10 +866,6 @@ def _emit_lines(out, args: Args, results) -> None:
         # `positions` above is already the concatenated uint64 column.
         full["position"] = positions.astype(np.uint64, copy=False)
         strbufs = [r[2] for r in results]
-        flags = (
-            (1 if show_file else 0) | (2 if show_radix else 0)
-            | (4 if show_enc else 0) | (8 if no_meta else 0)
-        )
         # Straight-to-fd writes (se_format_fd) skip the Python bytes +
         # BufferedWriter copies - at forensic scale the payload is
         # larger than the input. Only for real OS-level outputs; the
@@ -906,7 +906,7 @@ def _emit_lines(out, args: Args, results) -> None:
     for k in order.tolist():
         mi = midx[k]
         i = ridx[k]
-        m, res, sb = results[mi]
+        res, sb = results[mi][1], results[mi][2]
         buf += b"\n"
         if not no_meta:
             if show_file:
@@ -973,11 +973,33 @@ def _run_streaming_stdin(
     stream_pos = 0  # absolute bytes read from src so far
     resumed = False
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        states, stream_pos, carry_b, held = checkpoint.load_stream_checkpoint(
+        (states, stream_pos, carry_b, held,
+         ck_out_pos) = checkpoint.load_stream_checkpoint(
             checkpoint_path, missions
         )
         carry = np.frombuffer(carry_b, np.uint8).copy()
         resumed = True
+        # Exactly-once output when resuming into the SAME file: drop
+        # any lines a crash let through after the checkpointed chunk
+        # (the save runs after the emit, so a kill between them would
+        # otherwise duplicate that chunk's lines). A sink smaller than
+        # the recorded offset is a fresh/concatenated output (e.g.
+        # stdout piped per run): append there, where a crash in that
+        # window can still repeat lines - hence the warning.
+        try:
+            out.seek(0, 2)
+            end = out.tell()
+        except (AttributeError, OSError, ValueError):
+            end = None
+        if ck_out_pos is not None and end is not None and end >= ck_out_pos:
+            out.seek(ck_out_pos)
+            out.truncate()
+        elif ck_out_pos is None or end is None:
+            _warn_once(
+                ("ckpt-unseekable",),
+                "Warning: resuming to a non-seekable output; lines "
+                "written after the last checkpoint save may repeat.",
+            )
         # Skip the scanned prefix: seek when possible, else drain.
         try:
             src.seek(stream_pos)
@@ -1045,6 +1067,18 @@ def _run_streaming_stdin(
                     raw = src.read(chunk_bytes - got)
                     k = len(raw)
                     view[got : got + k] = raw
+                if k is None:
+                    # non-blocking fd with no data ready: wait, don't
+                    # mistake it for EOF (silent truncation)
+                    import select
+
+                    fno = getattr(src, "fileno", None)
+                    if fno is None:
+                        raise BlockingIOError(
+                            "non-blocking source returned no data"
+                        )
+                    select.select([fno()], [], [])
+                    continue
                 if not k:
                     break
                 got += k
@@ -1181,9 +1215,18 @@ def _run_streaming_stdin(
             _emit_lines(out, args, emit)
 
         if ck_snapshot is not None:
+            # Output position AFTER this chunk's emit (fd writes went
+            # through the kernel offset; flush drains any buffered
+            # Python-side bytes first). None on non-seekable sinks.
+            try:
+                out.flush()
+                ck_out = out.tell()
+            except (AttributeError, OSError, ValueError):
+                ck_out = None
             checkpoint.save_stream_checkpoint(
                 checkpoint_path, ck_snapshot[0], ck_snapshot[1],
-                ck_snapshot[2], held,
+                ck_snapshot[2], held, missions=missions,
+                out_pos=ck_out,
             )
 
         if is_final:
@@ -1239,152 +1282,159 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
 
     # Extension flags -> env bridge: the inner passes read the
     # STRINGSEXT_* variables; an already-set variable overrides the
-    # flag (see options.py). setdefault keeps that precedence.
-    if args.hot_group is not None:
-        os.environ.setdefault("STRINGSEXT_HOT_GROUP", args.hot_group)
-    if args.mesh:
-        os.environ.setdefault("STRINGSEXT_MESH", "1")
-    if args.stream_file_min is not None:
-        os.environ.setdefault("STRINGSEXT_STREAM_FILE_MIN",
-                              args.stream_file_min)
-    if args.host_hotmap:
-        os.environ.setdefault("STRINGSEXT_HOST_HOTMAP", "1")
-    if engine == "tpu":
-        _enable_compilation_cache()
+    # flag (see options.py). Only keys WE set are removed again on the
+    # way out, so one run()'s flags never leak into a later in-process
+    # run() (an ambient variable the caller exported stays put).
+    _bridged = []
+    for _key, _val in (
+        ("STRINGSEXT_HOT_GROUP", args.hot_group),
+        ("STRINGSEXT_MESH", "1" if args.mesh else None),
+        ("STRINGSEXT_STREAM_FILE_MIN", args.stream_file_min),
+        ("STRINGSEXT_HOST_HOTMAP", "1" if args.host_hotmap else None),
+    ):
+        if _val is not None and _key not in os.environ:
+            os.environ[_key] = _val
+            _bridged.append(_key)
+    try:
+        if engine == "tpu":
+            _enable_compilation_cache()
 
-    use_stdin = (not args.inputs) or (
-        len(args.inputs) == 1 and args.inputs[0] == "-"
-    )
-
-    if args.dist_nprocs is not None and int(args.dist_nprocs) > 1:
-        # Multi-process distributed scan: every process runs the same
-        # command with its --dist-rank; the input must be a real file
-        # set visible to all hosts (no stdin), and process 0 prints
-        # the merged byte-identical stream.
-        if use_stdin:
-            raise RuntimeError(
-                "distributed scan requires file inputs (stdin cannot be "
-                "sharded across processes)"
-            )
-        from .parallel import distributed
-
-        distributed.initialize(
-            coordinator_address=args.dist_coord,
-            num_processes=int(args.dist_nprocs),
-            process_id=int(args.dist_rank or 0),
+        use_stdin = (not args.inputs) or (
+            len(args.inputs) == 1 and args.inputs[0] == "-"
         )
-        close_d = False
-        if out is None:
-            if args.output is not None and int(args.dist_rank or 0) == 0:
-                out = open(args.output, "wb")
-                close_d = True
-            else:
-                out = sys.stdout.buffer
-        try:
-            return distributed.distributed_run(
-                args, missions, out, engine=engine
+
+        if args.dist_nprocs is not None and int(args.dist_nprocs) > 1:
+            # Multi-process distributed scan: every process runs the same
+            # command with its --dist-rank; the input must be a real file
+            # set visible to all hosts (no stdin), and process 0 prints
+            # the merged byte-identical stream.
+            if use_stdin:
+                raise RuntimeError(
+                    "distributed scan requires file inputs (stdin cannot be "
+                    "sharded across processes)"
+                )
+            from .parallel import distributed
+
+            distributed.initialize(
+                coordinator_address=args.dist_coord,
+                num_processes=int(args.dist_nprocs),
+                process_id=int(args.dist_rank or 0),
             )
-        finally:
-            if close_d:
-                out.close()
-    native_streamable = (
-        engine != "python"
-        and native.get_lib() is not None
-        and all(
-            native.native_supported(encoding_kind(m.encoding_name))
-            for m in missions.v
+            close_d = False
+            if out is None:
+                if args.output is not None and int(args.dist_rank or 0) == 0:
+                    out = open(args.output, "wb")
+                    close_d = True
+                else:
+                    out = sys.stdout.buffer
+            try:
+                return distributed.distributed_run(
+                    args, missions, out, engine=engine
+                )
+            finally:
+                if close_d:
+                    out.close()
+        native_streamable = (
+            engine != "python"
+            and native.get_lib() is not None
+            and all(
+                native.native_supported(encoding_kind(m.encoding_name))
+                for m in missions.v
+            )
         )
-    )
-    if args.checkpoint is not None:
-        # Checkpointed scans always take the chunked streaming path
-        # (its state is what the checkpoint captures). Requirements:
-        # one input (or stdin) and native-supported missions.
-        if len(args.inputs) > 1:
-            raise RuntimeError(
-                "--checkpoint requires a single input file or stdin"
-            )
-        if not native_streamable:
-            raise RuntimeError(
-                "--checkpoint requires the native engine (engine=auto or "
-                "tpu) and native-supported encodings"
-            )
-        close_ck = False
+        if args.checkpoint is not None:
+            # Checkpointed scans always take the chunked streaming path
+            # (its state is what the checkpoint captures). Requirements:
+            # one input (or stdin) and native-supported missions.
+            if len(args.inputs) > 1:
+                raise RuntimeError(
+                    "--checkpoint requires a single input file or stdin"
+                )
+            if not native_streamable:
+                raise RuntimeError(
+                    "--checkpoint requires the native engine (engine=auto or "
+                    "tpu) and native-supported encodings"
+                )
+            close_ck = False
+            if out is None:
+                if args.output is not None:
+                    # resume appends: the printed prefix must survive
+                    out = open(args.output,
+                               "ab" if os.path.exists(args.checkpoint) else "wb")
+                    close_ck = True
+                else:
+                    out = sys.stdout.buffer
+            try:
+                if use_stdin:
+                    return _run_streaming_stdin(
+                        args, missions, out, engine=engine,
+                        checkpoint_path=args.checkpoint,
+                    )
+                with open(args.inputs[0], "rb") as src:
+                    return _run_streaming_stdin(
+                        args, missions, out, src=src, engine=engine,
+                        checkpoint_path=args.checkpoint,
+                    )
+            finally:
+                if close_ck:
+                    out.close()
+        stream_stdin = use_stdin and native_streamable
+        # A huge SINGLE file also streams in constant memory: the findings
+        # columns of a buffered scan grow with the finding count (a dense
+        # 10 GB image holds >100M findings), while the chunked pipeline is
+        # O(chunk). Identical output (the streaming-vs-buffered invariant
+        # is fuzzed); single-file only, so file-letter metadata (absent for
+        # one input) never applies.
+        stream_file = None
+        if (
+            not use_stdin and len(args.inputs) == 1 and native_streamable
+        ):
+            try:
+                fsize = os.path.getsize(args.inputs[0])
+            except OSError:
+                fsize = 0
+            try:
+                stream_min = int(
+                    os.environ.get("STRINGSEXT_STREAM_FILE_MIN", "") or (1 << 30)
+                )
+            except ValueError:
+                stream_min = 1 << 30  # malformed env: keep the default
+            if fsize >= stream_min:
+                stream_file = args.inputs[0]
+
+        close_out = False
         if out is None:
             if args.output is not None:
-                # resume appends: the printed prefix must survive
-                out = open(args.output,
-                           "ab" if os.path.exists(args.checkpoint) else "wb")
-                close_ck = True
+                out = open(args.output, "wb")
+                close_out = True
             else:
                 out = sys.stdout.buffer
+
         try:
-            if use_stdin:
-                return _run_streaming_stdin(
-                    args, missions, out, engine=engine,
-                    checkpoint_path=args.checkpoint,
-                )
-            with open(args.inputs[0], "rb") as src:
-                return _run_streaming_stdin(
-                    args, missions, out, src=src, engine=engine,
-                    checkpoint_path=args.checkpoint,
-                )
+            if stream_stdin:
+                return _run_streaming_stdin(args, missions, out, engine=engine)
+            if stream_file is not None:
+                try:
+                    src = open(stream_file, "rb")
+                except OSError:
+                    src = None  # unreadable: buffered path warns + empty
+                if src is not None:
+                    with src:
+                        return _run_streaming_stdin(
+                            args, missions, out, src=src, engine=engine
+                        )
+            with profiling.scope("input.load"):
+                stream = load_stream(args.inputs)
+            nbytes = len(stream.data)
+            with profiling.scope("scan", nbytes * len(missions.v)):
+                results = _scan_arrays(stream, missions, engine)
+            with profiling.scope("merge+format"):
+                write_output(out, args, results)
+            profiling.report()
         finally:
-            if close_ck:
+            if close_out:
                 out.close()
-    stream_stdin = use_stdin and native_streamable
-    # A huge SINGLE file also streams in constant memory: the findings
-    # columns of a buffered scan grow with the finding count (a dense
-    # 10 GB image holds >100M findings), while the chunked pipeline is
-    # O(chunk). Identical output (the streaming-vs-buffered invariant
-    # is fuzzed); single-file only, so file-letter metadata (absent for
-    # one input) never applies.
-    stream_file = None
-    if (
-        not use_stdin and len(args.inputs) == 1 and native_streamable
-    ):
-        try:
-            fsize = os.path.getsize(args.inputs[0])
-        except OSError:
-            fsize = 0
-        try:
-            stream_min = int(
-                os.environ.get("STRINGSEXT_STREAM_FILE_MIN", "") or (1 << 30)
-            )
-        except ValueError:
-            stream_min = 1 << 30  # malformed env: keep the default
-        if fsize >= stream_min:
-            stream_file = args.inputs[0]
-
-    close_out = False
-    if out is None:
-        if args.output is not None:
-            out = open(args.output, "wb")
-            close_out = True
-        else:
-            out = sys.stdout.buffer
-
-    try:
-        if stream_stdin:
-            return _run_streaming_stdin(args, missions, out, engine=engine)
-        if stream_file is not None:
-            try:
-                src = open(stream_file, "rb")
-            except OSError:
-                src = None  # unreadable: buffered path warns + empty
-            if src is not None:
-                with src:
-                    return _run_streaming_stdin(
-                        args, missions, out, src=src, engine=engine
-                    )
-        with profiling.scope("input.load"):
-            stream = load_stream(args.inputs)
-        nbytes = len(stream.data)
-        with profiling.scope("scan", nbytes * len(missions.v)):
-            results = _scan_arrays(stream, missions, engine)
-        with profiling.scope("merge+format"):
-            write_output(out, args, results)
-        profiling.report()
+        return 0
     finally:
-        if close_out:
-            out.close()
-    return 0
+        for _key in _bridged:
+            os.environ.pop(_key, None)

@@ -126,9 +126,30 @@ def _deser_held(rows, missions):
     return held
 
 
+def _mission_fingerprint(missions: Missions) -> list:
+    """Everything that determines a mission's observable scan behavior
+    (mission.rs:382-421): resuming under a DIFFERENT mission set would
+    silently seed the wrong decoders with carried state."""
+    return [
+        {
+            "encoding": m.encoding_name,
+            "display": m.display_encoding_name,
+            "chars_min": int(m.chars_min_nb),
+            "same_block": bool(m.require_same_unicode_block),
+            "af": f"{m.filter.af:#x}",
+            "ubf": f"{m.filter.ubf:#x}",
+            "grep": m.filter.grep_char,
+            "line_max": int(m.output_line_char_nb_max),
+            "counter_offset": int(m.counter_offset),
+        }
+        for m in missions.v
+    ]
+
+
 def save_stream_checkpoint(
     path: str, mission_states: List[dict], stream_pos: int,
-    carry: bytes, held,
+    carry: bytes, held, missions: Missions | None = None,
+    out_pos: int | None = None,
 ) -> None:
     import base64
 
@@ -138,6 +159,14 @@ def save_stream_checkpoint(
     d["stream_pos"] = int(stream_pos)
     d["carry"] = base64.b64encode(bytes(carry)).decode("ascii")
     d["held"] = _ser_held(held or [])
+    if missions is not None:
+        d["mission_fingerprint"] = _mission_fingerprint(missions)
+    if out_pos is not None:
+        # bytes of output already emitted for the checkpointed prefix:
+        # resume truncates a seekable output here, so a crash landing
+        # between a chunk's emit and its checkpoint save cannot
+        # duplicate that chunk's lines (exactly-once for file outputs)
+        d["out_pos"] = int(out_pos)
     _atomic_dump(path, d)
 
 
@@ -149,6 +178,13 @@ def load_stream_checkpoint(path: str, missions: Missions):
     if d["version"] != 2:
         raise ValueError(
             f"checkpoint {path} is not a stream checkpoint (version 2)"
+        )
+    saved_fp = d.get("mission_fingerprint")
+    if saved_fp is not None and saved_fp != _mission_fingerprint(missions):
+        raise ValueError(
+            f"checkpoint {path} was written by a different mission "
+            "configuration (encodings/filters/flags differ) - resume "
+            "must use the same command line"
         )
     states = [
         {
@@ -163,7 +199,8 @@ def load_stream_checkpoint(path: str, missions: Missions):
     ]
     carry = base64.b64decode(d["carry"])
     held = _deser_held(d["held"], missions)
-    return states, int(d["stream_pos"]), carry, held
+    out_pos = d.get("out_pos")
+    return states, int(d["stream_pos"]), carry, held, out_pos
 
 
 def fresh_states(missions: Missions) -> List[dict]:

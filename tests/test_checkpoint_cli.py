@@ -214,3 +214,58 @@ def test_checkpoint_json_shape(tmp_path):
     assert d["stream_pos"] == 2 * 4096
     assert len(d["missions"]) == 2
     assert isinstance(d["carry"], str) and isinstance(d["held"], list)
+
+
+def test_resume_same_count_different_missions_rejected(tmp_path):
+    """Same mission COUNT but different encodings/filters must be
+    rejected (the fingerprint check): carry states seeded into the
+    wrong decoders would silently corrupt the resumed output."""
+    blob = _corpus(30_000)
+    ck = str(tmp_path / "scan.ck")
+    args = parse_args(ARGV + ["-"])  # UTF-8 + utf-16le
+    ms = Missions.from_args(args)
+    with pytest.raises(RuntimeError):
+        _run_streaming_stdin(
+            args, ms, io.BytesIO(), src=_DyingReader(blob, 4096),
+            chunk_bytes=4096, checkpoint_path=ck)
+    # two missions again, but a different set / different -n
+    for argv2 in (["-t", "x", "-e", "UTF-8", "-e", "utf-16be", "-"],
+                  ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-n", "9",
+                   "-"]):
+        args2 = parse_args(argv2)
+        ms2 = Missions.from_args(args2)
+        with pytest.raises(ValueError, match="mission"):
+            _run_streaming_stdin(
+                args2, ms2, io.BytesIO(), src=_NoSeek(blob),
+                chunk_bytes=4096, checkpoint_path=ck)
+
+
+def test_resume_same_file_truncates_duplicate_tail(tmp_path):
+    """Exactly-once on a same-file resume: lines written AFTER the last
+    checkpoint save (crash in the emit->save window) are truncated on
+    resume, so the final file equals an uninterrupted run."""
+    blob = _corpus(60_000)
+    ck = str(tmp_path / "scan.ck")
+    outp = tmp_path / "out.bin"
+    args = parse_args(ARGV + ["-"])
+    ms = Missions.from_args(args)
+
+    expected = io.BytesIO()
+    rc = _run_streaming_stdin(args, ms, expected, src=_NoSeek(blob),
+                              chunk_bytes=8192)
+    assert rc == 0
+
+    with open(outp, "wb") as out:
+        with pytest.raises(RuntimeError):
+            _run_streaming_stdin(
+                args, ms, out, src=_DyingReader(blob, 3 * 8192),
+                chunk_bytes=8192, checkpoint_path=ck)
+        # simulate the crash window: garbage written after the save
+        out.write(b"DUPLICATE CHUNK LINES THAT MUST VANISH")
+    with open(outp, "r+b") as out:
+        rc = _run_streaming_stdin(
+            args, ms, out, src=_NoSeek(blob),
+            chunk_bytes=8192, checkpoint_path=ck)
+        assert rc == 0
+    assert outp.read_bytes() == expected.getvalue()
+    assert not os.path.exists(ck)  # removed on success

@@ -70,6 +70,14 @@ def _cli_worker_main():
         buf = io.BytesIO()
         rc = distributed.distributed_run(args, ms, buf, engine="auto")
         assert rc == 0
+        if name == "sparse":
+            # engine=tpu (interpret-mode device hot maps over each
+            # rank's shard) must produce the identical stream
+            buf_t = io.BytesIO()
+            rc = distributed.distributed_run(args, ms, buf_t,
+                                             engine="tpu")
+            assert rc == 0
+            assert buf_t.getvalue() == buf.getvalue()
         if pid == 0:
             expected = open(os.path.join(work, f"{name}.expected"),
                             "rb").read()
