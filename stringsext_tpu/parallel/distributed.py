@@ -30,8 +30,20 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Join the multi-host JAX runtime (no-op when single-process)."""
+    """Join the multi-host JAX runtime (no-op when single-process or
+    already initialized - the CLI may call this after a harness did).
+    The already-joined probe must NOT touch jax.process_count(): that
+    initializes the XLA backend, after which joining becomes
+    impossible."""
     if num_processes is None or num_processes <= 1:
+        return
+    if jax.distributed.is_initialized():
+        if jax.process_count() != num_processes:
+            raise RuntimeError(
+                f"jax.distributed already initialized with "
+                f"{jax.process_count()} processes; cannot re-join as "
+                f"{num_processes}"
+            )
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

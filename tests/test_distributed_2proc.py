@@ -96,6 +96,26 @@ def _cli_worker_main():
         bounds = distributed.shard_boundaries(stream, ms, nprocs)
         if name == "sparse":
             assert bounds is not None and 0 < bounds[1] < bounds[2], bounds
+
+    # CLI flag path: run() with --dist-nprocs/--dist-rank/--dist-coord
+    # must route to the same distributed scan (initialize() tolerates
+    # the prior join with the same world size).
+    from stringsext_tpu.run import run
+
+    corpus = os.path.join(work, "sparse.bin")
+    args = parse_args(
+        ["-t", "x", "-e", "UTF-8", "-e", "utf-16le",
+         "--dist-nprocs", str(nprocs), "--dist-rank", str(pid),
+         "--dist-coord", coord, corpus]
+    )
+    buf = io.BytesIO()
+    rc = run(args, out=buf)
+    assert rc == 0
+    if pid == 0:
+        expected = open(os.path.join(work, "sparse.expected"), "rb").read()
+        assert buf.getvalue() == expected
+    else:
+        assert buf.getvalue() == b""
     print(f"WORKER{pid}-OK", flush=True)
 
 
