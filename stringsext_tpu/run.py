@@ -545,12 +545,20 @@ def _segment_rows(sl, hot, window_bytes: int, max_segments: int,
     return sorted(set(picks))
 
 
-def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
+def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
+                 input_refs: bool = False):
     """Scan all missions, returning per-mission column arrays:
     dict(position, precision, completes, file_id, str_off, str_len) +
-    strbuf. Uses the native C++ engine for supported encodings (exact
-    same output, orders of magnitude faster than the per-slice Python
-    loop), the Python automaton otherwise."""
+    strbuf (4th element: the input buffer when `input_refs` streams
+    carry SE_INREF-flagged offsets). Uses the native C++ engine for
+    supported encodings (exact same output, orders of magnitude faster
+    than the per-slice Python loop), the Python automaton otherwise.
+
+    `input_refs` requires that the caller's output path resolves
+    SE_INREF offsets (the fused se_merge_fd) and is forced off
+    whenever hot maps / segmentation are in play (the segment
+    concatenation rebases str_off, which would corrupt flagged
+    values)."""
     import numpy as np
 
     from . import native
@@ -646,12 +654,18 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
                 for r0, r1 in zip(bounds[:-1], bounds[1:]):
                     all_jobs.append((i, m, (r0, r1)))
 
+        # SE_INREF only without hot maps: hot maps enable
+        # segmentation, whose strbuf concatenation rebases str_off
+        # (and would corrupt flagged values).
+        use_refs = input_refs and not hot_by_mission
+
         def job(t):
             i, m, seg = t
             hot = hot_by_mission.get(i)
             if seg is None:
                 return t, native.native_scan(
-                    m, stream.data, *sl, hot_ranges=hot
+                    m, stream.data, *sl, hot_ranges=hot,
+                    input_refs=use_refs and hot is None,
                 )
             r0, r1 = seg
             ssl = tuple(a[r0:r1] for a in sl)
@@ -687,7 +701,10 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
             parts.sort(key=lambda p: p[0])
             m = parts[0][1]
             if len(parts) == 1:
-                results[i] = (m, parts[0][2], parts[0][3])
+                results[i] = (m, parts[0][2], parts[0][3]) + (
+                    (stream.data if use_refs else None,)
+                    if input_refs else ()
+                )
                 continue
             sb = b"".join(p[3] for p in parts)
             off = 0
@@ -702,7 +719,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
                 m,
                 {k: np.concatenate(v) for k, v in cols.items()},
                 sb,
-            )
+            ) + ((None,) if input_refs else ())
 
     if python_missions:
         sub = Missions(python_missions)
@@ -742,7 +759,9 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str):
                     "str_off": offs,
                     "str_len": lens,
                 }
-                results[i] = (m, res, sb)
+                results[i] = (m, res, sb) + (
+                    (None,) if input_refs else ()
+                )
     return results
 
 
@@ -1426,8 +1445,23 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
             with profiling.scope("input.load"):
                 stream = load_stream(args.inputs)
             nbytes = len(stream.data)
+            # SE_INREF for the buffered path too: only when the fused
+            # fd merge will render the result (same preconditions as
+            # the streaming path) and no hot maps/segmentation are in
+            # play (checked again inside _scan_arrays).
+            buf_refs = (
+                os.environ.get("STRINGSEXT_NATIVE_FORMAT", "1") != "0"
+                and os.environ.get("STRINGSEXT_FD_WRITE", "1") != "0"
+                and native.get_lib() is not None
+            )
+            if buf_refs:
+                try:
+                    out.fileno()
+                except (AttributeError, OSError, ValueError):
+                    buf_refs = False
             with profiling.scope("scan", nbytes * len(missions.v)):
-                results = _scan_arrays(stream, missions, engine)
+                results = _scan_arrays(stream, missions, engine,
+                                       input_refs=buf_refs)
             with profiling.scope("merge+format"):
                 write_output(out, args, results)
             profiling.report()
