@@ -1481,6 +1481,15 @@ static inline uint8_t* se_write_line(
     return w + slen;
 }
 
+// Worst-case per-line bytes BEFORE the enc prefix and string payload,
+// derived field by field from se_write_line: '\n' (1) + file letter
+// and space (2) + precision mark (1) + position digits (<= 22 octal
+// digits for a max uint64) + '+'/' ' (1) + '\t' (1) = 28. Any new
+// metadata field must be added HERE, not to a bare constant at a use
+// site; the slack absorbs an off-by-a-couple until then.
+static constexpr size_t SE_LINE_META_MAX = 1 + 2 + 1 + 22 + 1 + 1;
+static constexpr size_t SE_LINE_HEADROOM = SE_LINE_META_MAX + 4;
+
 // Merge-ordered output formatting (finding.rs:112-155 grammar): the
 // caller pre-gathers every finding column into merge order (numpy
 // fancy-indexing, vectorized) and this writes the byte-exact lines.
@@ -1510,11 +1519,12 @@ static void* se_format_impl(int64_t n, const uint64_t* position,
         for (int32_t k = 0; k < n_miss; k++)
             if (enc_pref_len[k] > max_pref) max_pref = enc_pref_len[k];
     }
-    // Exact upper bound per line: '\n' + file "A " + radix
-    // (mark + <=22 digits + "+\t") + enc prefix + string bytes.
+    // Exact upper bound per line: SE_LINE_META_MAX + enc prefix +
+    // string bytes.
     // malloc, not a vector: resize() would memset the whole worst-case
     // buffer (an extra full memory pass) before the loop rewrites it.
-    uint64_t cap = total_s + (uint64_t)n * (1 + 2 + 25 + (uint64_t)max_pref) + 64;
+    uint64_t cap = total_s
+        + (uint64_t)n * (SE_LINE_META_MAX + (uint64_t)max_pref) + 64;
     uint8_t* base = (uint8_t*)malloc(cap);
     if (!base) { *out_buf = nullptr; *out_len = 0; return nullptr; }
     uint8_t* w = base;
@@ -1637,7 +1647,8 @@ int64_t se_merge_fd(int32_t fd, int32_t k, const int64_t* n_m,
         if (best < 0) break;
         const int64_t i = c[best]++;
         const uint32_t sl = slen_m[best][i];
-        size_t need = 28 + (size_t)(show_enc ? enc_pref_len[best] : 0) + sl;
+        size_t need = SE_LINE_HEADROOM
+            + (size_t)(show_enc ? enc_pref_len[best] : 0) + sl;
         if ((size_t)(w - buf) + need > cap) {
             if (!flush()) { free(buf); return -1; }
             if (need > cap) {  // pathological single line > buffer

@@ -91,7 +91,9 @@ def _warn_once(key, msg: str) -> None:
     """One-shot stderr warning for silent-degradation events (the
     reference warns on its only lossy path the same way,
     finding_collection.rs:311-317). Output on stdout is unaffected;
-    these surface when a fast path quietly fell back to a slower one."""
+    these surface when a fast path quietly fell back to a slower one.
+    `run()` clears the set on entry, so in library use every run()
+    gets its own warnings (not just the first in the process)."""
     if key in _WARNED:
         return
     _WARNED.add(key)
@@ -139,6 +141,11 @@ def _mesh_counts(w2, specs, ndev, interpret):
     key = (specs, ndev, shard_rows, interpret)
     fn = _MESH_COUNTS_CACHE.get(key)
     if fn is None:
+        if len(_MESH_COUNTS_CACHE) >= 16:
+            # Bounded: long-lived library processes scanning many
+            # distinct mission sets must not grow this without limit
+            # (each entry pins a compiled sharded function).
+            _MESH_COUNTS_CACHE.pop(next(iter(_MESH_COUNTS_CACHE)))
         ext = shard_rows + 2 * HALO_ROWS
         tile = next(
             (t for t in (512, 256, 128, 64, 32, 16, 8) if ext % t == 0), ext
@@ -991,9 +998,17 @@ def _run_streaming_stdin(
     carry = np.zeros(0, np.uint8)  # unconsumed tail (buffer-relative)
     stream_pos = 0  # absolute bytes read from src so far
     resumed = False
+    def _out_ident():
+        """(st_dev, st_ino) of the output sink, or None (no real fd)."""
+        try:
+            st = os.fstat(out.fileno())
+            return [int(st.st_dev), int(st.st_ino)]
+        except (AttributeError, OSError, ValueError):
+            return None
+
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         (states, stream_pos, carry_b, held,
-         ck_out_pos) = checkpoint.load_stream_checkpoint(
+         ck_out_pos, ck_out_id) = checkpoint.load_stream_checkpoint(
             checkpoint_path, missions
         )
         carry = np.frombuffer(carry_b, np.uint8).copy()
@@ -1011,9 +1026,30 @@ def _run_streaming_stdin(
         except (AttributeError, OSError, ValueError):
             end = None
         if ck_out_pos is not None and end is not None and end >= ck_out_pos:
+            oid = _out_ident()
+            if ck_out_id is not None and oid is not None and oid != ck_out_id:
+                raise RuntimeError(
+                    "--checkpoint resume: the output is not the file the "
+                    "checkpoint was writing (device/inode differ); refusing "
+                    "to truncate it at the recorded offset. Point --output "
+                    "at the original file, or remove the checkpoint to "
+                    "start fresh."
+                )
             out.seek(ck_out_pos)
             out.truncate()
-        elif ck_out_pos is None or end is None:
+        elif ck_out_pos is not None and end is not None:
+            # Seekable but SHORTER than the recorded offset: a fresh or
+            # different sink (e.g. stdout piped per run). Append there -
+            # the checkpointed prefix is NOT re-emitted, and a crash
+            # between an emit and its save can still repeat lines.
+            _warn_once(
+                ("ckpt-short-output",),
+                "Warning: resuming to an output shorter than the "
+                "checkpointed offset (fresh or different sink); the "
+                "already-printed prefix is not re-emitted and lines "
+                "written after the last checkpoint save may repeat.",
+            )
+        else:
             _warn_once(
                 ("ckpt-unseekable",),
                 "Warning: resuming to a non-seekable output; lines "
@@ -1084,8 +1120,12 @@ def _run_streaming_stdin(
                     k = readinto(view[got:])
                 else:
                     raw = src.read(chunk_bytes - got)
-                    k = len(raw)
-                    view[got : got + k] = raw
+                    # A non-blocking source without readinto returns
+                    # None when no data is ready - route it to the
+                    # same select() wait as the readinto branch.
+                    k = None if raw is None else len(raw)
+                    if k:
+                        view[got : got + k] = raw
                 if k is None:
                     # non-blocking fd with no data ready: wait, don't
                     # mistake it for EOF (silent truncation)
@@ -1245,7 +1285,7 @@ def _run_streaming_stdin(
             checkpoint.save_stream_checkpoint(
                 checkpoint_path, ck_snapshot[0], ck_snapshot[1],
                 ck_snapshot[2], held, missions=missions,
-                out_pos=ck_out,
+                out_pos=ck_out, out_id=_out_ident(),
             )
 
         if is_final:
@@ -1294,6 +1334,7 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
 
     from .utils import profiling
 
+    _WARNED.clear()  # per-run degradation warnings (library use)
     missions = Missions.from_args(args)
 
     from . import native
@@ -1331,6 +1372,16 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
                 raise RuntimeError(
                     "distributed scan requires file inputs (stdin cannot be "
                     "sharded across processes)"
+                )
+            if args.checkpoint is not None:
+                # Fail loudly rather than silently ignore the flag
+                # (main.rs:181-184: the reference errors on anything it
+                # cannot honor).
+                raise RuntimeError(
+                    "--checkpoint is not supported with --dist-nprocs: the "
+                    "distributed scan has no resumable stream state. Run "
+                    "the checkpointed scan single-process, or drop "
+                    "--checkpoint."
                 )
             from .parallel import distributed
 

@@ -149,7 +149,7 @@ def _mission_fingerprint(missions: Missions) -> list:
 def save_stream_checkpoint(
     path: str, mission_states: List[dict], stream_pos: int,
     carry: bytes, held, missions: Missions | None = None,
-    out_pos: int | None = None,
+    out_pos: int | None = None, out_id: list | None = None,
 ) -> None:
     import base64
 
@@ -167,6 +167,11 @@ def save_stream_checkpoint(
         # between a chunk's emit and its checkpoint save cannot
         # duplicate that chunk's lines (exactly-once for file outputs)
         d["out_pos"] = int(out_pos)
+    if out_id is not None:
+        # (st_dev, st_ino) of the output file: resume refuses to
+        # truncate a DIFFERENT file at out_pos (which would destroy
+        # the tail of an unrelated pre-existing file).
+        d["out_id"] = [int(v) for v in out_id]
     _atomic_dump(path, d)
 
 
@@ -200,7 +205,7 @@ def load_stream_checkpoint(path: str, missions: Missions):
     carry = base64.b64decode(d["carry"])
     held = _deser_held(d["held"], missions)
     out_pos = d.get("out_pos")
-    return states, int(d["stream_pos"]), carry, held, out_pos
+    return states, int(d["stream_pos"]), carry, held, out_pos, d.get("out_id")
 
 
 def fresh_states(missions: Missions) -> List[dict]:

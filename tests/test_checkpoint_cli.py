@@ -180,6 +180,57 @@ def test_run_checkpoint_validations(tmp_path):
             out=io.BytesIO())
 
 
+def test_checkpoint_with_dist_rejected(tmp_path):
+    """--checkpoint + --dist-nprocs must fail loudly, not silently
+    ignore the checkpoint (main.rs:181-184: the reference errors on
+    anything it cannot honor)."""
+    p = tmp_path / "a.bin"
+    p.write_bytes(b"x" * 10)
+    ck = tmp_path / "scan.ck"
+    with pytest.raises(RuntimeError, match="checkpoint.*dist|dist.*checkpoint"):
+        run(parse_args(
+            ARGV + ["--checkpoint", str(ck), "--dist-nprocs", "2",
+                    "--dist-rank", "0", str(p)]),
+            out=io.BytesIO())
+
+
+def test_resume_refuses_foreign_output(tmp_path):
+    """Resuming into a DIFFERENT pre-existing file that is longer than
+    the checkpointed offset must refuse (truncating would destroy the
+    unrelated file's tail); the checkpoint records the original
+    output's (st_dev, st_ino)."""
+    blob = _corpus(60_000)
+    ck = str(tmp_path / "scan.ck")
+    outp = tmp_path / "out.bin"
+    args = parse_args(ARGV + ["-"])
+    ms = Missions.from_args(args)
+    with open(outp, "wb") as out:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            _run_streaming_stdin(
+                args, ms, out, src=_DyingReader(blob, 3 * 8192),
+                chunk_bytes=8192, checkpoint_path=ck)
+    other = tmp_path / "unrelated.bin"
+    other.write_bytes(b"Z" * (outp.stat().st_size + 4096))
+    with open(other, "r+b") as out:
+        with pytest.raises(RuntimeError, match="refusing"):
+            _run_streaming_stdin(
+                args, ms, out, src=_NoSeek(blob),
+                chunk_bytes=8192, checkpoint_path=ck)
+    # the unrelated file is untouched
+    assert other.read_bytes() == b"Z" * (outp.stat().st_size + 4096)
+    # resuming into the ORIGINAL file still works
+    with open(outp, "r+b") as out:
+        rc = _run_streaming_stdin(
+            args, ms, out, src=_NoSeek(blob),
+            chunk_bytes=8192, checkpoint_path=ck)
+        assert rc == 0
+    expected = io.BytesIO()
+    rc = _run_streaming_stdin(args, ms, expected, src=_NoSeek(blob),
+                              chunk_bytes=8192)
+    assert rc == 0
+    assert outp.read_bytes() == expected.getvalue()
+
+
 def test_resume_mission_set_mismatch(tmp_path):
     blob = _corpus(30_000)
     ck = str(tmp_path / "scan.ck")
