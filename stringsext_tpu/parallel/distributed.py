@@ -1,28 +1,64 @@
 """Multi-host orchestration over DCN.
 
 The reference is a single process (`std::sync::mpsc` + scoped threads,
-main.rs:98,151); its distributed analog here (SURVEY.md section 5):
+main.rs:98,151) that reads each input byte exactly once
+(input.rs:120-167); its distributed analog here (SURVEY.md section 5)
+keeps that property PER RANK:
 
-- `initialize()` wires `jax.distributed` so all hosts join one runtime;
-  the global mesh then spans hosts, `lax.ppermute` halo exchange rides
-  ICI within a slice and DCN across slices.
-- Each host feeds its local byte-stream shards (`host_shard_range`),
-  device scan produces run tables sharded over the "data" axis, and
-  `gather_run_tables` all-gathers the (small) tables so host 0 can run
-  the emission automaton and print globally ordered output - the
-  distributed version of the reference's kmerge.
+- `initialize()` wires `jax.distributed` so all hosts join one runtime.
+- Shard boundaries are found by a bounded WINDOWED search around each
+  nominal split point (`_find_boundary_row`): every rank evaluates the
+  same pure function of the same bytes, so all agree without
+  communication, and nobody scans the whole input just to split it.
+- Each rank then reads ONLY its shard's bytes (`_read_range`), scans
+  them with fresh provably-true mission states, and sends its findings
+  to rank 0 over a TCP side channel rendezvoused through the
+  jax.distributed key-value store (`_gather_to_zero`) - no padded
+  allgather, no O(total-findings) residency on non-zero ranks.
+- Rank 0 streams the merged output shard by shard with the same
+  boundary-tie holdback the chunked stdin pipeline uses
+  (run._run_streaming_stdin), so its memory is O(one shard's findings).
 
-Multi-host execution needs an actual pod slice; single-host tests cover
-the mesh semantics on the virtual CPU mesh (tests/test_parallel.py) and
-the driver dry-runs the N-device compile (dryrun_multichip).
+Boundary exactness: a rank may start scanning at slice row r iff every
+mission's quiescence predicate holds there (previous slice cold + two
+windows long - `run._quiescent_mask`, the predicate pinned by
+tests/test_segments.py) AND the per-kind alignment guard holds at the
+boundary byte:
+
+  utf8 / utf16 / single-byte: the `_quiescent_mask` kind guards
+      (continuation byte / unit phase+surrogate; nothing for sbyte);
+  CJK multi-byte (euc-kr, big5, shift_jis, euc-jp, gb18030): decode
+      forward from the last "ground" byte (one that can never be a
+      non-first event byte - emitter.cpp cjk_ground_limit) and require
+      an event to START exactly at the boundary with every earlier
+      event reporting and ending before it (`_cjk_boundary_aligned`);
+  iso-2022-jp: nothing extra locally - its hot spec is mode-blind
+      (pallas_swar.cjk_hot_spec), so a COLD slice contains no escapes
+      and no pair-phase carriers: every cold byte is a one-byte event
+      in every mode, hence the boundary is an event start with
+      output_flag=false. Only the entry MODE is non-local; each rank
+      computes its shard's mode transfer (last valid escape - a pure
+      function of the bytes, since every 0x1B starts escape processing
+      in every mode and escape validity is mode-independent) and a
+      tiny allgather + prefix composition yields each rank's entry
+      mode (`_iso_mode_transfer`).
+
+Multi-host execution needs an actual pod slice; the process-level tests
+(tests/test_distributed_2proc.py) run TRUE 2- and 3-process scans over
+localhost Gloo and pin byte-identical output plus O(shard) bytes-read.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import os
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Runtime wiring
+# ---------------------------------------------------------------------------
 
 
 def initialize(
@@ -72,13 +108,320 @@ def gather_run_tables(rt):
 
 
 # ---------------------------------------------------------------------------
-# Multi-process end-to-end scan: shard the byte stream across processes
-# at provably-quiescent boundaries, scan each shard exactly, gather the
-# FINDINGS (not counts) to process 0, merge with the finding.rs:92-109
-# key and print once - the distributed analog of the reference's whole
-# observable behavior (main.rs:93-175).
+# O(shard) input plane: stat-only spans, windowed reads
 # ---------------------------------------------------------------------------
 
+# Bytes this process actually read from the input files (windows +
+# shard); reset by distributed_run, asserted by the O(shard) test.
+BYTES_READ = 0
+LAST_STATS: dict = {}
+
+
+def stat_spans(inputs: List[str]) -> List[Tuple[Optional[int], int, int]]:
+    """The logical-stream spans [(file_id, start, end)] from file sizes
+    alone - no byte is read. Matches input.load_stream's span layout
+    (file_id is 1-based; an unstattable file occupies a zero-length
+    span, the distributed analog of input.rs:78-84's warn-and-empty).
+    Inputs must be immutable for the duration of the scan (all ranks
+    must see the same bytes)."""
+    spans = []
+    pos = 0
+    for i, name in enumerate(inputs):
+        try:
+            sz = os.path.getsize(name)
+        except OSError:
+            sz = 0
+        spans.append((i + 1, pos, pos + sz))
+        pos += sz
+    return spans
+
+
+class _SpanStream:
+    """Duck-typed stand-in for input.LoadedStream when only the span
+    table is needed (input.slice_table reads nothing but .spans)."""
+
+    def __init__(self, spans):
+        self.spans = spans
+
+
+def _read_range(inputs: List[str], spans, lo: int, hi: int) -> np.ndarray:
+    """Read logical-stream bytes [lo, hi) - and ONLY those - from the
+    underlying files. Raises if a file shrank or became unreadable
+    after stat (ranks would silently diverge otherwise; the reference
+    panics on mid-stream read errors too, input.rs:123-128)."""
+    global BYTES_READ
+    out = np.zeros(max(hi - lo, 0), np.uint8)
+    for (_fid, s, e), name in zip(spans, inputs):
+        a, b = max(s, lo), min(e, hi)
+        if a >= b:
+            continue
+        try:
+            with open(name, "rb") as f:
+                f.seek(a - s)
+                got = f.readinto(memoryview(out[a - lo : b - lo]))
+        except OSError as exc:
+            raise RuntimeError(
+                f"distributed scan: cannot read bytes {a - s}..{b - s} of "
+                f"{name!r} ({exc}); distributed inputs must stay readable "
+                f"and constant-size during the scan"
+            )
+        if got != b - a:
+            raise RuntimeError(
+                f"distributed scan: {name!r} shrank after stat "
+                f"(expected {b - a} bytes at offset {a - s}, got {got})"
+            )
+        BYTES_READ += got
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Boundary search
+# ---------------------------------------------------------------------------
+
+_WINDOW0 = 8 * 1024 * 1024  # first search window per boundary
+_ALIGN_LOOKBACK = 4096  # CJK ground-byte lookback (emitter align_cursor)
+
+# Smallest byte value that can be a NON-FIRST byte of any event
+# (emitter.cpp cjk_ground_limit); any byte below is a provable event
+# start.
+_CJK_GROUND = {
+    "euc-kr": 0x41,
+    "big5": 0x40,
+    "shift_jis": 0x40,
+    "euc-jp": 0x80,
+    "gb18030": 0x30,
+}
+
+
+def _mission_jobs(missions):
+    """[(idx, mission, kind)] plus a hot-spec presence check; returns
+    None when any mission has no host-computable hot spec (then no
+    cold-slice certificate exists and there is no exact split)."""
+    from ..encodings import encoding_kind
+    from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+
+    jobs = []
+    for i, m in enumerate(missions.v):
+        if swar_mission_spec(m) is None and cjk_hot_spec(m) is None:
+            return None
+        jobs.append((i, m, encoding_kind(m.encoding_name)))
+    return jobs
+
+
+def _cjk_boundary_aligned(win: np.ndarray, w_lo: int, p: int,
+                          kind: str) -> bool:
+    """True iff, in the global decode, an event starts exactly at
+    stream offset p and every earlier event both ends and reports
+    before p - proved by decoding forward from the last ground byte
+    within the lookback window (decode from a ground byte is
+    deterministic and equals the global decode, because a ground byte
+    can never be spanned; emitter.cpp align_cursor uses the same
+    argument for hot-range skip resumption)."""
+    from ..engine import events_cjk
+
+    lim = _CJK_GROUND[kind]
+    rel_p = p - w_lo
+    lo = max(0, rel_p - _ALIGN_LOOKBACK)
+    seg = win[lo:rel_p]
+    gi = np.flatnonzero(seg < lim)
+    if len(gi) == 0:
+        return False
+    g = lo + int(gi[-1])
+    ev = events_cjk.generate(win[g : min(len(win), rel_p + 64)], kind)
+    rp = rel_p - g
+    pos = np.asarray(ev.pos)
+    if not (pos == rp).any() and rp != 0:
+        return False
+    before = pos < rp
+    if (pos[before] + np.asarray(ev.in_len)[before] > rp).any():
+        return False  # an event spans p
+    if (np.asarray(ev.report)[before] >= rp).any():
+        return False  # an earlier event's label lands in the next shard
+    return True
+
+
+def _window_first_boundary(inputs, spans, jobs, sl, target: int,
+                           w_lo: int, w_hi: int) -> Optional[int]:
+    """First acceptable boundary ROW with slice start in
+    [max(target, w_lo+4096+64), w_hi-64), evaluated entirely from the
+    window bytes [w_lo, w_hi) (4096-aligned). Window-edge blocks are
+    force-hot by _host_hot_ranges, so verdicts are conservative but
+    deterministic: every rank evaluating a boundary uses the identical
+    window (a pure function of the target), hence identical bytes."""
+    from ..input import LoadedStream
+    from ..run import _host_hot_ranges, _quiescent_mask
+
+    starts, lens, fids, last = sl
+    win = _read_range(inputs, spans, w_lo, w_hi)
+    wstream = LoadedStream(win, [(None, 0, len(win))])
+    hot = _host_hot_ranges(wstream, [(i, m) for i, m, _k in jobs])
+
+    # Rows whose slice lies inside the window AND whose previous row's
+    # slice does too.
+    ra = int(np.searchsorted(starts, w_lo, "left"))
+    rb = int(np.searchsorted(starts + lens.astype(np.int64), w_hi, "right"))
+    if rb - ra < 2:
+        return None
+    sub = (starts[ra:rb] - w_lo, lens[ra:rb], fids[ra:rb], last[ra:rb])
+    ok_all = np.ones(rb - ra - 1, bool)
+    for i, m, kind in jobs:
+        k = kind if kind in ("utf8", "utf16le", "utf16be") else "other"
+        ok_all &= _quiescent_mask(
+            sub, hot[i], 2 * m.output_line_char_nb_max, data=win, kind=k,
+        )
+    abs_rows = np.flatnonzero(ok_all) + ra + 1
+    cand_p = starts[abs_rows]
+    keep = (
+        (cand_p >= max(target, w_lo + 4096 + 64))
+        & (cand_p + 64 <= w_hi)
+        & (cand_p % 2 == 0)  # even base: UTF-16 unit phase + device maps
+    )
+    abs_rows = abs_rows[keep]
+    cjk_kinds = [k for _i, _m, k in jobs if k in _CJK_GROUND]
+    for r in abs_rows:
+        p = int(starts[r])
+        if all(
+            _cjk_boundary_aligned(win, w_lo, p, k) for k in set(cjk_kinds)
+        ):
+            return int(r)
+    return None
+
+
+def _find_boundary_row(inputs, spans, jobs, sl, target: int, total: int,
+                       cap: int) -> Optional[int]:
+    """First quiescent+aligned row with slice start >= target, searched
+    in growing windows up to `cap` bytes past the target; None when the
+    stretch is too dense to split (the left neighbor absorbs it). Pure
+    in (inputs' bytes, target): every rank computes identical results."""
+    w_lo = max(0, ((target - 8192) // 4096) * 4096)
+    limit = min(total, target + cap)
+    w = _WINDOW0
+    while True:
+        w_hi = min(total, w_lo + w)
+        r = _window_first_boundary(inputs, spans, jobs, sl, target, w_lo, w_hi)
+        if r is not None:
+            return r
+        if w_hi >= limit:
+            return None
+        w *= 2
+
+
+def shard_row_bounds(inputs, spans, missions, nprocs: int):
+    """Row bounds [0, r_1, .., n_rows] for an nprocs-way distributed
+    scan, or None when no mission-set-wide cold certificate exists
+    (some mission has no hot spec). A boundary with no quiescent row
+    within the search cap collapses FORWARD onto the next boundary
+    (that shard comes out empty and its left neighbor absorbs the
+    dense stretch); later boundaries still split. Deterministic across
+    ranks: pure function of (file sizes, file bytes near each target).
+    """
+    from ..input import slice_table
+
+    sl = slice_table(_SpanStream(spans))
+    n_rows = len(sl[0])
+    total = spans[-1][2] if spans else 0
+    if n_rows == 0 or nprocs <= 1:
+        return [0, n_rows] + [n_rows] * max(nprocs - 1, 0)
+    jobs = _mission_jobs(missions)
+    if jobs is None:
+        return None
+    cap = max(64 * 1024 * 1024, total // max(nprocs, 1) // 4)
+    raw = []
+    for k in range(1, nprocs):
+        target = total * k // nprocs
+        raw.append(_find_boundary_row(inputs, spans, jobs, sl, target,
+                                      total, cap))
+    # Collapse unfound boundaries forward onto the next found one.
+    bounds = [n_rows] * (nprocs + 1)
+    bounds[0] = 0
+    nxt = n_rows
+    for k in range(nprocs - 1, 0, -1):
+        if raw[k - 1] is not None:
+            nxt = min(raw[k - 1], nxt)
+        bounds[k] = nxt
+    # Monotone by construction (first-candidate>=target is monotone in
+    # target); clamp defensively anyway.
+    for k in range(1, nprocs + 1):
+        bounds[k] = max(bounds[k], bounds[k - 1])
+    return bounds
+
+
+def shard_boundaries(stream, missions, nprocs: int):
+    """In-memory compatibility wrapper over the windowed boundary
+    search (tests build a LoadedStream directly): returns row bounds or
+    None when no exact split exists. File-backed callers use
+    shard_row_bounds, which never loads the whole stream."""
+    import tempfile
+
+    if nprocs <= 1:
+        from ..input import slice_table
+
+        return [0, len(slice_table(stream)[0])]
+    tmps = []
+    try:
+        for _fid, s, e in stream.spans:
+            tf = tempfile.NamedTemporaryFile(
+                suffix=".sx-shard", delete=False
+            )
+            tf.write(np.ascontiguousarray(stream.data[s:e]).tobytes())
+            tf.close()
+            tmps.append(tf.name)
+        # Same span lengths -> same slice-row layout; file ids are not
+        # consulted by the boundary predicate.
+        return shard_row_bounds(tmps, stat_spans(tmps), missions, nprocs)
+    finally:
+        for t in tmps:
+            try:
+                os.unlink(t)
+            except OSError:
+                pass
+
+
+# ---------------------------------------------------------------------------
+# ISO-2022-JP entry-mode composition (the only non-local shard state)
+# ---------------------------------------------------------------------------
+
+
+def _iso_mode_transfer(data: np.ndarray) -> int:
+    """Mode transfer of a byte span: the mode set by its LAST valid
+    escape sequence, or -1 (identity - no valid escape). Pure in the
+    bytes: every 0x1B starts escape processing in every decoder mode
+    (an ESC is never consumed as pair trail or data), and escape
+    validity depends only on the two following bytes
+    (engine/events_iso2022.py:177-204)."""
+    esc = np.flatnonzero(data == 0x1B)
+    if len(esc) == 0:
+        return -1
+    esc = esc[esc + 2 < len(data)]
+    if len(esc) == 0:
+        return -1
+    b1 = data[esc + 1]
+    b2 = data[esc + 2]
+    valid = ((b1 == 0x28) & ((b2 == 0x42) | (b2 == 0x4A) | (b2 == 0x49))) | (
+        (b1 == 0x24) & ((b2 == 0x40) | (b2 == 0x42))
+    )
+    ve = esc[valid]
+    if len(ve) == 0:
+        return -1
+    k = int(ve[-1])
+    if int(data[k + 1]) == 0x24:
+        return 3  # jis0208 lead
+    return {0x42: 0, 0x4A: 1, 0x49: 2}[int(data[k + 2])]
+
+
+def _compose_entry_mode(transfers, upto: int) -> int:
+    """Entry mode of shard `upto`: fold the per-shard transfers of
+    shards 0..upto-1 over the initial ASCII mode."""
+    mode = 0
+    for t in transfers[:upto]:
+        if t >= 0:
+            mode = int(t)
+    return mode
+
+
+# ---------------------------------------------------------------------------
+# Shard scan (buffer-relative, exactly like the streaming chunk scans)
+# ---------------------------------------------------------------------------
 
 _FINDING_COLS = (
     ("position", np.uint64), ("precision", np.int8),
@@ -87,95 +430,88 @@ _FINDING_COLS = (
 )
 
 
-def shard_boundaries(stream, missions, nprocs: int):
-    """Deterministic slice-row shard boundaries for an nprocs-way
-    distributed scan, or None when no exact split exists.
-
-    A process may start scanning at row r iff EVERY mission's
-    quiescence predicate holds there (previous slice cold + two
-    windows long + kind no-span guard - `run._quiescent_mask`, the
-    same predicate the in-process segment splitter uses, so
-    exactness rests on the already-pinned segment argument,
-    tests/test_segments.py). Every process computes the boundaries
-    from the same bytes with the same pure function, so all agree
-    without communication. Returns row bounds [0, q1, .., n_rows]
-    (some shards may be empty when the data has no cold gap near the
-    nominal split point - the left neighbor absorbs them)."""
-    from ..encodings import encoding_kind
-    from ..input import slice_table
-    from ..run import _SEGMENT_KINDS, _host_hot_ranges, _quiescent_mask
-
-    sl = slice_table(stream)
-    n_rows = len(sl[0])
-    if n_rows == 0 or nprocs <= 1:
-        return [0, n_rows]
-    jobs = list(enumerate(missions.v))
-    for _i, m in jobs:
-        if encoding_kind(m.encoding_name) not in _SEGMENT_KINDS:
-            return None
-    hot = _host_hot_ranges(stream, jobs)
-    ok_all = np.ones(max(n_rows - 1, 0), bool)
-    for i, m in jobs:
-        if i not in hot:
-            return None
-        ok_all &= _quiescent_mask(
-            sl, hot[i], 2 * m.output_line_char_nb_max,
-            data=stream.data, kind=encoding_kind(m.encoding_name),
-        )
-    rows = np.flatnonzero(ok_all) + 1  # rows where a shard may start
-    total = len(stream.data)
-    starts = sl[0]
-    bounds = [0]
-    for k in range(1, nprocs):
-        target = total * k // nprocs
-        j = np.searchsorted(starts[rows], target) if len(rows) else 0
-        q = int(rows[j]) if j < len(rows) else n_rows
-        bounds.append(max(q, bounds[-1]))
-    bounds.append(n_rows)
-    return bounds
+def _empty_per_mission(missions):
+    return [
+        ({name: np.zeros(0, dt) for name, dt in _FINDING_COLS}, b"")
+        for _ in missions.v
+    ]
 
 
-def scan_shard(stream, missions, r0: int, r1: int, hot_by_mission=None):
-    """Exact scan of slice rows [r0, r1) with fresh (provably-true)
-    mission states - the multi-process twin of run.py's segment job.
-    Returns [(res_columns, strbuf_bytes)] per mission."""
+def scan_shard(inputs, spans, missions, sl, r0: int, r1: int,
+               entry_mode: int = 0, engine: str = "auto", data=None):
+    """Exact scan of slice rows [r0, r1): reads ONLY those bytes,
+    rebases the slice rows onto the shard buffer (the emitter handles
+    buffer-relative cursors with absolute `consumed` bookkeeping - the
+    same contract the streaming chunk pipeline is pinned on), and runs
+    one native scan thread per mission. `entry_mode` seeds the
+    ISO-2022-JP decoder mode (composed across earlier shards).
+    Returns ([(res_columns, strbuf_bytes)] per mission, (p_lo, p_hi))."""
     from concurrent.futures import ThreadPoolExecutor
 
     from .. import native
-    from ..input import slice_table
+    from ..input import LoadedStream
 
-    sl = slice_table(stream)
-    out = []
     if r0 >= r1:
-        empty = {
-            name: np.zeros(0, dt) for name, dt in _FINDING_COLS
-        }
-        return [(dict(empty), b"") for _ in missions.v]
+        return _empty_per_mission(missions), (0, 0)
+    starts, lens, fids, last = sl
+    p_lo = int(starts[r0])
+    p_hi = int(starts[r1 - 1] + lens[r1 - 1])
+    if data is None:
+        data = _read_range(inputs, spans, p_lo, p_hi)
+    ssl = (
+        (starts[r0:r1] - p_lo).astype(np.int64),
+        lens[r0:r1], fids[r0:r1], last[r0:r1],
+    )
+
+    hot_by_mission = {}
+    if engine == "tpu" and len(data):
+        # Device hot maps over THIS RANK'S shard buffer only (buffer-
+        # relative coordinates; the shard base is even by the boundary
+        # predicate, so UTF-16 unit pairing by buffer offset matches
+        # the stream).
+        from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+        from ..run import _device_hot_ranges_swar, _warn_once
+
+        if p_lo % 2:
+            _warn_once(
+                ("dist-odd-base", jax.process_index()),
+                f"Warning: rank {jax.process_index()} shard starts at an "
+                f"odd stream offset {p_lo}; skipping device hot maps for "
+                f"it (full host scan - output is unaffected).",
+            )
+        else:
+            swar_jobs = []
+            for i, m in enumerate(missions.v):
+                spec = swar_mission_spec(m) or cjk_hot_spec(m)
+                if spec is not None:
+                    swar_jobs.append((i, spec))
+            if swar_jobs:
+                hot_by_mission = _device_hot_ranges_swar(
+                    LoadedStream(data, [(None, 0, len(data))]), swar_jobs
+                )
 
     def job(im):
         i, m = im
-        ssl = tuple(a[r0:r1] for a in sl)
-        seg_start = int(sl[0][r0])
         st = {
-            "consumed": m.counter_offset + seg_start,
-            "cursor": seg_start,
+            "consumed": m.counter_offset + p_lo,
+            "cursor": 0,
             "printed_maybe_cut": False,
-            "dec_mode": 0,
+            "dec_mode": entry_mode,
             "dec_output_flag": False,
             "leftover_cps": [],
         }
-        hot = (hot_by_mission or {}).get(i)
-        if hot is not None:
-            hs, he = hot
-            seg_end = int(sl[0][r1 - 1] + sl[1][r1 - 1])
-            ksel = (hs < seg_end) & (he > seg_start)
-            hot = (hs[ksel], he[ksel])
-        return native.native_scan(m, stream.data, *ssl, state=st,
-                                  hot_ranges=hot)
+        return native.native_scan(
+            m, data, *ssl, state=st, hot_ranges=hot_by_mission.get(i)
+        )
 
     with ThreadPoolExecutor(max_workers=max(1, len(missions.v))) as ex:
         out = list(ex.map(job, enumerate(missions.v)))
-    return out
+    return out, (p_lo, p_hi)
+
+
+# ---------------------------------------------------------------------------
+# Findings transport: serialize + gather-to-rank-0 (TCP side channel)
+# ---------------------------------------------------------------------------
 
 
 def _serialize_findings(per_mission) -> bytes:
@@ -185,7 +521,7 @@ def _serialize_findings(per_mission) -> bytes:
     for i, (res, sb) in enumerate(per_mission):
         for name, dt in _FINDING_COLS:
             payload[f"m{i}_{name}"] = np.asarray(res[name], dt)
-        payload[f"m{i}_strbuf"] = np.frombuffer(sb, np.uint8)
+        payload[f"m{i}_strbuf"] = np.frombuffer(bytes(sb), np.uint8)
     buf = io.BytesIO()
     np.savez(buf, **payload)
     return buf.getvalue()
@@ -205,122 +541,335 @@ def _deserialize_findings(blob: bytes, n_missions: int):
     return out
 
 
-def gather_findings(per_mission, n_missions: int):
-    """All-gather every process's serialized findings; returns the
-    list of per-process payloads in process order (rank 0 uses it,
-    other ranks get it too - allgather is the collective jax exposes
-    for host-local data)."""
+_GATHER_EPOCH = 0
+
+
+def _kv_client():
+    try:
+        from jax._src import distributed as _jd
+
+        return _jd.global_state.client
+    except Exception:
+        return None
+
+
+def _local_ip() -> str:
+    """IP other ranks can reach this process at: the interface used to
+    reach the jax.distributed coordinator."""
+    import socket
+
+    coord = None
+    try:
+        from jax._src import distributed as _jd
+
+        coord = _jd.global_state.coordinator_address
+    except Exception:
+        pass
+    if coord:
+        host = coord.rsplit(":", 1)[0]
+        try:
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            s.connect((host, 1))
+            ip = s.getsockname()[0]
+            s.close()
+            return ip
+        except OSError:
+            pass
+    return "127.0.0.1"
+
+
+def _gather_shards_to_zero(blob: bytes, p_lo: int, p_hi: int,
+                           timeout_s: float = 3600.0):
+    """Rank 0: yields (rank, p_lo, p_hi, blob) for ranks 1..n-1 in rank
+    order, reading each rank's payload only when its turn comes (TCP
+    backpressure holds the senders; rank 0 never buffers more than one
+    shard's findings). Other ranks: send and return None.
+
+    Rendezvous rides the jax.distributed key-value store (a tiny
+    "host:port" string); the payload itself rides a direct TCP
+    connection - the distributed analog of the reference's mpsc channel
+    into the merger thread (main.rs:98,161), with rank 0 as the merger.
+    Falls back to multihost_utils.process_allgather when the KV store
+    is unavailable (then every rank transiently holds all payloads)."""
+    import socket
+    import struct
+
+    global _GATHER_EPOCH
+    _GATHER_EPOCH += 1
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if nproc == 1:
+        return iter(()) if pid == 0 else None
+    client = _kv_client()
+    key = f"stringsext:gather:{_GATHER_EPOCH}"
+    if client is None:
+        return _gather_fallback_allgather(blob, p_lo, p_hi, nproc, pid)
+
+    header = struct.Struct("<qqqq")
+    if pid == 0:
+        lsock = socket.socket()
+        lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        lsock.bind((_local_ip(), 0))
+        lsock.listen(nproc)
+        lsock.settimeout(timeout_s)
+        addr = f"{lsock.getsockname()[0]}:{lsock.getsockname()[1]}"
+        client.key_value_set(key, addr)
+
+        def recv_all(sock, n):
+            buf = bytearray(n)
+            view = memoryview(buf)
+            got = 0
+            while got < n:
+                k = sock.recv_into(view[got:], n - got)
+                if k == 0:
+                    raise RuntimeError(
+                        "distributed gather: peer closed mid-payload"
+                    )
+                got += k
+            return bytes(buf)
+
+        def gen():
+            pending = {}
+            try:
+                for _ in range(nproc - 1):
+                    conn, _peer = lsock.accept()
+                    conn.settimeout(timeout_s)
+                    r, lo, hi, ln = header.unpack(
+                        recv_all(conn, header.size)
+                    )
+                    pending[int(r)] = (conn, int(lo), int(hi), int(ln))
+                for r in range(1, nproc):
+                    conn, lo, hi, ln = pending.pop(r)
+                    payload = recv_all(conn, ln)
+                    conn.close()
+                    yield r, lo, hi, payload
+            finally:
+                for conn, *_rest in pending.values():
+                    conn.close()
+                lsock.close()
+
+        return gen()
+
+    # Sender ranks: look up rank 0's address, connect, ship, return.
+    addr = client.blocking_key_value_get(key, int(timeout_s * 1000))
+    host, port = addr.rsplit(":", 1)
+    sock = socket.create_connection((host, int(port)), timeout=timeout_s)
+    try:
+        sock.sendall(header.pack(pid, p_lo, p_hi, len(blob)))
+        sock.sendall(blob)
+    finally:
+        sock.close()
+    return None
+
+
+def _gather_fallback_allgather(blob, p_lo, p_hi, nproc, pid):
     from jax.experimental import multihost_utils
 
-    blob = _serialize_findings(per_mission)
-    size = np.array([len(blob)], np.int64)
-    sizes = np.asarray(
-        multihost_utils.process_allgather(size)
-    ).reshape(-1)
-    mx = int(sizes.max())
+    meta = np.array([len(blob), p_lo, p_hi], np.int64)
+    metas = np.asarray(multihost_utils.process_allgather(meta))
+    metas = metas.reshape(nproc, 3)
+    mx = int(metas[:, 0].max())
     padded = np.zeros(mx, np.uint8)
     padded[: len(blob)] = np.frombuffer(blob, np.uint8)
-    all_payloads = np.asarray(multihost_utils.process_allgather(padded))
-    all_payloads = all_payloads.reshape(jax.process_count(), mx)
-    return [
-        _deserialize_findings(
-            all_payloads[p, : int(sizes[p])].tobytes(), n_missions
-        )
-        for p in range(jax.process_count())
-    ]
+    allp = np.asarray(multihost_utils.process_allgather(padded))
+    allp = allp.reshape(nproc, mx)
+    if pid != 0:
+        return None
+
+    def gen():
+        for r in range(1, nproc):
+            ln, lo, hi = (int(v) for v in metas[r])
+            yield r, lo, hi, allp[r, :ln].tobytes()
+
+    return gen()
 
 
-def merge_gathered(missions, gathered):
-    """Concatenate each mission's per-shard findings in shard (process)
-    order - positions are absolute, so per-mission streams stay sorted
-    - rebasing str_off into one strbuf per mission. Returns the
-    `results` structure run._emit_lines consumes."""
-    results = []
-    for i, m in enumerate(missions.v):
-        cols = {name: [] for name, _ in _FINDING_COLS}
-        bufs = []
-        off = 0
-        for shard in gathered:
-            res, sb = shard[i]
-            for name, _dt in _FINDING_COLS:
-                v = res[name]
-                if name == "str_off":
-                    v = v + np.uint64(off)
-                cols[name].append(v)
-            bufs.append(sb)
-            off += len(sb)
-        results.append((
-            m,
-            {k: np.concatenate(v) for k, v in cols.items()},
-            b"".join(bufs),
-        ))
-    return results
+# ---------------------------------------------------------------------------
+# The end-to-end distributed run
+# ---------------------------------------------------------------------------
 
 
 def distributed_run(args, missions, out, engine: str = "auto") -> int:
-    """Multi-process end-to-end scan: every process scans its
-    quiescent shard of the (shared) input, findings are gathered, and
-    process 0 prints the byte-identical merged stream (BOM + lines +
-    trailing newline, main.rs:103-139). jax.distributed must already
-    be initialized (see `initialize`)."""
-    from ..input import load_stream
+    """Multi-process end-to-end scan: every rank finds its shard via
+    the windowed boundary search, reads and scans ONLY its shard's
+    bytes, and ships findings to rank 0, which streams the
+    byte-identical merged output (BOM + lines + trailing newline,
+    main.rs:103-139) shard by shard with boundary-tie holdback.
+    jax.distributed must already be initialized (see `initialize`)."""
+    global BYTES_READ
+    from ..encodings import encoding_kind
+    from ..input import slice_table
     from ..run import _emit_lines, _warn_once
 
-    stream = load_stream(args.inputs)
+    BYTES_READ = 0
+    from .. import native
+
+    if native.get_lib() is None or not all(
+        native.native_supported(encoding_kind(m.encoding_name))
+        for m in missions.v
+    ):
+        raise RuntimeError(
+            "distributed scan requires the native engine for every "
+            "mission (shard scans are native; no Python fallback exists "
+            "at the rank level)"
+        )
     nproc = jax.process_count()
     pid = jax.process_index()
-    bounds = shard_boundaries(stream, missions, nproc)
+    _warmup_collectives(nproc)
+    inputs = list(args.inputs)
+    spans = stat_spans(inputs)
+    sl = slice_table(_SpanStream(spans))
+    n_rows = len(sl[0])
+
+    bounds = shard_row_bounds(inputs, spans, missions, nproc)
     if bounds is None:
         _warn_once(
             ("dist-fallback",),
             "Warning: no exact distributed split for this mission set "
-            "(stateful/modal encoding or no device/host hot spec); "
-            "process 0 scans everything.",
+            "(a mission has no host-computable cold-block spec); rank 0 "
+            "scans everything and ranks 1.. stay idle.",
         )
-        from ..input import slice_table
-
-        n_rows = len(slice_table(stream)[0])
         bounds = [0] + [n_rows] * nproc
-    hot_by_mission = None
-    r0, r1 = bounds[pid], bounds[pid + 1]
-    if engine == "tpu" and r1 > r0:
-        # Device hot maps over THIS RANK'S shard only (each rank pays
-        # one device pass for its bytes, the distributed analog of the
-        # engine=tpu single-process path); range coordinates rebase to
-        # stream offsets for scan_shard's clipping. Requires an even
-        # shard base: the device kernels pair UTF-16 units by buffer
-        # offset (docs/KERNELS.md invariant) - shard starts are slice
-        # starts, which are odd only after odd-sized earlier files; in
-        # that rare case this rank falls back to a full host scan.
-        from ..input import LoadedStream, slice_table
-        from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
-        from ..run import _device_hot_ranges_swar
+    nonempty = sum(
+        1 for k in range(nproc) if bounds[k + 1] > bounds[k]
+    )
+    if nonempty < nproc:
+        _warn_once(
+            ("dist-degenerate", nonempty),
+            f"Warning: distributed split is degenerate - only {nonempty} "
+            f"of {nproc} ranks got a non-empty shard (no quiescent "
+            f"boundary near the other split points); the extra ranks do "
+            f"no work.",
+        )
 
-        sl = slice_table(stream)
-        seg_start = int(sl[0][r0])
-        seg_end = int(sl[0][r1 - 1] + sl[1][r1 - 1])
-        if seg_start % 2 == 0:
-            sub = LoadedStream(
-                stream.data[seg_start:seg_end],
-                [(None, 0, seg_end - seg_start)],
+    # ISO-2022-JP entry modes: each rank's shard transfer (pure in its
+    # own bytes), allgathered (one int per rank) and prefix-composed.
+    entry_mode = 0
+    has_iso = any(
+        encoding_kind(m.encoding_name) == "iso-2022-jp" for m in missions.v
+    )
+    r0, r1 = bounds[pid], bounds[pid + 1]
+    shard_bytes = None
+    if has_iso:
+        from jax.experimental import multihost_utils
+
+        transfer = -1
+        if r1 > r0:
+            p_lo = int(sl[0][r0])
+            p_hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
+            shard_bytes = _read_range(inputs, spans, p_lo, p_hi)
+            transfer = _iso_mode_transfer(shard_bytes)
+        transfers = np.asarray(
+            multihost_utils.process_allgather(
+                np.array([transfer], np.int32)
             )
-            swar_jobs = []
-            for i, m in enumerate(missions.v):
-                spec = swar_mission_spec(m) or cjk_hot_spec(m)
-                if spec is not None:
-                    swar_jobs.append((i, spec))
-            if swar_jobs:
-                hb = _device_hot_ranges_swar(sub, swar_jobs)
-                hot_by_mission = {
-                    i: (s + seg_start, e + seg_start)
-                    for i, (s, e) in hb.items()
-                }
-    per_mission = scan_shard(stream, missions, r0, r1, hot_by_mission)
-    gathered = gather_findings(per_mission, len(missions.v))
-    if pid == 0:
-        results = merge_gathered(missions, gathered)
-        out.write(b"\xef\xbb\xbf")  # BOM (main.rs:116)
-        _emit_lines(out, args, results)
-        out.write(b"\n")
-        out.flush()
+        ).reshape(-1)
+        entry_mode = _compose_entry_mode(transfers.tolist(), pid)
+
+    per_mission, (p_lo, p_hi) = scan_shard(
+        inputs, spans, missions, sl, r0, r1,
+        entry_mode=entry_mode, engine=engine, data=shard_bytes,
+    )
+
+    blob = b"" if pid == 0 else _serialize_findings(per_mission)
+    remote = _gather_shards_to_zero(blob, p_lo, p_hi)
+
+    LAST_STATS.clear()
+    LAST_STATS.update(
+        rank=pid, nprocs=nproc, bounds=list(bounds),
+        bytes_read=BYTES_READ, shard=(p_lo, p_hi),
+        entry_mode=entry_mode,
+    )
+
+    if pid != 0:
+        # Hold the distributed runtime open until rank 0 has finished
+        # writing (a sender tearing down the coordinator mid-merge
+        # would abort rank 0); rank 0 joins this barrier after its
+        # final flush.
+        _done_barrier()
+        return 0
+
+    # Rank 0: stream the merged output shard by shard. Findings at a
+    # shard's boundary position can tie with the next shard under the
+    # (position, mission_id) merge key, so they are held back one shard
+    # and merged there as EARLIER streams - the same holdback the
+    # chunked stdin pipeline uses (run._run_streaming_stdin).
+    out.write(b"\xef\xbb\xbf")  # BOM (main.rs:116)
+    held: list = []
+
+    def emit_shard(shard_pm, s_hi, last):
+        nonlocal held
+        rows = held + [
+            (missions.v[i], res, sb)
+            for i, (res, sb) in enumerate(shard_pm)
+        ]
+        emit, hold = [], []
+        for m, res, sb in rows:
+            if last:
+                emit.append((m, res, sb))
+                continue
+            bound = m.counter_offset + s_hi
+            pos = res["position"]
+            cut = int(np.searchsorted(pos, bound, "left"))
+            emit.append((m, {k: v[:cut] for k, v in res.items()}, sb))
+            if cut < len(pos):
+                hold.append(
+                    (m, {k: v[cut:] for k, v in res.items()}, sb)
+                )
+        held = hold
+        _emit_lines(out, args, emit)
+
+    emit_shard(per_mission, p_hi, nproc == 1)
+    if remote is not None:
+        for r, _lo, hi, payload in remote:
+            pm = _deserialize_findings(payload, len(missions.v))
+            emit_shard(pm, hi, r == nproc - 1)
+    if held:
+        # Defensive: the last shard is always emitted with last=True,
+        # so nothing can remain held; flush anyway.
+        _emit_lines(out, args, held)
+        held = []
+    out.write(b"\n")
+    out.flush()
+    _done_barrier()
     return 0
+
+
+def _warmup_collectives(nproc: int) -> None:
+    """Create the Gloo communicator BEFORE any finding output: Gloo
+    prints "[Gloo] Rank .. is connected to .." to C-level stdout when a
+    context is built, which would corrupt the byte-exact stream when
+    the output is stdout. The warm-up runs the first collective with fd
+    1 redirected to stderr; later collectives reuse the context."""
+    if nproc <= 1:
+        return
+    import sys
+
+    try:
+        sys.stdout.flush()
+        saved = os.dup(1)
+    except OSError:
+        saved = None
+    try:
+        if saved is not None:
+            os.dup2(2, 1)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.process_allgather(np.zeros(1, np.int32))
+    finally:
+        if saved is not None:
+            os.dup2(saved, 1)
+            os.close(saved)
+
+
+def _done_barrier():
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(
+            f"stringsext:dist-done:{_GATHER_EPOCH}"
+        )
+    except Exception:
+        pass  # best-effort: teardown races are a robustness concern only

@@ -8,11 +8,18 @@ bit-exactly against the single-device pass.
 
 Round 2 case ("cli"): the FULL pipeline - each process scans its
 quiescent shard of a shared input file, findings (not counts) are
-gathered to process 0, merged with the finding.rs:92-109 key and
+shipped to process 0, merged with the finding.rs:92-109 key and
 printed; process 0's bytes must equal the single-process engine=auto
 output exactly (the reference's whole observable behavior,
 main.rs:93-175). Includes the dense-corpus fallback (no safe split ->
-process 0 scans everything) and a boundary-straddling string.
+rank 0 absorbs) and a boundary-straddling string.
+
+Round 3 additions: the O(shard) data plane (the "big" corpus pins
+bytes-read per rank at shard + bounded windows, NOT the whole input),
+the CJK/ISO-2022-JP mission set ("cjk" corpus: Shift_JIS + gb18030 +
+ISO-2022-JP + UTF-8 with a REAL split, incl. a jis mode left open
+across shard boundaries - entry modes ride the transfer composition),
+and the TCP gather-to-rank-0 (no padded allgather).
 
 The reference has no distributed tests (nothing distributed to test);
 this pins the TPU build's added multi-host path end-to-end at the
@@ -62,14 +69,28 @@ def _cli_worker_main():
     cases = [
         ("sparse", ["-t", "x", "-e", "UTF-8", "-e", "utf-16le"]),
         ("dense", ["-t", "d", "-e", "UTF-8", "-e", "KOI8-R", "-n", "5"]),
+        ("cjk", ["-t", "x", "-e", "Shift_JIS", "-e", "gb18030",
+                 "-e", "ISO-2022-JP", "-e", "UTF-8", "-n", "4"]),
+        ("big", ["-t", "x", "-e", "UTF-8", "-e", "utf-16le"]),
     ]
     for name, argv in cases:
         corpus = os.path.join(work, f"{name}.bin")
+        if not os.path.exists(corpus):
+            continue  # heavyweight cases only exist for some tests
         args = parse_args(argv + [corpus])
         ms = Missions.from_args(args)
         buf = io.BytesIO()
         rc = distributed.distributed_run(args, ms, buf, engine="auto")
         assert rc == 0
+        if name == "big":
+            # O(shard) data plane: each rank reads only its shard plus
+            # the bounded boundary-search windows - NOT the whole input
+            # (input.rs:120-167: each byte read once; here once per
+            # OWNING rank).
+            total = os.path.getsize(corpus)
+            read = distributed.LAST_STATS["bytes_read"]
+            assert read < 0.75 * total, (read, total,
+                                         distributed.LAST_STATS)
         if name == "sparse":
             # engine=tpu (interpret-mode device hot maps over each
             # rank's shard) must produce the identical stream
@@ -89,12 +110,12 @@ def _cli_worker_main():
             )
         else:
             assert buf.getvalue() == b""  # only process 0 prints
-        # the sparse corpus must actually split across processes
-        from stringsext_tpu.input import load_stream
+        # sparse and cjk corpora must actually split across processes
+        if name in ("sparse", "cjk"):
+            from stringsext_tpu.input import load_stream
 
-        stream = load_stream([corpus])
-        bounds = distributed.shard_boundaries(stream, ms, nprocs)
-        if name == "sparse":
+            stream = load_stream([corpus])
+            bounds = distributed.shard_boundaries(stream, ms, nprocs)
             assert bounds is not None and 0 < bounds[1] < bounds[2], bounds
 
     # CLI flag path: run() with --dist-nprocs/--dist-rank/--dist-coord
@@ -249,11 +270,14 @@ def test_two_process_distributed_counts():
     assert False, f"all attempts failed: {last and [o[-2000:] for _, o in last]}"
 
 
-def _make_cli_corpora(workdir):
+def _make_cli_corpora(workdir, big=False):
     """Sparse corpus (cold zero-gaps, findings on both sides, a string
     straddling the nominal midpoint) + dense corpus (every block hot:
-    no safe split, exercises the rank-0-scans-all fallback), with
-    single-process engine=auto expected outputs."""
+    no safe split, exercises the rank-0-absorbs fallback) + cjk corpus
+    (Shift_JIS/gb18030/ISO-2022-JP/UTF-8 strings with cold gaps and an
+    ISO-2022-JP jis mode left OPEN across a span, so shard entry modes
+    matter) + optionally a big sparse corpus for the O(shard)
+    bytes-read assertion, with single-process expected outputs."""
     import io
 
     import numpy as np
@@ -284,10 +308,48 @@ def _make_cli_corpora(workdir):
     dense = rng.integers(0, 256, n // 4, np.uint8).tobytes()
     (workdir / "dense.bin").write_bytes(dense)
 
+    cn = 512 * 1024
+    cjk = bytearray(cn)
+    cmsgs = [
+        "シフトジスの文字列テスト".encode("shift_jis"),
+        "汉字字符串测试一二三".encode("gb18030"),
+        "日本語のテキストです".encode("iso-2022-jp"),
+        "déjà vu € ascii and ünïcode".encode(),
+        b"plain ascii string here",
+    ]
+    k = 0
+    for off in range(800, cn - 256, 2600):
+        if (off % (64 * 1024)) > 44 * 1024:
+            continue  # cold zero-gap in every 64 KiB period
+        m = cmsgs[k % len(cmsgs)]
+        cjk[off:off + len(m)] = m
+        k += 1
+    # leave jis0208 mode OPEN across a stretch (no closing escape until
+    # the next full iso message): shard entry-mode composition matters
+    third = cn // 3
+    frag = b"\x1b$B" + "漢字".encode("iso-2022-jp")[3:-3]
+    cjk[third:third + len(frag)] = frag
+    (workdir / "cjk.bin").write_bytes(bytes(cjk))
+
+    if big:
+        bn = 48 * 1024 * 1024
+        bigb = bytearray(bn)
+        k = 0
+        for off in range(4096, bn - 64, 256 * 1024):
+            m = msgs[k % len(msgs)]
+            bigb[off:off + len(m)] = m
+            k += 1
+        (workdir / "big.bin").write_bytes(bytes(bigb))
+
     for name, argv in [
         ("sparse", ["-t", "x", "-e", "UTF-8", "-e", "utf-16le"]),
         ("dense", ["-t", "d", "-e", "UTF-8", "-e", "KOI8-R", "-n", "5"]),
+        ("cjk", ["-t", "x", "-e", "Shift_JIS", "-e", "gb18030",
+                 "-e", "ISO-2022-JP", "-e", "UTF-8", "-n", "4"]),
+        ("big", ["-t", "x", "-e", "UTF-8", "-e", "utf-16le"]),
     ]:
+        if not (workdir / f"{name}.bin").exists():
+            continue
         buf = io.BytesIO()
         rc = run(parse_args(argv + [str(workdir / f"{name}.bin")]),
                  out=buf, engine="auto")
@@ -297,8 +359,9 @@ def _make_cli_corpora(workdir):
 
 def test_two_process_distributed_cli(tmp_path):
     """Full end-to-end: 2 processes, shared input file, process 0's
-    output byte-identical to the single-process scan."""
-    _make_cli_corpora(tmp_path)
+    output byte-identical to the single-process scan; the big corpus
+    additionally pins O(shard) bytes-read per rank."""
+    _make_cli_corpora(tmp_path, big=True)
     last = None
     for _attempt in range(3):
         res = _spawn_round(_free_port(), timeout_s=240, mode="cli",
