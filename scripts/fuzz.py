@@ -208,6 +208,23 @@ def main():
                 buf = io.BytesIO()
                 run(args, out=buf, engine=engine)
                 outs[engine] = buf.getvalue()
+            if "auto" in engines:
+                # Real-fd output variant: the fused se_merge_fd +
+                # SE_INREF zero-copy pipeline only engages on OS-level
+                # outputs (BytesIO has no fileno), so the passes above
+                # never touch it - and it is the most memory-safety-
+                # critical path (C resolves bit-63 offsets against
+                # per-stream input buffers). No rng draws here, so
+                # seed-replay order is unchanged.
+                ofd, opath = tempfile.mkstemp()
+                try:
+                    args = parse_args(argv + paths)
+                    with os.fdopen(ofd, "wb") as fo:
+                        run(args, out=fo, engine="auto")
+                    with open(opath, "rb") as fo:
+                        outs["auto-fd"] = fo.read()
+                finally:
+                    os.unlink(opath)
             if nfiles == 1:
                 # stdin streaming (state-carrying chunk scans) must
                 # match the buffered single-file scan byte-for-byte;
@@ -224,17 +241,35 @@ def main():
                     native.native_supported(encoding_kind(m.encoding_name))
                     for m in ms.v
                 ):
+                    chunk_b = 4096 * rng.choice([1, 2, 3])
+                    # draw first (stable replay order), then clamp
+                    # to the allowed engine set (ASan mode).
+                    s_eng = (lambda e: e if e in engines else "auto")(
+                        rng.choice(["auto", "tpu"])
+                    )
                     buf = io.BytesIO()
                     _run_streaming_stdin(
                         args, ms, buf, src=io.BytesIO(blob),
-                        chunk_bytes=4096 * rng.choice([1, 2, 3]),
-                        # draw first (stable replay order), then clamp
-                        # to the allowed engine set (ASan mode).
-                        engine=(lambda e: e if e in engines else "auto")(
-                            rng.choice(["auto", "tpu"])
-                        ),
+                        chunk_bytes=chunk_b, engine=s_eng,
                     )
                     outs["stream"] = buf.getvalue()
+                    # Same streaming run to a REAL fd: engages the
+                    # per-chunk fused merge + SE_INREF offsets into the
+                    # chunk buffers (incl. held-back boundary rows).
+                    # No extra rng draws.
+                    ofd, opath = tempfile.mkstemp()
+                    try:
+                        args = parse_args(argv + ["-"])
+                        ms_fd = Missions.from_args(args)
+                        with os.fdopen(ofd, "wb") as fo:
+                            _run_streaming_stdin(
+                                args, ms_fd, fo, src=io.BytesIO(blob),
+                                chunk_bytes=chunk_b, engine=s_eng,
+                            )
+                        with open(opath, "rb") as fo:
+                            outs["stream-fd"] = fo.read()
+                    finally:
+                        os.unlink(opath)
             if not all(v == outs["python"] for v in outs.values()):
                 fails += 1
                 fn = f"/tmp/fuzz_fail_{trials}.bin"

@@ -175,6 +175,28 @@ def _load_lib():
         ctypes.c_int32,  # flags
         ctypes.c_char,  # radix
     ]
+    lib.se_merge_buf.restype = ctypes.c_int64
+    lib.se_merge_buf.argtypes = [
+        ctypes.c_int32,  # k streams
+        ctypes.c_void_p,  # c0 int64[k] (slab row starts)
+        ctypes.c_void_p,  # c1 int64[k] (slab row ends)
+        ctypes.c_void_p,  # pos_m uint64*[k]
+        ctypes.c_void_p,  # prec_m int8*[k]
+        ctypes.c_void_p,  # comp_m uint8*[k]
+        ctypes.c_void_p,  # fid_m int32*[k]
+        ctypes.c_void_p,  # soff_m uint64*[k]
+        ctypes.c_void_p,  # slen_m uint32*[k]
+        ctypes.c_void_p,  # strbufs uint8*[k]
+        ctypes.c_void_p,  # inbufs uint8*[k]
+        ctypes.c_void_p,  # mission_ids int32[k]
+        ctypes.c_void_p,  # enc_prefix bytes
+        ctypes.c_void_p,  # enc_pref_off int32[k]
+        ctypes.c_void_p,  # enc_pref_len int32[k]
+        ctypes.c_int32,  # flags
+        ctypes.c_char,  # radix
+        ctypes.c_int64,  # cap (exact output upper bound)
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),  # out_buf
+    ]
     return lib
 
 
@@ -234,8 +256,40 @@ def native_format(position, precision, completes, file_id, midx, str_off,
         lib.se_format_free(handle)
 
 
+# Slab-parallel merge thresholds: slabs smaller than this many rows
+# are not worth the thread + quantile bookkeeping.
+_SLAB_ROWS = 1 << 16
+_MERGE_POOL = None
+_MERGE_POOL_LOCK = threading.Lock()
+
+
+def _merge_pool(workers: int):
+    global _MERGE_POOL
+    with _MERGE_POOL_LOCK:
+        if _MERGE_POOL is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _MERGE_POOL = ThreadPoolExecutor(max_workers=workers)
+        return _MERGE_POOL
+
+
+def _merge_workers(n_streams: int) -> int:
+    """Worker count for the slab-parallel merge (the parallel analog of
+    the reference's single merger thread, main.rs:103-136).
+    STRINGSEXT_MERGE_WORKERS overrides; 1 disables slabbing. Default:
+    the cores LEFT OVER after one scan thread per stream plus the
+    reader - on a host where scans already saturate the cores, the
+    fused single-pass merge (no slab buffers, no extra copy) measures
+    faster, so slabbing must not steal their cycles (2-core host, dense
+    1 GiB: fused 364-392 MB/s vs slabbed 348-357)."""
+    try:
+        return max(1, int(os.environ.get("STRINGSEXT_MERGE_WORKERS", "")))
+    except ValueError:
+        return max(1, (os.cpu_count() or 1) - n_streams - 1)
+
+
 def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
-    """Fused k-way merge + format + straight-to-fd write (se_merge_fd).
+    """Fused k-way merge + format + straight-to-fd write.
 
     `streams` is a list of (res, strbuf, mission_id[, inbuf]) where
     `res` holds the per-mission finding columns (position uint64,
@@ -245,8 +299,13 @@ def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
     the stable lexsort of the Python path. `inbuf`, when present, is
     the stream's input byte buffer for SE_INREF-flagged str_off values
     (native_scan input_refs=True). `enc_prefixes` is per-STREAM.
-    Returns bytes written, or None when the library is absent; raises
-    OSError on a write failure."""
+
+    Large batches are partitioned BY POSITION RANGE into independent
+    slabs (the merge key is position-major) rendered concurrently on
+    all cores (se_merge_buf) and written in order; small batches take
+    the single fused C pass (se_merge_fd). Returns bytes written, or
+    None when the library is absent; raises OSError on a write
+    failure."""
     import numpy as np
 
     lib = get_lib()
@@ -254,22 +313,26 @@ def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
         return None
     k = len(streams)
     keep = []
+    cols = []  # per-stream dict of contiguous column arrays
 
-    def col(res, name, dtype):
-        a = np.ascontiguousarray(res[name], dtype=dtype)
-        keep.append(a)
-        return a.ctypes.data
+    for s in streams:
+        d = {}
+        for cname, dtype in (
+            ("position", np.uint64), ("precision", np.int8),
+            ("completes", np.uint8), ("file_id", np.int32),
+            ("str_off", np.uint64), ("str_len", np.uint32),
+        ):
+            d[cname] = np.ascontiguousarray(s[0][cname], dtype=dtype)
+        cols.append(d)
+        keep.append(d)
 
-    n_m = np.array([len(s[0]["position"]) for s in streams], np.int64)
+    n_m = np.array([len(d["position"]) for d in cols], np.int64)
     ptr_tables = {}
-    for cname, dtype in (
-        ("position", np.uint64), ("precision", np.int8),
-        ("completes", np.uint8), ("file_id", np.int32),
-        ("str_off", np.uint64), ("str_len", np.uint32),
-    ):
+    for cname in ("position", "precision", "completes", "file_id",
+                  "str_off", "str_len"):
         arr = (ctypes.c_void_p * k)()
-        for j, s in enumerate(streams):
-            arr[j] = col(s[0], cname, dtype)
+        for j in range(k):
+            arr[j] = cols[j][cname].ctypes.data
         ptr_tables[cname] = arr
     bufs = (ctypes.c_void_p * k)()
     inbufs = (ctypes.c_void_p * k)()
@@ -292,8 +355,8 @@ def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
     lens = np.array([len(x) for x in enc_prefixes], np.int32)
     if k > 1:
         offs[1:] = np.cumsum(lens[:-1])
-    wrote = lib.se_merge_fd(
-        fd, k, n_m.ctypes.data,
+
+    common = (
         ctypes.addressof(ptr_tables["position"]),
         ctypes.addressof(ptr_tables["precision"]),
         ctypes.addressof(ptr_tables["completes"]),
@@ -305,9 +368,93 @@ def native_merge_fd(fd, streams, enc_prefixes, flags, radix_char):
         ctypes.addressof(ep_buf), offs.ctypes.data, lens.ctypes.data,
         flags, radix_char,
     )
+
+    n_tot = int(n_m.sum())
+    workers = _merge_workers(k)
+    n_slabs = min(workers, max(1, n_tot // _SLAB_ROWS))
+    if n_slabs >= 2:
+        return _merge_fd_slabs(
+            lib, fd, k, cols, enc_prefixes, flags, n_slabs, common, keep
+        )
+
+    wrote = lib.se_merge_fd(fd, k, n_m.ctypes.data, *common)
     if wrote < 0:
         raise OSError(ctypes.get_errno(), "se_merge_fd write failed")
     return wrote
+
+
+def _merge_fd_slabs(lib, fd, k, cols, enc_prefixes, flags, n_slabs,
+                    common, keep):
+    """Render n_slabs position-range slabs concurrently (se_merge_buf,
+    GIL released per call) and write them to `fd` in order while later
+    slabs render. Byte-identical to the single fused pass: every
+    stream's rows are cut at the SAME position values with searchsorted
+    'left', so all (position, mission_id) ties stay within one slab."""
+    import numpy as np
+
+    # Cut positions: quantiles of the largest stream (balance only -
+    # correctness holds for any cut values).
+    big = max(range(k), key=lambda j: len(cols[j]["position"]))
+    pb = cols[big]["position"]
+    cuts = pb[[len(pb) * s // n_slabs for s in range(1, n_slabs)]]
+    bounds = []  # per stream: int64[n_slabs+1] row bounds
+    for j in range(k):
+        pj = cols[j]["position"]
+        b = np.empty(n_slabs + 1, np.int64)
+        b[0] = 0
+        b[-1] = len(pj)
+        b[1:-1] = np.searchsorted(pj, cuts, "left")
+        bounds.append(b)
+    # Exact per-slab output caps: rows * (32 >= SE_LINE_META_MAX +
+    # slack + enc prefix) + payload bytes (cumsum of str_len).
+    show_enc = bool(flags & 4)
+    pref = [len(p) if show_enc else 0 for p in enc_prefixes]
+    csums = []
+    for j in range(k):
+        c = np.zeros(len(cols[j]["str_len"]) + 1, np.int64)
+        np.cumsum(cols[j]["str_len"], out=c[1:])
+        csums.append(c)
+
+    def render(s):
+        c0 = np.ascontiguousarray([bounds[j][s] for j in range(k)],
+                                  np.int64)
+        c1 = np.ascontiguousarray([bounds[j][s + 1] for j in range(k)],
+                                  np.int64)
+        cap = 64
+        for j in range(k):
+            rows = int(c1[j] - c0[j])
+            cap += rows * (32 + pref[j]) + int(
+                csums[j][c1[j]] - csums[j][c0[j]]
+            )
+        out_buf = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.se_merge_buf(
+            k, c0.ctypes.data, c1.ctypes.data, *common,
+            cap, ctypes.byref(out_buf),
+        )
+        return n, out_buf
+
+    pool = _merge_pool(os.cpu_count() or 1)
+    futs = [pool.submit(render, s) for s in range(n_slabs)]
+    total = 0
+    for f in futs:
+        n, out_buf = f.result()
+        if n < 0:
+            raise MemoryError("se_merge_buf allocation failed")
+        try:
+            if n:
+                mv = memoryview(
+                    (ctypes.c_ubyte * n).from_address(
+                        ctypes.addressof(out_buf.contents)
+                    )
+                )
+                off = 0
+                while off < n:
+                    off += os.write(fd, mv[off:])
+        finally:
+            lib.se_format_free(out_buf)
+        total += n
+    del keep  # explicit: column buffers outlive every render
+    return total
 
 
 # kind codes (emitter.cpp). Big5's four WHATWG double-codepoint

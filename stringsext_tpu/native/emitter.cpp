@@ -1673,4 +1673,58 @@ int64_t se_merge_fd(int32_t fd, int32_t k, const int64_t* n_m,
     return total;
 }
 
+// Slab variant of the fused merge: renders rows [c0[j], c1[j]) of each
+// stream into a caller-sized malloc'd buffer instead of an fd. The
+// caller partitions the merged stream BY POSITION RANGE (the merge key
+// is position-major, so slabs are independent) and renders slabs on
+// all cores concurrently, writing them to the output in order - the
+// parallel analog of the reference's single merger thread
+// (main.rs:103-136). `cap` must be an upper bound on the slab's output
+// bytes (the Python side computes it exactly from SE_LINE_META_MAX +
+// prefix + payload sums). Returns bytes rendered, -1 on malloc
+// failure; free *out_buf with se_format_free.
+int64_t se_merge_buf(int32_t k, const int64_t* c0, const int64_t* c1,
+    const uint64_t* const* pos_m, const int8_t* const* prec_m,
+    const uint8_t* const* comp_m, const int32_t* const* fid_m,
+    const uint64_t* const* soff_m, const uint32_t* const* slen_m,
+    const uint8_t* const* strbufs, const uint8_t* const* inbufs,
+    const int32_t* mission_ids,
+    const uint8_t* enc_prefix, const int32_t* enc_pref_off,
+    const int32_t* enc_pref_len, int32_t flags, char radix,
+    int64_t cap, uint8_t** out_buf) {
+    const bool show_file = flags & 1, show_radix = flags & 2,
+               show_enc = flags & 4, no_meta = flags & 8;
+    uint8_t* buf = (uint8_t*)malloc(cap < 64 ? 64 : (size_t)cap);
+    if (!buf) { *out_buf = nullptr; return -1; }
+    std::vector<int64_t> c(c0, c0 + k);
+    uint8_t* w = buf;
+    for (;;) {
+        int32_t best = -1;
+        uint64_t bpos = 0;
+        int32_t bmid = 0;
+        for (int32_t j = 0; j < k; j++) {
+            if (c[j] >= c1[j]) continue;
+            uint64_t pj = pos_m[j][c[j]];
+            if (best < 0 || pj < bpos ||
+                (pj == bpos && mission_ids[j] < bmid)) {
+                best = j;
+                bpos = pj;
+                bmid = mission_ids[j];
+            }
+        }
+        if (best < 0) break;
+        const int64_t i = c[best]++;
+        const uint64_t so = soff_m[best][i];
+        const uint8_t* sptr = (so & SE_INREF)
+            ? inbufs[best] + (so & ~SE_INREF)
+            : strbufs[best] + so;
+        w = se_write_line(w, show_file, show_radix, show_enc, no_meta,
+                          radix, bpos, prec_m[best][i], comp_m[best][i],
+                          fid_m[best][i], best, enc_prefix, enc_pref_off,
+                          enc_pref_len, sptr, slen_m[best][i]);
+    }
+    *out_buf = buf;
+    return (int64_t)(w - buf);
+}
+
 }  // extern "C"

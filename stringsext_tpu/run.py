@@ -1095,24 +1095,28 @@ def _run_streaming_stdin(
         except (AttributeError, OSError, ValueError):
             use_input_refs = False
 
-    def build_and_launch():
-        """Read the next chunk, build its slice grid + hot maps, and
-        launch the per-mission scans on the pool. Called only once the
-        mission states are settled for the PREVIOUS chunk (native_scan
-        mutates them in place), so the scans of chunk N+1 overlap the
-        merge+format of chunk N - the reference's lock-step pipeline
-        (main.rs:118-136: scan batch N+1 while the merger prints N)."""
-        nonlocal stream_pos
-        carry_len = len(carry)
-        buf = np.empty(carry_len + chunk_bytes, np.uint8)
-        buf[:carry_len] = carry
+    # Front headroom per chunk buffer: the carry (the tiny unconsumed
+    # tail of the previous chunk, typically <= 8 bytes) is spliced in
+    # front of the freshly-read bytes AFTER the previous scans settle
+    # it, so the read itself can run ahead on the reader thread.
+    _PAD = 4096
+    reader_pool = ThreadPoolExecutor(max_workers=1)
+
+    def read_chunk():
+        """Read the next chunk_bytes into a fresh buffer with _PAD
+        bytes of front headroom. Runs on the reader thread, overlapping
+        the scans and the merge of earlier chunks (the main thread used
+        to do this read between scan rounds - a per-chunk pipeline
+        bubble). Reads are serialized by the 1-worker pool, so stream
+        order is preserved. Returns (buf, got, deferred_error)."""
+        buf = np.empty(_PAD + chunk_bytes, np.uint8)
         # readinto the preallocated buffer: avoids the bytes object +
         # np.concatenate copies (a full extra pass over the stream).
         # Loop to a full chunk so a short raw-stream read is not
         # mistaken for EOF (is_final = short read, as with
         # BufferedReader.read semantics).
         got = 0
-        view = memoryview(buf)[carry_len:]
+        view = memoryview(buf)[_PAD:]
         try:
             readinto = getattr(src, "readinto", None)
             while got < chunk_bytes:
@@ -1142,11 +1146,36 @@ def _run_streaming_stdin(
                     break
                 got += k
         except BaseException as e:  # defer: the PREVIOUS chunk must
-            return ("err", e)  # still be emitted + checkpointed first
+            return buf, got, e  # still be emitted + checkpointed first
+        return buf, got, None
+
+    def build_and_launch(rd):
+        """Splice the carry into the prefetched chunk, build its slice
+        grid + hot maps, launch the per-mission scans on the pool, and
+        prefetch the NEXT chunk's read. Called only once the mission
+        states are settled for the PREVIOUS chunk (native_scan mutates
+        them in place), so the scans of chunk N+1 overlap the
+        merge+format of chunk N - the reference's lock-step pipeline
+        (main.rs:118-136: scan batch N+1 while the merger prints N)."""
+        nonlocal stream_pos
+        buf, got, err = rd.result()
+        if err is not None:
+            return ("err", err)
         stream_pos += got
-        data = buf[: carry_len + got]
+        carry_len = len(carry)
+        if carry_len <= _PAD:
+            base = _PAD - carry_len
+            buf[base:_PAD] = carry
+            data = buf[base : _PAD + got]
+        else:  # pathological carry larger than the headroom: assemble
+            data = np.empty(carry_len + got, np.uint8)
+            data[:carry_len] = carry
+            data[carry_len:] = buf[_PAD : _PAD + got]
         chunk_end = carry_len + got  # buffer-relative
         is_final = got < chunk_bytes
+        next_rd = None
+        if not is_final:
+            next_rd = reader_pool.submit(read_chunk)
 
         # Slice grid: 4096-byte slices starting at the first new byte
         # (chunks are 4096-multiples, so the grid stays stream-aligned).
@@ -1185,14 +1214,15 @@ def _run_streaming_stdin(
             )
 
         futs = [pool.submit(job, i, m) for i, m in enumerate(missions.v)]
-        return chunk_end, is_final, data, futs
+        return chunk_end, is_final, data, futs, next_rd
 
-    inflight = build_and_launch()
+    inflight = build_and_launch(reader_pool.submit(read_chunk))
     while True:
         if inflight[0] == "err":
             pool.shutdown()
+            reader_pool.shutdown()
             raise inflight[1]
-        chunk_end, is_final, data, futs = inflight
+        chunk_end, is_final, data, futs, next_rd = inflight
         results = [None] * len(missions.v)
         with profiling.scope("scan", chunk_end * len(missions.v)):
             # (reports only the NON-overlapped scan residual once the
@@ -1230,11 +1260,11 @@ def _run_streaming_stdin(
                     [dict(st) for st in states], stream_pos,
                     carry.tobytes(),
                 )
-            # Launch chunk N+1 now (states and carry are settled;
-            # consumed_now snapshots the boundary positions the scans
-            # are about to advance); the holdback split and the
-            # merge+format below overlap with its scans.
-            inflight = build_and_launch()
+            # Launch chunk N+1 now (states and carry are settled; its
+            # bytes were prefetched by the reader thread during this
+            # chunk's scans); the holdback split and the merge+format
+            # below overlap with its scans.
+            inflight = build_and_launch(next_rd)
 
         # Split off boundary-position findings (they can tie with the
         # next chunk under the merge key) unless this is the last
@@ -1299,6 +1329,7 @@ def _run_streaming_stdin(
     out.write(b"\n")
     out.flush()
     pool.shutdown()
+    reader_pool.shutdown()
     profiling.report()
     return 0
 

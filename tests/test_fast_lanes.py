@@ -30,15 +30,28 @@ def _both_engines(argv, data):
     with tempfile.NamedTemporaryFile(delete=False) as f:
         f.write(data)
         path = f.name
+    ofd, opath = tempfile.mkstemp()
+    os.close(ofd)
     try:
         for eng in ("python", "auto"):
             args = parse_args(argv + ["--", path])
             buf = io.BytesIO()
             run(args, out=buf, engine=eng)
             outs[eng] = buf.getvalue()
+        # Real-fd output: the fused se_merge_fd + SE_INREF zero-copy
+        # pipeline only engages on OS-level outputs (BytesIO has no
+        # fileno, so the passes above take the fallback formatter) -
+        # pin the memory-safety-critical fused path byte-for-byte too.
+        args = parse_args(argv + ["--", path])
+        with open(opath, "wb") as fo:
+            run(args, out=fo, engine="auto")
+        with open(opath, "rb") as fo:
+            outs["fd"] = fo.read()
     finally:
         os.unlink(path)
+        os.unlink(opath)
     assert outs["python"] == outs["auto"]
+    assert outs["fd"] == outs["auto"]
     return outs["auto"]
 
 
