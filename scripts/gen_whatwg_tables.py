@@ -157,6 +157,144 @@ SB_OVERRIDES = {
 }
 
 
+# glibc iconv charset names for the second-source arbitration of every
+# single-byte table (ISO-8859-8-I shares the ISO-8859-8 index and is a
+# copy, not separately arbitrated).
+SB_ICONV = {
+    "IBM866": "IBM866", "ISO-8859-2": "ISO-8859-2",
+    "ISO-8859-3": "ISO-8859-3", "ISO-8859-4": "ISO-8859-4",
+    "ISO-8859-5": "ISO-8859-5", "ISO-8859-6": "ISO-8859-6",
+    "ISO-8859-7": "ISO-8859-7", "ISO-8859-8": "ISO-8859-8",
+    "ISO-8859-10": "ISO-8859-10", "ISO-8859-13": "ISO-8859-13",
+    "ISO-8859-14": "ISO-8859-14", "ISO-8859-15": "ISO-8859-15",
+    "ISO-8859-16": "ISO-8859-16", "KOI8-R": "KOI8-R", "KOI8-U": "KOI8-U",
+    "macintosh": "MACINTOSH", "windows-874": "CP874",
+    "windows-1250": "CP1250", "windows-1251": "CP1251",
+    "windows-1252": "CP1252", "windows-1253": "CP1253",
+    "windows-1254": "CP1254", "windows-1255": "CP1255",
+    "windows-1256": "CP1256", "windows-1257": "CP1257",
+    "windows-1258": "CP1258", "x-mac-cyrillic": "MAC-CYRILLIC",
+}
+
+# Audited places where GLIBC departs from the WHATWG index while
+# Python agrees with it (the mirror of SB_OVERRIDES, where BOTH depart
+# and the index value is installed by hand). Any OTHER glibc
+# divergence aborts the generation for manual audit.
+GLIBC_VARIANT_OK = {
+    "macintosh": {
+        0xC6: "Apple ROMAN.TXT and index macintosh: U+2206 INCREMENT; "
+              "glibc maps GREEK CAPITAL DELTA",
+        0xF0: "Apple ROMAN.TXT and index macintosh: U+F8FF Apple logo "
+              "PUA; glibc maps U+E01E",
+    },
+    "x-mac-cyrillic": {
+        0xFF: "Apple CYRILLIC.TXT rev >= mac OS 9 and index "
+              "x-mac-cyrillic: U+20AC EURO SIGN; glibc keeps the older "
+              "U+00A4 CURRENCY SIGN",
+    },
+}
+
+
+def iconv_strict(charset: str, seq: bytes):
+    """Per-sequence strict decode (no -c): None when glibc rejects any
+    part of the sequence - distinguishes a REAL glibc mapping from the
+    bulk path's -c artifact (error bytes dropped, remainder re-decoded,
+    e.g. 0x8F dropped from an invalid EUC-JP jis0212 triple and the
+    trailing pair re-read as a jis0208 char)."""
+    q = subprocess.run(
+        ["iconv", "-f", charset, "-t", "UTF-32LE"],
+        input=seq, capture_output=True)
+    if q.returncode != 0 or len(q.stdout) % 4:
+        return None
+    return tuple(int(c) for c in np.frombuffer(q.stdout, "<u4"))
+
+
+def arbitrate_single_byte(tables):
+    """Second-source every single-byte table against glibc iconv.
+    Every divergence must be one of: the WHATWG C1-control fill (glibc
+    leaves the hole), a documented SB_OVERRIDES entry (both Python and
+    glibc depart from the index), or a documented GLIBC_VARIANT_OK
+    entry (glibc alone departs). Anything else aborts."""
+    seqs = [bytes([b]) for b in range(0x80, 0x100)]
+    for name, charset in SB_ICONV.items():
+        t = tables[name]
+        g = iconv_decode_all(charset, seqs)
+        entries = []
+        for b, gv in zip(range(0x80, 0x100), g):
+            gvv = gv[0] if gv is not None and len(gv) == 1 else None
+            cur = int(t[b - 0x80])
+            cur = None if cur < 0 else cur
+            if gvv == cur:
+                continue
+            if gvv is None:
+                # strict re-check: -c may have eaten a combining form
+                sv = iconv_strict(charset, bytes([b]))
+                gvv = sv[0] if sv is not None and len(sv) == 1 else None
+                if gvv == cur:
+                    continue
+            if (name in C1_FILL and 0x80 <= b < 0xA0 and cur == b
+                    and gvv is None):
+                why = "WHATWG C1 control fill; glibc leaves the hole"
+            elif b in SB_OVERRIDES.get(name, {}):
+                why = ("documented index override (see overrides/" +
+                       name + ")")
+            elif b in GLIBC_VARIANT_OK.get(name, {}):
+                why = GLIBC_VARIANT_OK[name][b]
+            else:
+                raise AssertionError(
+                    f"unaudited glibc divergence: {name} byte {b:#x} "
+                    f"table={cur} glibc={gvv} - audit before regenerating")
+            entries.append({"byte": b, "table": cur, "glibc": gvv,
+                            "why": why})
+        audit["diffs"][f"{name}_vs_glibc"] = {
+            "charset": charset, "count": len(entries), "entries": entries,
+        }
+
+
+def arbitrate_jis0212(idx):
+    """Second-source index jis0212 against glibc's EUC-JP 0x8F triples.
+    The bulk -c pass mis-frames invalid triples (0x8F dropped, the
+    trailing pair re-decoded as jis0208), so every bulk mismatch is
+    re-checked strictly; the strict diff set must be empty."""
+    seqs, ptrs = [], []
+    for b2 in range(0xA1, 0xFF):
+        for b3 in range(0xA1, 0xFF):
+            seqs.append(bytes([0x8F, b2, b3]))
+            ptrs.append((b2 - 0xA1) * 94 + (b3 - 0xA1))
+    # Audited glibc-only departures (every other strict diff aborts).
+    variant_ok = {
+        116: "JIS X 0212 2-23 (0x8F 0xA2 0xB7): glibc decodes U+FF5E "
+             "FULLWIDTH TILDE; FOUR independent sources - Python "
+             "euc_jp, euc_jisx0213, iso2022_jp_2 and Tcl's "
+             "jis0212.enc (Unicode consortium mapping, the lineage of "
+             "WHATWG index jis0212, which has no Windows codepage) - "
+             "all say U+007E TILDE; the table keeps U+007E",
+    }
+    g = iconv_decode_all("EUC-JP", seqs)
+    diffs = []
+    for s, p, gv in zip(seqs, ptrs, g):
+        gvv = gv[0] if gv is not None and len(gv) == 1 and gv[0] >= 0x80 \
+            else None
+        cur = int(idx[p])
+        cur = None if cur < 0 else cur
+        if gvv == cur:
+            continue
+        sv = iconv_strict("EUC-JP", s)
+        gvv = sv[0] if sv is not None and len(sv) == 1 else None
+        if gvv == cur:
+            continue
+        if p not in variant_ok:
+            raise AssertionError(
+                f"unaudited jis0212 glibc divergence: bytes {s.hex()} "
+                f"pointer {p} table={cur} glibc={gvv}")
+        diffs.append({"bytes": s.hex(), "pointer": p, "table": cur,
+                      "glibc": gvv, "why": variant_ok[p]})
+    audit["diffs"]["jis0212_vs_glibc"] = {
+        "charset": "EUC-JP (0x8F triples, strict re-check)",
+        "count": len(diffs), "entries": diffs,
+    }
+
+
 def build_single_byte():
     tables = {}
     for name, codec in SB_CODECS.items():
@@ -476,8 +614,10 @@ def build_gb18030_ranges():
 
 def main():
     sb = build_single_byte()
+    arbitrate_single_byte(sb)
     jis0208 = build_jis0208()
     jis0212 = build_jis0212()
+    arbitrate_jis0212(jis0212)
     audit_eucjp_vs_python(jis0208)
     euc_kr = build_euc_kr()
     big5, big5_multi = build_big5()
@@ -492,10 +632,22 @@ def main():
             dtype=np.int32).reshape(-1, 3),
         gb18030=gb2, gb18030_ranges_ptr=gptrs, gb18030_ranges_cp=gvals,
     )
-    np.savez_compressed(OUT_NPZ, **arrays)
+    # Never touch the vendored npz when the content is unchanged (the
+    # golden corpus and three engines all decode from it; an audit-only
+    # regeneration must not churn the binary).
+    unchanged = False
+    if os.path.exists(OUT_NPZ):
+        old = np.load(OUT_NPZ)
+        unchanged = set(old.files) == set(arrays) and all(
+            np.array_equal(old[k], arrays[k]) for k in arrays
+        )
+    if unchanged:
+        print(f"{OUT_NPZ} unchanged (content-identical); not rewritten")
+    else:
+        np.savez_compressed(OUT_NPZ, **arrays)
+        print(f"wrote {OUT_NPZ} ({os.path.getsize(OUT_NPZ)} bytes)")
     with open(OUT_AUDIT, "w") as f:
         json.dump(audit, f, indent=1, sort_keys=True)
-    print(f"wrote {OUT_NPZ} ({os.path.getsize(OUT_NPZ)} bytes)")
     print(f"wrote {OUT_AUDIT}")
     for k, v in audit["diffs"].items():
         n = v["count"] if isinstance(v, dict) else len(v)

@@ -359,3 +359,53 @@ def test_audit_file_consistency():
     assert audit["diffs"]["EUC-KR_py_vs_glibc"] == []
     ov = {o["pointer"]: o["whatwg"] for o in audit["overrides"]["gb18030"]}
     assert ov == {6555: 0x3000}
+
+
+# Exact per-table glibc-arbitration diff counts (round 3: every
+# single-byte table + jis0212 second-sourced against glibc iconv; every
+# divergence classified as C1 fill, documented index override, or an
+# audited glibc-only variant). A regenerated audit that drifts from
+# these counts means a source changed underneath us - fail loudly.
+GLIBC_DIFF_COUNTS = {
+    "IBM866": 0, "ISO-8859-2": 0, "ISO-8859-3": 0, "ISO-8859-4": 0,
+    "ISO-8859-5": 0, "ISO-8859-6": 0, "ISO-8859-7": 0, "ISO-8859-8": 0,
+    "ISO-8859-10": 0, "ISO-8859-13": 0, "ISO-8859-14": 0,
+    "ISO-8859-15": 0, "ISO-8859-16": 0, "KOI8-R": 0, "KOI8-U": 2,
+    "macintosh": 3, "windows-874": 23, "windows-1250": 5,
+    "windows-1251": 1, "windows-1252": 5, "windows-1253": 14,
+    "windows-1254": 7, "windows-1255": 13, "windows-1256": 0,
+    "windows-1257": 10, "windows-1258": 9, "x-mac-cyrillic": 1,
+}
+
+
+def test_single_byte_glibc_arbitration_pinned():
+    """Every single-byte table has a recorded glibc second-source pass
+    with the exact audited diff set: zero diffs (two sources agree on
+    all 128 entries) or classified entries only."""
+    with open(AUDIT) as f:
+        audit = json.load(f)
+    for name, count in GLIBC_DIFF_COUNTS.items():
+        d = audit["diffs"][f"{name}_vs_glibc"]
+        assert d["count"] == count, (name, d["count"], count)
+        assert len(d["entries"]) == count
+        for e in d["entries"]:
+            assert e.get("why"), (name, e)
+    # ISO-8859-8-I is a copy of ISO-8859-8 (WHATWG 9), checked directly
+    assert np.array_equal(whatwg.single_byte("ISO-8859-8-I"),
+                          whatwg.single_byte("ISO-8859-8"))
+
+
+def test_jis0212_glibc_arbitration_pinned():
+    """jis0212's strict glibc pass has exactly one audited divergence:
+    pointer 116 (0x8F 0xA2 0xB7), where glibc alone says U+FF5E and
+    four independent sources (Python euc_jp / euc_jisx0213 /
+    iso2022_jp_2 and Tcl's Unicode-consortium-derived jis0212.enc)
+    say U+007E - the table keeps U+007E."""
+    with open(AUDIT) as f:
+        audit = json.load(f)
+    d = audit["diffs"]["jis0212_vs_glibc"]
+    assert d["count"] == 1
+    e = d["entries"][0]
+    assert e["pointer"] == 116 and e["table"] == 0x7E
+    assert e["glibc"] == 0xFF5E and e["why"]
+    assert int(whatwg.jis0212_cp()[0xA2, 0xB7]) == 0x7E
