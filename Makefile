@@ -19,6 +19,13 @@ bench: native
 bench-suite: native
 	python scripts/bench_suite.py
 
+# Real-chip engine=tpu smoke: golden config 1 byte-identity auto-vs-tpu
+# plus a persistent-compilation-cache assertion across CLI processes.
+# Budget ~15 min over a tunneled chip (first-execution latency), ~1 min
+# co-located warm. One JSON line on success.
+tpu-smoke: native
+	python scripts/tpu_smoke.py
+
 fuzz: native
 	python scripts/fuzz.py 300
 
