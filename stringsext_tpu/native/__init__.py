@@ -122,6 +122,12 @@ def _load_lib():
         ctypes.c_void_p,  # hot_start int64* or NULL
         ctypes.c_void_p,  # hot_end int64* or NULL
         ctypes.c_int64,  # n_hot
+        ctypes.c_void_p,  # ft_start int64* or NULL (run-table feed)
+        ctypes.c_void_p,  # ft_end int64* or NULL
+        ctypes.c_void_p,  # ft_co_base int64* or NULL
+        ctypes.c_void_p,  # ft_co int64* or NULL (payload char offsets)
+        ctypes.c_void_p,  # ft_pay uint8* or NULL (decoded payload)
+        ctypes.c_int64,  # n_ft
         P(ctypes.c_int64),  # out_count
         P(P(ctypes.c_uint64)),  # position
         P(P(ctypes.c_int8)),  # precision
@@ -548,8 +554,16 @@ def native_scan(
     state: Optional[dict] = None,
     hot_ranges: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     input_refs: bool = False,
+    runtable_feed=None,
 ):
     """Scan one mission natively. Returns (columns_dict, strbuf_bytes).
+
+    `runtable_feed`, when given, is (run_start, run_end, co_base, co,
+    payload): EXACT device-extracted accepted-char runs plus the
+    device-decoded UTF-8 payload with per-char cumulative offsets
+    (STRINGSEXT_RUNTABLE_FEED=1; docs/KERNELS.md design 1). The emitter
+    consumes whole runs: a full window inside one run becomes two
+    payload memcpys instead of a per-char decode walk.
 
     `input_refs=True` lets the fast lanes emit findings whose bytes are
     verbatim input spans as SE_INREF-flagged str_off values (bit 63 =
@@ -676,6 +690,20 @@ def native_scan(
         hot_s = np.ascontiguousarray(hot_ranges[0], dtype=np.int64)
         hot_e = np.ascontiguousarray(hot_ranges[1], dtype=np.int64)
 
+    ft = [None] * 5
+    n_ft = 0
+    if runtable_feed is not None:
+        rs, re, cb, co, pay = runtable_feed
+        ft = [
+            np.ascontiguousarray(rs, np.int64),
+            np.ascontiguousarray(re, np.int64),
+            np.ascontiguousarray(cb, np.int64),
+            np.ascontiguousarray(co, np.int64),
+            np.ascontiguousarray(pay, np.uint8),
+        ]
+        keepalive += ft
+        n_ft = len(ft[0])
+
     P = ctypes.POINTER
     count = ctypes.c_int64()
     p_pos = P(ctypes.c_uint64)()
@@ -703,6 +731,12 @@ def native_scan(
         hot_s.ctypes.data if hot_s is not None else None,
         hot_e.ctypes.data if hot_e is not None else None,
         0 if hot_s is None else len(hot_s),
+        ft[0].ctypes.data if n_ft else None,
+        ft[1].ctypes.data if n_ft else None,
+        ft[2].ctypes.data if n_ft else None,
+        ft[3].ctypes.data if n_ft else None,
+        ft[4].ctypes.data if n_ft else None,
+        n_ft,
         ctypes.byref(count),
         ctypes.byref(p_pos),
         ctypes.byref(p_prec),

@@ -699,7 +699,13 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                          std::vector<int32_t>* init_leftover,
                          std::vector<int32_t>* fini_leftover,
                          const int64_t* hot_start, const int64_t* hot_end,
-                         int64_t n_hot) {
+                         int64_t n_hot,
+                         const int64_t* ft_start = nullptr,
+                         const int64_t* ft_end = nullptr,
+                         const int64_t* ft_co_base = nullptr,
+                         const int64_t* ft_co = nullptr,
+                         const uint8_t* ft_pay = nullptr,
+                         int64_t n_ft = 0) {
     ScanState st;
     st.consumed = m.counter_offset;
     int64_t cursor0 = 0;
@@ -785,6 +791,17 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     if (utf16_fast)
         for (int c = 0; c < 256; c++)
             ubf_acc[c] = c >= 0xC0 && pass_ubf(m, c);
+    // Device run-table feed (STRINGSEXT_RUNTABLE_FEED=1; KERNELS.md
+    // design 1, the on-device analog of finding_collection.rs:84-342's
+    // decode work): ft_* carries EXACT accepted-char runs extracted on
+    // device plus the device-decoded UTF-8 payload (ft_pay) with
+    // per-char cumulative payload offsets (ft_co; run r's char k sits
+    // at ft_co[ft_co_base[r] + k]). Single-byte kinds only for now
+    // (1 byte = 1 char, so windows are always char-aligned).
+    const bool feed_fast = m.kind == 3 && n_ft > 0 && ft_start != nullptr &&
+                           m.grep_char < 0 && !m.same_block &&
+                           m.chars_min_nb <= m.line_max;
+    int64_t ft_cursor = 0;
 
     for (int64_t s = 0; s < nslices; s++) {
         const int64_t sstart = sl_start[s];
@@ -975,6 +992,49 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     out.file_id.push_back(file_id);
                     out.str_off.push_back(off + (uint64_t)lm);
                     out.str_len.push_back((uint32_t)(w - lm));
+                    flag = true;
+                    cursor = sstart + we;
+                    advance();
+                    label = we;
+                    ws = we;
+                    continue;
+                }
+            }
+            // Run-table feed lane: a full window lying entirely inside
+            // ONE device-extracted accepted run is, by the same
+            // SplitStr argument as the ASCII lane above, exactly two
+            // wrapped findings - and their bytes were already decoded
+            // on device, so both are payload-buffer memcpys (no
+            // per-char decode + utf8_append). label>0 keeps the
+            // first-window Before-precision heuristic on the generic
+            // path (finding_collection.rs:155-207).
+            if (feed_fast && ev_ok && !have_pending && label > 0 &&
+                we - ws == w && cursor == sstart + ws) {
+                while (ft_cursor < n_ft && ft_end[ft_cursor] < sstart + we)
+                    ft_cursor++;
+                if (ft_cursor < n_ft && ft_start[ft_cursor] <= sstart + ws &&
+                    sstart + we <= ft_end[ft_cursor]) {
+                    const int64_t lm = m.line_max;
+                    const int64_t cb = ft_co_base[ft_cursor] +
+                                       (sstart + ws - ft_start[ft_cursor]);
+                    const int64_t o0 = ft_co[cb], o1 = ft_co[cb + lm],
+                                  o2 = ft_co[cb + w];
+                    const uint64_t pos = st.consumed + (uint64_t)label;
+                    uint64_t off = (uint64_t)out.strbuf.size();
+                    out.strbuf.insert(out.strbuf.end(), ft_pay + o0,
+                                      ft_pay + o2);
+                    out.position.push_back(pos);
+                    out.precision.push_back(0);
+                    out.completes.push_back(flag ? 1 : 0);
+                    out.file_id.push_back(file_id);
+                    out.str_off.push_back(off);
+                    out.str_len.push_back((uint32_t)(o1 - o0));
+                    out.position.push_back(pos);
+                    out.precision.push_back(1);
+                    out.completes.push_back(1);
+                    out.file_id.push_back(file_id);
+                    out.str_off.push_back(off + (uint64_t)(o1 - o0));
+                    out.str_len.push_back((uint32_t)(o2 - o1));
                     flag = true;
                     cursor = sstart + we;
                     advance();
@@ -1386,6 +1446,9 @@ void* se_scan(const uint8_t* data, int64_t total,
               int64_t* state_io, int32_t* leftover_io, int32_t* leftover_len_io,
               int32_t leftover_cap,
               const int64_t* hot_start, const int64_t* hot_end, int64_t n_hot,
+              const int64_t* ft_start, const int64_t* ft_end,
+              const int64_t* ft_co_base, const int64_t* ft_co,
+              const uint8_t* ft_pay, int64_t n_ft,
               int64_t* out_count,
               const uint64_t** out_position, const int8_t** out_precision,
               const uint8_t** out_completes, const int32_t** out_file_id,
@@ -1414,7 +1477,8 @@ void* se_scan(const uint8_t* data, int64_t total,
                  state_io, state_io,
                  state_io ? &lo_in : nullptr,
                  state_io ? &lo_out : nullptr,
-                 hot_start, hot_end, n_hot);
+                 hot_start, hot_end, n_hot,
+                 ft_start, ft_end, ft_co_base, ft_co, ft_pay, n_ft);
     if (state_io && leftover_io && leftover_len_io) {
         int32_t n = (int32_t)lo_out.size();
         if (n > leftover_cap) n = leftover_cap;

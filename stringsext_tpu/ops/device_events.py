@@ -66,6 +66,70 @@ def compute_lanes(data: np.ndarray, encoding_name: str):
     return None
 
 
+def _utf8_encode_cps(cps: np.ndarray):
+    """Vectorized UTF-8 encoding of BMP codepoints (single-byte table
+    values never exceed U+FFFF). Returns (payload_u8, co_int64) where
+    co[k] is the payload offset of char k (len(cps)+1 entries)."""
+    cps = cps.astype(np.int64)
+    n1 = cps < 0x80
+    n2 = (cps >= 0x80) & (cps < 0x800)
+    n3 = cps >= 0x800
+    lens = np.where(n1, 1, np.where(n2, 2, 3)).astype(np.int64)
+    co = np.zeros(len(cps) + 1, np.int64)
+    np.cumsum(lens, out=co[1:])
+    out = np.empty(int(co[-1]), np.uint8)
+    p = co[:-1]
+    out[p[n1]] = cps[n1]
+    out[p[n2]] = 0xC0 | (cps[n2] >> 6)
+    out[p[n2] + 1] = 0x80 | (cps[n2] & 0x3F)
+    out[p[n3]] = 0xE0 | (cps[n3] >> 12)
+    out[p[n3] + 1] = 0x80 | ((cps[n3] >> 6) & 0x3F)
+    out[p[n3] + 2] = 0x80 | (cps[n3] & 0x3F)
+    return out, co
+
+
+def runtable_feed(data: np.ndarray, mission):
+    """EXACT accepted-char run tables + decoded UTF-8 payload for a
+    single-byte mission - the device run-table feed of KERNELS.md
+    design 1 (the on-device analog of the reference's decode loop,
+    finding_collection.rs:84-342), enabled by STRINGSEXT_RUNTABLE_FEED=1.
+
+    The classification (per-byte codepoints + filter acceptance) runs
+    on device; the run/payload compaction is a host numpy pass over the
+    device lanes. Returns (run_start, run_end, co_base, co, payload)
+    for native_scan's `runtable_feed`, or None (no device kernel / no
+    accepted run). Payload chars are globally consecutive across runs,
+    so run r's char k sits at payload[co[co_base[r]+k] :
+    co[co_base[r]+k+1]).
+    """
+    from ..encodings import encoding_kind
+    from .runs import accept_mask, filter_words
+
+    if encoding_kind(mission.encoding_name) != KIND_SINGLE_BYTE:
+        return None
+    lanes = compute_lanes(data, mission.encoding_name)
+    if lanes is None:
+        return None
+    import jax.numpy as jnp
+
+    af_w, ubf_w = filter_words(mission)
+    acc_dev = accept_mask(lanes, jnp.asarray(af_w), jnp.asarray(ubf_w))
+    n = len(data)
+    acc = np.asarray(acc_dev)[:n]
+    d = np.diff(acc.astype(np.int8), prepend=0, append=0)
+    rs = np.flatnonzero(d == 1).astype(np.int64)
+    re = np.flatnonzero(d == -1).astype(np.int64)
+    if len(rs) == 0:
+        return None
+    cp = np.asarray(lanes.cp)[:n]
+    pay, co = _utf8_encode_cps(cp[acc])
+    run_len = re - rs
+    co_base = np.zeros(len(rs), np.int64)
+    if len(rs) > 1:
+        np.cumsum(run_len[:-1], out=co_base[1:])
+    return rs, re, co_base, co, pay
+
+
 def generate_events_device(data: np.ndarray, encoding_name: str) -> Events:
     """Device-accelerated event generation (falls back to host numpy
     for encodings without a device kernel yet)."""

@@ -595,6 +595,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
         import os
 
         hot_by_mission = {}
+        runtable_feeds = {}
         if engine != "tpu":
             # Host-side hot maps: a numpy prepass gives the native
             # engine the same window-skipping + segmentation machinery
@@ -637,6 +638,23 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                         f"{m.encoding_name} (mission {m.mission_id}); "
                         f"falling back to a full host scan for it.",
                     )
+            if os.environ.get("STRINGSEXT_RUNTABLE_FEED") == "1":
+                # Device run-table feed (KERNELS.md design 1 prototype):
+                # single-byte missions get EXACT accepted runs + the
+                # device-decoded payload; the emitter consumes whole
+                # runs (full in-run windows become payload memcpys)
+                # and the exact runs double as the hot map.
+                from .ops.device_events import runtable_feed
+
+                for i, m in native_jobs:
+                    if encoding_kind(m.encoding_name) != "single-byte":
+                        continue
+                    feed = runtable_feed(stream.data, m)
+                    if feed is not None:
+                        runtable_feeds[i] = feed
+                        hot_by_mission[i] = _merge_ranges(
+                            feed[0] - 8, feed[1] + 8, len(stream.data)
+                        )
 
         # Segment-parallel dispatch: missions with device hot maps and a
         # re-synchronizing kind split at provably-quiescent cold slices
@@ -649,7 +667,10 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
             hot = hot_by_mission.get(i)
             splits = []
             kind = encoding_kind(m.encoding_name)
-            if hot is not None and max_seg > 1 and kind in _SEGMENT_KINDS:
+            if (hot is not None and max_seg > 1 and kind in _SEGMENT_KINDS
+                    and i not in runtable_feeds):
+                # (feed coordinates are absolute; the prototype keeps
+                # feed missions unsegmented)
                 splits = _segment_rows(
                     sl, hot, 2 * m.output_line_char_nb_max, max_seg,
                     data=stream.data, kind=kind,
@@ -673,6 +694,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                 return t, native.native_scan(
                     m, stream.data, *sl, hot_ranges=hot,
                     input_refs=use_refs and hot is None,
+                    runtable_feed=runtable_feeds.get(i),
                 )
             r0, r1 = seg
             ssl = tuple(a[r0:r1] for a in sl)
