@@ -177,6 +177,16 @@ def main():
     trials = 0
     fails = 0
     while time.time() - t0 < seconds:
+        # Trial-counter-derived (NOT rng-drawn, so seed-replay order is
+        # unchanged) toggles for the slab-parallel merge renderer and
+        # the device run-table feed - both are native code that would
+        # otherwise never engage under fuzz (the 2-core default picks
+        # the fused merge; the feed is opt-in).
+        os.environ["STRINGSEXT_MERGE_WORKERS"] = ("1", "4")[trials % 2]
+        if trials % 3 == 0:
+            os.environ["STRINGSEXT_RUNTABLE_FEED"] = "1"
+        else:
+            os.environ.pop("STRINGSEXT_RUNTABLE_FEED", None)
         argv = random_config(rng)
         blob = random_corpus(rng, nprng)
         nfiles = rng.randint(1, 3)
@@ -225,6 +235,47 @@ def main():
                         outs["auto-fd"] = fo.read()
                 finally:
                     os.unlink(opath)
+            if (os.environ.get("STRINGSEXT_RUNTABLE_FEED") == "1"
+                    and nfiles == 1):
+                # Run-table feed lane differential WITHOUT jax (so the
+                # ASan build covers the new C lane too): the host-built
+                # feed arrays are identical to the device ones
+                # (runtable_feed device=False; tests pin equality), and
+                # a fed scan must equal an unfed scan byte-for-byte.
+                # No rng draws (replay order unchanged).
+                from stringsext_tpu import native as _nat
+                from stringsext_tpu.encodings import encoding_kind as _ek
+                from stringsext_tpu.input import LoadedStream, slice_table
+                from stringsext_tpu.mission import Missions
+                from stringsext_tpu.ops.device_events import runtable_feed
+
+                args = parse_args(argv + [paths[0]])
+                ms = Missions.from_args(args)
+                data = np.frombuffer(blob, np.uint8)
+                sl = slice_table(LoadedStream(data, [(1, 0, len(data))]))
+                for m in ms.v:
+                    if (_ek(m.encoding_name) != "single-byte"
+                            or not _nat.native_supported("single-byte")):
+                        continue
+                    feed = runtable_feed(data, m, device=False)
+                    if feed is None:
+                        break
+                    b_res, b_sb = _nat.native_scan(m, data, *sl)
+                    f_res, f_sb = _nat.native_scan(
+                        m, data, *sl, runtable_feed=feed)
+                    ok = bytes(b_sb) == bytes(f_sb) and all(
+                        np.array_equal(b_res[k2], f_res[k2])
+                        for k2 in b_res
+                    )
+                    if not ok:
+                        fails += 1
+                        fn = f"/tmp/fuzz_fail_{trials}.bin"
+                        with open(fn, "wb") as f:
+                            f.write(blob)
+                        print(f"FAIL trial={trials} feed-lane "
+                              f"{m.encoding_name} argv={argv} repro={fn}",
+                              flush=True)
+                    break  # one single-byte mission per trial
             if nfiles == 1:
                 # stdin streaming (state-carrying chunk scans) must
                 # match the buffered single-file scan byte-for-byte;

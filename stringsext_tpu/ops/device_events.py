@@ -88,7 +88,21 @@ def _utf8_encode_cps(cps: np.ndarray):
     return out, co
 
 
-def runtable_feed(data: np.ndarray, mission):
+def _feed_from_acc(acc: np.ndarray, cp: np.ndarray):
+    d = np.diff(acc.astype(np.int8), prepend=0, append=0)
+    rs = np.flatnonzero(d == 1).astype(np.int64)
+    re = np.flatnonzero(d == -1).astype(np.int64)
+    if len(rs) == 0:
+        return None
+    pay, co = _utf8_encode_cps(cp[acc])
+    run_len = re - rs
+    co_base = np.zeros(len(rs), np.int64)
+    if len(rs) > 1:
+        np.cumsum(run_len[:-1], out=co_base[1:])
+    return rs, re, co_base, co, pay
+
+
+def runtable_feed(data: np.ndarray, mission, device: bool = True):
     """EXACT accepted-char run tables + decoded UTF-8 payload for a
     single-byte mission - the device run-table feed of KERNELS.md
     design 1 (the on-device analog of the reference's decode loop,
@@ -96,17 +110,40 @@ def runtable_feed(data: np.ndarray, mission):
 
     The classification (per-byte codepoints + filter acceptance) runs
     on device; the run/payload compaction is a host numpy pass over the
-    device lanes. Returns (run_start, run_end, co_base, co, payload)
-    for native_scan's `runtable_feed`, or None (no device kernel / no
+    device lanes. `device=False` builds the identical arrays from the
+    byte table with numpy alone (no jax import - used by the ASan fuzz,
+    where jax-tracing paths are disabled; tests pin device==host).
+    Returns (run_start, run_end, co_base, co, payload) for
+    native_scan's `runtable_feed`, or None (no device kernel / no
     accepted run). Payload chars are globally consecutive across runs,
     so run r's char k sits at payload[co[co_base[r]+k] :
     co[co_base[r]+k+1]).
     """
     from ..encodings import encoding_kind
-    from .runs import accept_mask, filter_words
 
     if encoding_kind(mission.encoding_name) != KIND_SINGLE_BYTE:
         return None
+    n = len(data)
+    if not device:
+        from ..encodings import full_byte_table
+
+        tbl = np.asarray(full_byte_table(mission.encoding_name), np.int32)
+        f = mission.filter
+        ok = np.zeros(256, bool)
+        for b in range(256):
+            c = int(tbl[b])
+            if c < 0:
+                continue
+            if c < 0x80:
+                ok[b] = bool((f.af >> c) & 1)
+            else:
+                lead = 0xC0 | (c >> 6) if c < 0x800 else (
+                    0xE0 | (c >> 12) if c < 0x10000 else 0xF0 | (c >> 18))
+                ok[b] = bool((f.ubf >> (lead & 0x3F)) & 1)
+        return _feed_from_acc(ok[data], tbl[data])
+
+    from .runs import accept_mask, filter_words
+
     lanes = compute_lanes(data, mission.encoding_name)
     if lanes is None:
         return None
@@ -114,20 +151,9 @@ def runtable_feed(data: np.ndarray, mission):
 
     af_w, ubf_w = filter_words(mission)
     acc_dev = accept_mask(lanes, jnp.asarray(af_w), jnp.asarray(ubf_w))
-    n = len(data)
     acc = np.asarray(acc_dev)[:n]
-    d = np.diff(acc.astype(np.int8), prepend=0, append=0)
-    rs = np.flatnonzero(d == 1).astype(np.int64)
-    re = np.flatnonzero(d == -1).astype(np.int64)
-    if len(rs) == 0:
-        return None
     cp = np.asarray(lanes.cp)[:n]
-    pay, co = _utf8_encode_cps(cp[acc])
-    run_len = re - rs
-    co_base = np.zeros(len(rs), np.int64)
-    if len(rs) > 1:
-        np.cumsum(run_len[:-1], out=co_base[1:])
-    return rs, re, co_base, co, pay
+    return _feed_from_acc(acc, cp)
 
 
 def generate_events_device(data: np.ndarray, encoding_name: str) -> Events:

@@ -133,3 +133,18 @@ def test_feed_lane_actually_consumes_payload(tmp_path):
         "corrupted payload produced identical output - the feed lane "
         "never engaged"
     )
+
+
+def test_feed_host_builder_matches_device():
+    """runtable_feed(device=False) - the jax-free builder the ASan fuzz
+    drives the C lane with - must produce arrays identical to the
+    device-lanes builder."""
+    blob = _corpus(64 * 1024)
+    argv = ["-t", "x", "-e", "KOI8-R", "-n", "4", "/dev/null"]
+    m = Missions.from_args(parse_args(argv)).v[0]
+    data = np.frombuffer(blob, np.uint8)
+    dev = runtable_feed(data, m, device=True)
+    host = runtable_feed(data, m, device=False)
+    assert dev is not None and host is not None
+    for a, b in zip(dev, host):
+        assert np.array_equal(a, b)
