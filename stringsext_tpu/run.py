@@ -458,11 +458,18 @@ def _host_hot_ranges(stream: LoadedStream, jobs):
 
 
 # Segment-parallel native scanning (engine=tpu): kinds whose event
-# stream provably re-synchronizes at a cold-slice boundary. The modal /
-# multi-byte CJK kinds are excluded: their resume-after-skip machinery
-# (align_cursor ground bytes, ISO-2022-JP mode) needs the sequential
-# cursor as a fallback, which a fresh segment does not have.
+# stream provably re-synchronizes at a cold-slice boundary via the
+# _quiescent_mask guards alone. The multi-byte CJK kinds and modal
+# ISO-2022-JP segment too (round 3), with the extra per-candidate
+# checks the distributed shard-boundary search introduced: a
+# ground-byte decode-forward alignment proof for CJK
+# (parallel.distributed._cjk_boundary_aligned) and, for ISO-2022-JP,
+# an entry mode computed from the escape history before the split
+# point (its cold slices carry no escapes and no pair phase, see
+# pallas_swar.cjk_hot_spec, so cold-quiescent boundaries are always
+# event starts with output_flag=false).
 _SEGMENT_KINDS = ("utf8", "utf16le", "utf16be", "single-byte")
+_SEGMENT_KINDS_CJK = ("euc-kr", "big5", "shift_jis", "euc-jp", "gb18030")
 _SEGMENT_MAX = None  # None = os.cpu_count(); tests monkeypatch this
 
 
@@ -542,13 +549,30 @@ def _segment_rows(sl, hot, window_bytes: int, max_segments: int,
     cand = np.flatnonzero(ok) + 1
     if len(cand) == 0:
         return []
-    # Pick the candidate nearest each equal-byte-span target.
+    if kind in _SEGMENT_KINDS_CJK and data is not None:
+        # Non-self-synchronizing kinds: additionally require a proved
+        # event start at the candidate (ground-byte decode-forward,
+        # shared with the distributed shard-boundary search).
+        from .parallel.distributed import _cjk_boundary_aligned
+
+        def _aligned(r):
+            return _cjk_boundary_aligned(data, 0, int(starts[r]), kind)
+    else:
+        def _aligned(_r):
+            return True
+    # Pick the nearest PASSING candidate for each equal-byte-span
+    # target (bounded tries: alignment checks decode ~4 KiB each).
+    dists = starts[cand].astype(np.int64)
     total = int(starts[-1] + lens[-1])
     picks = []
     for g in range(1, max_segments):
         target = total * g // max_segments
-        j = int(np.argmin(np.abs(starts[cand].astype(np.int64) - target)))
-        picks.append(int(cand[j]))
+        order = np.argsort(np.abs(dists - target), kind="stable")
+        for j in order[:16]:
+            r = int(cand[j])
+            if _aligned(r):
+                picks.append(r)
+                break
     return sorted(set(picks))
 
 
@@ -667,7 +691,10 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
             hot = hot_by_mission.get(i)
             splits = []
             kind = encoding_kind(m.encoding_name)
-            if (hot is not None and max_seg > 1 and kind in _SEGMENT_KINDS
+            if (hot is not None and max_seg > 1
+                    and (kind in _SEGMENT_KINDS
+                         or kind in _SEGMENT_KINDS_CJK
+                         or kind == "iso-2022-jp")
                     and i not in runtable_feeds):
                 # (feed coordinates are absolute; the prototype keeps
                 # feed missions unsegmented)
@@ -676,11 +703,30 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                     data=stream.data, kind=kind,
                 )
             bounds = [0] + splits + [len(sl[0])]
+            entry_modes = [0] * (len(bounds) - 1)
+            if kind == "iso-2022-jp" and len(bounds) > 2:
+                # Segment entry modes from the escape history before
+                # each split point (cold-quiescent boundaries are event
+                # starts with output_flag=false; only the MODE carries,
+                # and it is a pure function of the preceding bytes -
+                # parallel.distributed._iso_mode_transfer).
+                from .parallel.distributed import _iso_mode_transfer
+
+                mode = 0
+                for si, (r0, r1) in enumerate(
+                    zip(bounds[:-1], bounds[1:])
+                ):
+                    entry_modes[si] = mode
+                    lo = int(sl[0][r0])
+                    hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
+                    t = _iso_mode_transfer(stream.data[lo:hi])
+                    if t >= 0:
+                        mode = t
             if len(bounds) == 2:
-                all_jobs.append((i, m, None))
+                all_jobs.append((i, m, None, 0))
             else:
-                for r0, r1 in zip(bounds[:-1], bounds[1:]):
-                    all_jobs.append((i, m, (r0, r1)))
+                for si, (r0, r1) in enumerate(zip(bounds[:-1], bounds[1:])):
+                    all_jobs.append((i, m, (r0, r1), entry_modes[si]))
 
         # SE_INREF only without hot maps: hot maps enable
         # segmentation, whose strbuf concatenation rebases str_off
@@ -688,7 +734,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
         use_refs = input_refs and not hot_by_mission
 
         def job(t):
-            i, m, seg = t
+            i, m, seg, entry_mode = t
             hot = hot_by_mission.get(i)
             if seg is None:
                 return t, native.native_scan(
@@ -703,7 +749,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                 "consumed": m.counter_offset + seg_start,
                 "cursor": seg_start,
                 "printed_maybe_cut": False,
-                "dec_mode": 0,
+                "dec_mode": entry_mode,
                 "dec_output_flag": False,
                 "leftover_cps": [],
             }
@@ -722,7 +768,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
         else:
             with ThreadPoolExecutor(max_workers=workers) as ex:
                 outs = list(ex.map(job, all_jobs))
-        for (i, m, seg), (res, sb) in outs:
+        for (i, m, seg, _em), (res, sb) in outs:
             seg_parts.setdefault(i, []).append(
                 (0 if seg is None else seg[0], m, res, sb)
             )

@@ -204,3 +204,62 @@ def test_segmented_spanning_rejected_char(tmp_path, monkeypatch):
         seg = _run(argv, "tpu", monkeypatch, max_seg)
         assert seg == ref, max_seg
     assert un == ref
+
+
+def _cjk_corpus(size=512 * 1024):
+    """CJK/ISO-2022-JP strings in hot clusters with cold zero gaps,
+    plus a jis0208 mode left OPEN across a gap (segment entry modes
+    must ride the escape-history composition)."""
+    blob = bytearray(size)
+    msgs = [
+        "シフトジスの文字列テスト".encode("shift_jis"),
+        "汉字字符串测试一二三".encode("gb18030"),
+        "한국어 문자열 테스트".encode("euc_kr"),
+        "日本語のテキストです".encode("iso-2022-jp"),
+        b"plain ascii string here",
+    ]
+    k = 0
+    for off in range(800, size - 256, 2600):
+        if (off % (64 * 1024)) > 40 * 1024:
+            continue  # cold gap in every 64 KiB period
+        m = msgs[k % len(msgs)]
+        blob[off : off + len(m)] = m
+        k += 1
+    third = size // 3
+    frag = b"\x1b$B" + "漢字".encode("iso-2022-jp")[3:-3]
+    blob[third : third + len(frag)] = frag  # jis mode left open
+    return bytes(blob)
+
+
+@pytest.mark.parametrize("max_seg", [2, 5])
+def test_segmented_cjk_iso2022_equals_unsegmented(tmp_path, monkeypatch,
+                                                  max_seg):
+    """Round 3: the non-self-synchronizing kinds segment too - CJK via
+    the ground-byte decode-forward alignment proof, ISO-2022-JP via
+    escape-history entry modes - byte-identically."""
+    p = tmp_path / "cjkseg.bin"
+    p.write_bytes(_cjk_corpus())
+    argv = ["-t", "x", "-e", "Shift_JIS", "-e", "gb18030", "-e", "euc-kr",
+            "-e", "ISO-2022-JP", "-n", "4", str(p)]
+    ref = _run(argv, "python", monkeypatch, 1)
+    un = _run(argv, "tpu", monkeypatch, 1)
+    seg = _run(argv, "tpu", monkeypatch, max_seg)
+    assert un == ref
+    assert seg == ref
+    assert ref.count(b"\n") > 100
+
+    # the splitter must actually produce CJK split points here (the
+    # byte-equality above would be vacuous if segmentation never ran)
+    from stringsext_tpu.input import load_stream, slice_table
+    from stringsext_tpu.mission import Missions
+
+    ms = Missions.from_args(parse_args(argv))
+    stream = load_stream([str(p)])
+    sl = slice_table(stream)
+    hot = R._host_hot_ranges(stream, list(enumerate(ms.v)))
+    m0 = ms.v[0]  # Shift_JIS
+    splits = R._segment_rows(
+        sl, hot[0], 2 * m0.output_line_char_nb_max, max_seg,
+        data=stream.data, kind="shift_jis",
+    )
+    assert splits, "no CJK split points found on the clustered corpus"
