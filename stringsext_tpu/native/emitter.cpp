@@ -1000,6 +1000,70 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     continue;
                 }
             }
+            // Sub-min ASCII window lane: a window whose bytes are ALL
+            // < 0x80 is one call of valid 1-byte chars (no malformed
+            // cut, invalid_after=false); if every maximal AF-accepted
+            // run in it stays BELOW chars_min, SplitStr emits nothing
+            // and only the trailing accepted run (touching the call
+            // end) carries - as the refilter leftover
+            // (helper.rs:389-392). Entered clean (no pending, flag
+            // off), that is the complete observable effect, so the
+            // whole call collapses to one SWAR scan + a tail stash.
+            // Dominant for the UTF-8 mission over UTF-16 text regions
+            // (ASCII chars interleaved with rejected NULs) and
+            // low-byte binary noise, where valid-char runs defeat the
+            // sterile-malformed lookahead.
+            if (ascii_fast && ev_ok && !have_pending && !flag &&
+                cursor == sstart + ws && !(is_last && last_window)) {
+                const uint8_t* p8 = data + sstart + ws;
+                const int64_t wn = we - ws;
+                int64_t k = 0;
+                while (k + 8 <= wn) {
+                    uint64_t x;
+                    memcpy(&x, p8 + k, 8);
+                    if (x & 0x8080808080808080ull) break;
+                    k += 8;
+                }
+                if (k + 8 > wn)
+                    while (k < wn && p8[k] < 0x80) k++;
+                if (k == wn) {
+                    const int32_t vmin = m.chars_min_nb;
+                    int32_t run = 0;
+                    int64_t j = 0;
+                    if (acc_contig) {
+                        const uint8_t alo = (uint8_t)acc_lo;
+                        const uint8_t aspan = (uint8_t)(acc_hi - acc_lo);
+                        for (; j < wn; j++) {
+                            if ((uint8_t)(p8[j] - alo) <= aspan) {
+                                if (++run >= vmin) break;
+                            } else {
+                                run = 0;
+                            }
+                        }
+                    } else {
+                        for (; j < wn; j++) {
+                            if (ascii_acc[p8[j]]) {
+                                if (++run >= vmin) break;
+                            } else {
+                                run = 0;
+                            }
+                        }
+                    }
+                    if (j == wn) {
+                        if (run > 0) {  // tail run: refilter leftover
+                            pending.clear();
+                            for (int32_t q2 = run; q2 > 0; q2--)
+                                pending.push_back((int32_t)p8[wn - q2]);
+                            have_pending = true;
+                        }
+                        cursor = sstart + we;
+                        advance();
+                        label = we;
+                        ws = we;
+                        continue;
+                    }
+                }
+            }
             // Run-table feed lane: a full window lying entirely inside
             // ONE device-extracted accepted run is, by the same
             // SplitStr argument as the ASCII lane above, exactly two
@@ -1163,6 +1227,18 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                                 int64_t run_start = cursor;
                                 int32_t vcount = 0;
                                 const int32_t vmin = m.chars_min_nb;
+                                // Intrinsic 1-byte malformed classes
+                                // ([0x80,0xC2) and >= 0xF5): half of
+                                // random bytes. Branchless 8-at-a-time
+                                // skim (L1 LUT, AND-reduce) before the
+                                // per-byte classification.
+                                static const auto& cut8 = *[] {
+                                    static uint8_t t[256];
+                                    for (int v = 0; v < 256; v++)
+                                        t[v] = (v >= 0x80 && v < 0xC2) ||
+                                               v >= 0xF5;
+                                    return &t;
+                                }();
                                 while (cursor < lim2) {
                                     uint8_t b2 = data[cursor];
                                     if ((b2 >= 0x80 && b2 < 0xC2) ||
@@ -1171,6 +1247,9 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                                         // (report = pos): cuts the
                                         // sterile call
                                         cursor++;
+                                        while (cursor < lim2 &&
+                                               cut8[data[cursor]])
+                                            cursor++;
                                         run_start = cursor;
                                         vcount = 0;
                                         continue;
