@@ -1,0 +1,178 @@
+"""In-process simulation of the distributed data plane: the boundary
+search, shard scans, entry-mode composition and rank-0 holdback merge
+are pure functions (no collectives), so N ranks can be simulated in one
+process and compared byte-for-byte against the single-process scan.
+Covers shapes the TRUE process-level tests (test_distributed_2proc.py)
+keep small: multi-file inputs with odd sizes (file letters, odd slice
+bases), 4- and 5-way splits, dense no-split stretches (forward-
+collapsing boundaries / empty shards), and ISO-2022-JP entry modes.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from stringsext_tpu import native
+from stringsext_tpu.cli import parse_args
+from stringsext_tpu.input import slice_table
+from stringsext_tpu.mission import Missions
+from stringsext_tpu.parallel import distributed as D
+from stringsext_tpu.run import _emit_lines, run
+
+pytestmark = pytest.mark.skipif(
+    native.get_lib() is None, reason="no native toolchain"
+)
+
+rng = np.random.default_rng(33)
+
+
+def _simulate(argv, paths, nprocs):
+    """Exactly distributed_run's rank logic, all ranks in-process."""
+    args = parse_args(argv + paths)
+    ms = Missions.from_args(args)
+    spans = D.stat_spans(paths)
+    sl = slice_table(D._SpanStream(spans))
+    n_rows = len(sl[0])
+    bounds = D.shard_row_bounds(paths, spans, ms, nprocs)
+    if bounds is None:
+        bounds = [0] + [n_rows] * nprocs
+    from stringsext_tpu.encodings import encoding_kind
+
+    has_iso = any(
+        encoding_kind(m.encoding_name) == "iso-2022-jp" for m in ms.v
+    )
+    transfers = []
+    shard_data = []
+    for s in range(nprocs):
+        r0, r1 = bounds[s], bounds[s + 1]
+        sd = None
+        t = -1
+        if r1 > r0:
+            lo = int(sl[0][r0])
+            hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
+            sd = D._read_range(paths, spans, lo, hi)
+            if has_iso:
+                t = D._iso_mode_transfer(sd)
+        shard_data.append(sd)
+        transfers.append(t)
+
+    out = io.BytesIO()
+    out.write(b"\xef\xbb\xbf")
+    held = []
+    for s in range(nprocs):
+        em = D._compose_entry_mode(transfers, s) if has_iso else 0
+        pm, (_lo, p_hi) = D.scan_shard(
+            paths, spans, ms, sl, bounds[s], bounds[s + 1],
+            entry_mode=em, data=shard_data[s],
+        )
+        rows = held + [(ms.v[i], res, sb) for i, (res, sb) in enumerate(pm)]
+        emit, hold = [], []
+        last = s == nprocs - 1
+        for m, res, sb in rows:
+            if last:
+                emit.append((m, res, sb))
+                continue
+            bound = m.counter_offset + p_hi
+            pos = res["position"]
+            cut = int(np.searchsorted(pos, bound, "left"))
+            emit.append((m, {k: v[:cut] for k, v in res.items()}, sb))
+            if cut < len(pos):
+                hold.append((m, {k: v[cut:] for k, v in res.items()}, sb))
+        held = hold
+        _emit_lines(out, args, emit)
+    out.write(b"\n")
+    return out.getvalue(), bounds, n_rows
+
+
+def _expected(argv, paths):
+    buf = io.BytesIO()
+    assert run(parse_args(argv + paths), out=buf, engine="auto") == 0
+    return buf.getvalue()
+
+
+def _write_sparse(path, n, seed, plant_step=3000):
+    r = np.random.default_rng(seed)
+    blob = bytearray(n)
+    msgs = [
+        b"multi-file ascii artifact",
+        "wide ЖЖ utf16 string".encode("utf-16-le"),
+        "déjà vu € utf8".encode(),
+    ]
+    k = 0
+    for off in range(512, n - 64, plant_step):
+        if (off % (48 * 1024)) > 32 * 1024:
+            continue  # cold gaps
+        m = msgs[k % len(msgs)]
+        blob[off : off + len(m)] = m
+        k += 1
+    path.write_bytes(bytes(blob))
+
+
+@pytest.mark.parametrize("nprocs", [2, 4, 5])
+def test_multifile_odd_sizes(tmp_path, nprocs):
+    """Three input files with ODD sizes: file-letter metadata, odd
+    slice bases at the later files, splits possibly at file switches -
+    all byte-identical to the single-process scan."""
+    paths = []
+    for k, n in enumerate((160 * 1024 + 1, 96 * 1024 + 3, 200 * 1024 + 7)):
+        p = tmp_path / f"f{k}.bin"
+        _write_sparse(p, n, seed=40 + k)
+        paths.append(str(p))
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-n", "5"]
+    got, bounds, n_rows = _simulate(argv, paths, nprocs)
+    assert got == _expected(argv, paths)
+    assert bounds[0] == 0 and bounds[-1] == n_rows
+    assert bounds[1] > 0, "no real split on the sparse corpus"
+
+
+def test_dense_stretch_collapses_forward(tmp_path):
+    """A dense middle third (no quiescent rows) must collapse that
+    boundary forward: the left neighbor absorbs it, LATER boundaries
+    still split, and output stays byte-identical."""
+    n = 384 * 1024
+    blob = bytearray(n)
+    r = np.random.default_rng(50)
+    third = n // 3
+    blob[third : 2 * third] = r.integers(
+        0x20, 0x7F, third, np.uint8
+    ).tobytes()  # dense accepted text, no cold slice anywhere
+    for off in range(512, third - 64, 3000):
+        if (off % (48 * 1024)) > 32 * 1024:
+            continue
+        blob[off : off + 20] = b"left cluster string!"
+    for off in range(2 * third + 512, n - 64, 3000):
+        if (off % (48 * 1024)) > 32 * 1024:
+            continue
+        blob[off : off + 21] = b"right cluster string!"
+    p = tmp_path / "densemid.bin"
+    p.write_bytes(bytes(blob))
+    argv = ["-t", "x", "-e", "UTF-8", "-n", "6"]
+    got, bounds, n_rows = _simulate(argv, [str(p)], 3)
+    assert got == _expected(argv, [str(p)])
+
+
+def test_iso_modes_across_shards(tmp_path):
+    """ISO-2022-JP with several mode switches and a jis mode left open
+    across multiple shard boundaries: entry modes must compose."""
+    n = 512 * 1024
+    blob = bytearray(n)
+    jis = "日本語のテキストです".encode("iso-2022-jp")
+    k = 0
+    for off in range(800, n - 256, 2600):
+        if (off % (64 * 1024)) > 40 * 1024:
+            continue
+        m = jis if k % 2 else b"plain ascii string here"
+        blob[off : off + len(m)] = m
+        k += 1
+    # leave jis open twice, in different quarters
+    for q in (n // 4, 5 * n // 8):
+        frag = b"\x1b$B" + "漢字".encode("iso-2022-jp")[3:-3]
+        blob[q : q + len(frag)] = frag
+    p = tmp_path / "isomix.bin"
+    p.write_bytes(bytes(blob))
+    argv = ["-t", "x", "-e", "ISO-2022-JP", "-e", "Shift_JIS", "-n", "4"]
+    for nprocs in (2, 4):
+        got, bounds, _n = _simulate(argv, [str(p)], nprocs)
+        assert got == _expected(argv, [str(p)]), f"nprocs={nprocs}"
+        assert bounds[1] > 0
