@@ -791,6 +791,37 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     if (utf16_fast)
         for (int c = 0; c < 256; c++)
             ubf_acc[c] = c >= 0xC0 && pass_ubf(m, c);
+    // Single-byte full-window accepted lane: for kind 3 every byte is
+    // one char, so a full window of table-defined, filter-accepted
+    // bytes is exactly two wrapped findings (the ASCII lane's argument
+    // without the sub-0x80 restriction); the payload is batch-
+    // transcoded through a precomputed per-byte-value UTF-8 table
+    // (1-3 bytes each). This is the dense accepted high-byte text
+    // shape (e.g. KOI8-R Cyrillic), where the generic walk measured
+    // ~29 MB/s. same_block must be off (mixed leads break runs);
+    // grep off and chars_min <= line_max as in the sibling lanes.
+    const bool sbyte_fast = m.kind == 3 && m.grep_char < 0 &&
+                            !m.same_block &&
+                            m.chars_min_nb <= m.line_max &&
+                            m.table256 != nullptr;
+    bool sb_acc[256];
+    uint8_t sb_enc[256][3];
+    uint8_t sb_len[256];
+    if (sbyte_fast) {
+        for (int v = 0; v < 256; v++) {
+            int32_t cp = m.table256[v];
+            bool ok = cp >= 0;
+            if (ok)
+                ok = cp < 0x80 ? pass_af(m, cp)
+                               : pass_ubf(m, utf8_lead_of(cp));
+            sb_acc[v] = ok;
+            std::vector<uint8_t> tmp;
+            if (cp >= 0) utf8_append(tmp, cp);
+            sb_len[v] = (uint8_t)tmp.size();
+            for (size_t q = 0; q < tmp.size() && q < 3; q++)
+                sb_enc[v][q] = tmp[q];
+        }
+    }
     // Device run-table feed (STRINGSEXT_RUNTABLE_FEED=1; KERNELS.md
     // design 1, the on-device analog of finding_collection.rs:84-342's
     // decode work): ft_* carries EXACT accepted-char runs extracted on
@@ -1099,6 +1130,55 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     out.file_id.push_back(file_id);
                     out.str_off.push_back(off + (uint64_t)(o1 - o0));
                     out.str_len.push_back((uint32_t)(o2 - o1));
+                    flag = true;
+                    cursor = sstart + we;
+                    advance();
+                    label = we;
+                    ws = we;
+                    continue;
+                }
+            }
+            // Single-byte full-window accepted lane (see sb_acc/sb_enc
+            // above): label>0 keeps the first-window Before heuristic
+            // on the generic path, as in the sibling lanes.
+            if (sbyte_fast && ev_ok && !have_pending && label > 0 &&
+                we - ws == w && cursor == sstart + ws) {
+                const uint8_t* p8 = data + sstart + ws;
+                int64_t k = 0;
+                while (k < w && sb_acc[p8[k]]) k++;
+                if (k == w) {
+                    const int64_t lm = m.line_max;
+                    const uint64_t pos = st.consumed + (uint64_t)label;
+                    const size_t base0 = out.strbuf.size();
+                    out.strbuf.resize(base0 + (size_t)(3 * w));
+                    uint8_t* d0 = out.strbuf.data() + base0;
+                    uint8_t* dst = d0;
+                    uint32_t len1 = 0;
+                    for (int64_t q = 0; q < w; q++) {
+                        const uint8_t v = p8[q];
+                        // unconditional 3-byte write, advance by the
+                        // real length (capacity is 3*w, never exceeded)
+                        dst[0] = sb_enc[v][0];
+                        dst[1] = sb_enc[v][1];
+                        dst[2] = sb_enc[v][2];
+                        dst += sb_len[v];
+                        if (q == lm - 1)
+                            len1 = (uint32_t)(dst - d0);
+                    }
+                    const uint32_t ltot = (uint32_t)(dst - d0);
+                    out.strbuf.resize(base0 + (size_t)ltot);
+                    out.position.push_back(pos);
+                    out.precision.push_back(0);
+                    out.completes.push_back(flag ? 1 : 0);
+                    out.file_id.push_back(file_id);
+                    out.str_off.push_back((uint64_t)base0);
+                    out.str_len.push_back(len1);
+                    out.position.push_back(pos);
+                    out.precision.push_back(1);
+                    out.completes.push_back(1);
+                    out.file_id.push_back(file_id);
+                    out.str_off.push_back((uint64_t)base0 + len1);
+                    out.str_len.push_back(ltot - len1);
                     flag = true;
                     cursor = sstart + we;
                     advance();

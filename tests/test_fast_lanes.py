@@ -169,3 +169,36 @@ def test_mixed_dense_all_lanes_together():
     for enc in (["-e", "UTF-8"], ["-e", "utf-16le"],
                 ["-e", "UTF-8", "-e", "utf-16le", "-e", "utf-16be"]):
         _both_engines(["-t", "x", "-n", "6"] + enc, data)
+
+
+def test_sbyte_lane_accepted_highbyte_window():
+    # full windows of accepted KOI8-R Cyrillic: the sbyte transcode
+    # lane's prime shape (2 wrapped findings per window)
+    text = "в лесу родилась ёлочка в лесу она росла ".encode("koi8_r")
+    out = _both_engines(["-t", "x", "-e", "KOI8-R"], text * 120)
+    assert out.count(b"\n") > 50
+
+
+def test_sbyte_lane_run_cut_one_byte_short():
+    blk = "ж".encode("koi8_r") * 127 + b"\x00"
+    _both_engines(["-t", "x", "-e", "KOI8-R"], blk * 48)
+
+
+def test_sbyte_lane_same_block_guard():
+    # -r (same-unicode-block): mixed Cyrillic/Latin-lead chars must
+    # bail to the generic path; engines must still agree
+    text = ("абв abc где def " * 200).encode("koi8_r")
+    _both_engines(["-t", "x", "-e", "KOI8-R", "-r"], text)
+
+
+def test_sbyte_lane_undefined_byte_breaks_window():
+    # windows-1252 0x81 is undefined (malformed): cuts the lane
+    blk = b"Resum\xe9 caf\xe9 " * 12 + b"\x81"
+    _both_engines(["-t", "x", "-e", "windows-1252"], blk * 40)
+
+
+def test_sbyte_lane_mixed_ascii_highbyte_windows():
+    # ascii_fast and sbyte lanes interleave across windows
+    a = b"plain ascii text windows here padding "
+    c = "чисто кириллические окна здесь " .encode("koi8_r")
+    _both_engines(["-t", "x", "-e", "KOI8-R", "-n", "6"], (a + c) * 120)
