@@ -510,6 +510,228 @@ def scan_shard(inputs, spans, missions, sl, r0: int, r1: int,
 
 
 # ---------------------------------------------------------------------------
+# Per-rank checkpoint/resume (--checkpoint with --dist-nprocs)
+# ---------------------------------------------------------------------------
+#
+# The distributed scan has two phases: per-rank shard scans (the bulk
+# of the work) and the rank-0 gather+merge (idempotent: the output file
+# is opened fresh and rewritten in full on every run). The checkpoint
+# therefore protects only SCAN progress: each rank chunks its shard's
+# slice rows, carries the native resumable state between chunks (the
+# split-with-state == one-shot identity is fuzz-pinned,
+# scripts/fuzz.py's checkpoint branch), and persists states +
+# findings-so-far after every chunk to `<ckpt>.rank<K>` (atomic npz).
+# Resume restarts the same N-process job with the same command line;
+# ranks whose files exist skip their completed chunks (a finished rank
+# skips straight to the gather). All files are removed on success.
+
+_CKPT_CHUNK_ROWS = 8192  # ~32 MiB of slice rows per checkpoint chunk
+
+
+def _ckpt_chunk_rows() -> int:
+    try:
+        return max(1, int(os.environ.get("STRINGSEXT_DIST_CKPT_CHUNK", "")))
+    except ValueError:
+        return _CKPT_CHUNK_ROWS
+
+
+def _atomic_write(path: str, blob: bytes) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _dist_ckpt_save(path, fingerprint_js: str, states, next_chunk,
+                    part=None):
+    """Persist one chunk's findings as its OWN part file (written once,
+    never rewritten - saves stay O(chunk), not O(findings so far)),
+    then the small manifest (states + progress) atomically LAST: a
+    crash between the two leaves an unreferenced part file the next
+    run overwrites."""
+    import io as _io
+    import json as _json
+
+    if part is not None:
+        c, per_mission = part
+        _atomic_write(f"{path}.part{c}", _serialize_findings(per_mission))
+    buf = _io.BytesIO()
+    np.savez(buf, meta=np.frombuffer(
+        _json.dumps({
+            "fingerprint": fingerprint_js,
+            "states": states,
+            "next_chunk": int(next_chunk),
+        }).encode(), np.uint8
+    ))
+    _atomic_write(path, buf.getvalue())
+
+
+def _dist_ckpt_load(path, fingerprint_js: str, n_missions: int):
+    """Returns (states, parts, next_chunk) or None (absent). Raises on
+    a fingerprint mismatch (different inputs/missions/world/bounds) or
+    a missing referenced part file (corrupt checkpoint set)."""
+    import json as _json
+
+    if not os.path.exists(path):
+        return None
+    z = np.load(path)
+    meta = _json.loads(z["meta"].tobytes().decode())
+    if meta["fingerprint"] != fingerprint_js:
+        raise ValueError(
+            f"distributed checkpoint {path} was written by a different "
+            "configuration (inputs/missions/world size/bounds differ); "
+            "resume must rerun the identical command on identical inputs"
+        )
+    parts = []
+    for c in range(int(meta["next_chunk"])):
+        pp = f"{path}.part{c}"
+        if not os.path.exists(pp):
+            raise ValueError(
+                f"distributed checkpoint part {pp} is missing - the "
+                "checkpoint set is incomplete; remove "
+                f"{path}* to start fresh"
+            )
+        with open(pp, "rb") as f:
+            parts.append(_deserialize_findings(f.read(), n_missions))
+    return meta["states"], parts, int(meta["next_chunk"])
+
+
+def _dist_ckpt_cleanup(path: str) -> None:
+    import glob
+
+    for p in [path] + glob.glob(f"{path}.part*") + glob.glob(
+        f"{path}.tmp.*"
+    ):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+def _concat_parts(missions, parts):
+    """Concatenate per-chunk per-mission findings (str_off rebased)."""
+    if not parts:
+        return _empty_per_mission(missions)
+    out = []
+    for i in range(len(missions.v)):
+        cols = {name: [] for name, _ in _FINDING_COLS}
+        bufs = []
+        off = 0
+        for pm in parts:
+            res, sb = pm[i]
+            for name, _dt in _FINDING_COLS:
+                v = res[name]
+                if name == "str_off":
+                    v = v + np.uint64(off)
+                cols[name].append(v)
+            bufs.append(bytes(sb))
+            off += len(bufs[-1])
+        out.append((
+            {k: np.concatenate(v) for k, v in cols.items()},
+            b"".join(bufs),
+        ))
+    return out
+
+
+def scan_shard_checkpointed(inputs, spans, missions, sl, r0: int, r1: int,
+                            entry_mode: int, engine: str, ck_path: str,
+                            fingerprint_js: str, data=None):
+    """scan_shard with per-chunk crash recovery (see the section
+    comment above). Returns (per_mission, (p_lo, p_hi),
+    chunks_skipped, chunks_total)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import native
+
+    if r0 >= r1:
+        return _empty_per_mission(missions), (0, 0), 0, 0
+    starts, lens, fids, last = sl
+    p_lo = int(starts[r0])
+    p_hi = int(starts[r1 - 1] + lens[r1 - 1])
+    if data is None:
+        data = _read_range(inputs, spans, p_lo, p_hi)
+    ssl = (
+        (starts[r0:r1] - p_lo).astype(np.int64),
+        lens[r0:r1], fids[r0:r1], last[r0:r1],
+    )
+    n_rows = r1 - r0
+    crows = _ckpt_chunk_rows()
+    chunk_bounds = list(range(0, n_rows, crows)) + [n_rows]
+    n_chunks = len(chunk_bounds) - 1
+
+    fresh = [
+        {
+            "consumed": m.counter_offset + p_lo,
+            "cursor": 0,
+            "printed_maybe_cut": False,
+            "dec_mode": entry_mode,
+            "dec_output_flag": False,
+            "leftover_cps": [],
+        }
+        for m in missions.v
+    ]
+    loaded = _dist_ckpt_load(ck_path, fingerprint_js, len(missions.v))
+    if loaded is not None:
+        states, parts, next_chunk = loaded
+        states = [dict(st) for st in states]
+    else:
+        states, parts, next_chunk = fresh, [], 0
+
+    hot_by_mission = {}
+    if engine == "tpu" and len(data) and p_lo % 2 == 0:
+        from ..input import LoadedStream
+        from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+        from ..run import _device_hot_ranges_swar
+
+        swar_jobs = [
+            (i, spec) for i, m in enumerate(missions.v)
+            if (spec := swar_mission_spec(m) or cjk_hot_spec(m)) is not None
+        ]
+        if swar_jobs:
+            hot_by_mission = _device_hot_ranges_swar(
+                LoadedStream(data, [(None, 0, len(data))]), swar_jobs
+            )
+
+    pool = ThreadPoolExecutor(max_workers=max(1, len(missions.v)))
+    try:
+        for c in range(next_chunk, n_chunks):
+            c0, c1 = chunk_bounds[c], chunk_bounds[c + 1]
+            csl = tuple(a[c0:c1] for a in ssl)
+            clo = int(csl[0][0])
+            chi = int(csl[0][-1] + csl[1][-1])
+
+            def job(im):
+                i, m = im
+                hot = hot_by_mission.get(i)
+                if hot is not None:
+                    hs, he = hot
+                    ksel = (hs < chi) & (he > clo)
+                    hot = (hs[ksel], he[ksel])
+                return native.native_scan(
+                    m, data, *csl, state=states[i], hot_ranges=hot
+                )
+
+            pm = list(pool.map(job, enumerate(missions.v)))
+            parts.append(pm)
+            _dist_ckpt_save(
+                ck_path, fingerprint_js,
+                [dict(st) for st in states], c + 1, part=(c, pm),
+            )
+            die = os.environ.get("STRINGSEXT_DIST_CKPT_DIE")
+            if die is not None and c + 1 - next_chunk >= int(die):
+                # test hook: simulated crash after N chunks THIS run
+                raise RuntimeError("simulated distributed crash")
+    finally:
+        pool.shutdown()
+    return (
+        _concat_parts(missions, parts), (p_lo, p_hi),
+        next_chunk, n_chunks,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Findings transport: serialize + gather-to-rank-0 (TCP side channel)
 # ---------------------------------------------------------------------------
 
@@ -689,13 +911,19 @@ def _gather_fallback_allgather(blob, p_lo, p_hi, nproc, pid):
 # ---------------------------------------------------------------------------
 
 
-def distributed_run(args, missions, out, engine: str = "auto") -> int:
+def distributed_run(args, missions, out, engine: str = "auto",
+                    checkpoint_path=None) -> int:
     """Multi-process end-to-end scan: every rank finds its shard via
     the windowed boundary search, reads and scans ONLY its shard's
     bytes, and ships findings to rank 0, which streams the
     byte-identical merged output (BOM + lines + trailing newline,
     main.rs:103-139) shard by shard with boundary-tie holdback.
-    jax.distributed must already be initialized (see `initialize`)."""
+    jax.distributed must already be initialized (see `initialize`).
+
+    `checkpoint_path` makes the SCAN phase resumable per rank (see the
+    checkpoint section comment): resume = rerun the identical command
+    with the same world; the merge phase is idempotent (the output is
+    rewritten in full), so no output bookkeeping is needed."""
     global BYTES_READ
     from ..encodings import encoding_kind
     from ..input import slice_table
@@ -766,10 +994,32 @@ def distributed_run(args, missions, out, engine: str = "auto") -> int:
         ).reshape(-1)
         entry_mode = _compose_entry_mode(transfers.tolist(), pid)
 
-    per_mission, (p_lo, p_hi) = scan_shard(
-        inputs, spans, missions, sl, r0, r1,
-        entry_mode=entry_mode, engine=engine, data=shard_bytes,
-    )
+    ck_skipped = ck_total = 0
+    if checkpoint_path is not None:
+        import json as _json
+
+        from ..utils.checkpoint import _mission_fingerprint
+
+        fp_js = _json.dumps({
+            "missions": _mission_fingerprint(missions),
+            "sizes": [int(e - s) for _f, s, e in spans],
+            "nprocs": nproc, "rank": pid, "bounds": list(bounds),
+            "engine": engine, "entry_mode": entry_mode,
+        }, sort_keys=True)
+        rank_ck = f"{checkpoint_path}.rank{pid}"
+        per_mission, (p_lo, p_hi), ck_skipped, ck_total = (
+            scan_shard_checkpointed(
+                inputs, spans, missions, sl, r0, r1,
+                entry_mode=entry_mode, engine=engine,
+                ck_path=rank_ck, fingerprint_js=fp_js,
+                data=shard_bytes,
+            )
+        )
+    else:
+        per_mission, (p_lo, p_hi) = scan_shard(
+            inputs, spans, missions, sl, r0, r1,
+            entry_mode=entry_mode, engine=engine, data=shard_bytes,
+        )
 
     blob = b"" if pid == 0 else _serialize_findings(per_mission)
     remote = _gather_shards_to_zero(blob, p_lo, p_hi)
@@ -779,14 +1029,18 @@ def distributed_run(args, missions, out, engine: str = "auto") -> int:
         rank=pid, nprocs=nproc, bounds=list(bounds),
         bytes_read=BYTES_READ, shard=(p_lo, p_hi),
         entry_mode=entry_mode,
+        ckpt_chunks_skipped=ck_skipped, ckpt_chunks_total=ck_total,
     )
 
     if pid != 0:
         # Hold the distributed runtime open until rank 0 has finished
         # writing (a sender tearing down the coordinator mid-merge
         # would abort rank 0); rank 0 joins this barrier after its
-        # final flush.
+        # final flush. The barrier also means checkpoint files are
+        # removed only once the WHOLE job succeeded.
         _done_barrier()
+        if checkpoint_path is not None:
+            _dist_ckpt_cleanup(f"{checkpoint_path}.rank{pid}")
         return 0
 
     # Rank 0: stream the merged output shard by shard. Findings at a
@@ -832,6 +1086,8 @@ def distributed_run(args, missions, out, engine: str = "auto") -> int:
     out.write(b"\n")
     out.flush()
     _done_barrier()
+    if checkpoint_path is not None:
+        _dist_ckpt_cleanup(f"{checkpoint_path}.rank0")
     return 0
 
 

@@ -1472,16 +1472,6 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
                     "distributed scan requires file inputs (stdin cannot be "
                     "sharded across processes)"
                 )
-            if args.checkpoint is not None:
-                # Fail loudly rather than silently ignore the flag
-                # (main.rs:181-184: the reference errors on anything it
-                # cannot honor).
-                raise RuntimeError(
-                    "--checkpoint is not supported with --dist-nprocs: the "
-                    "distributed scan has no resumable stream state. Run "
-                    "the checkpointed scan single-process, or drop "
-                    "--checkpoint."
-                )
             from .parallel import distributed
 
             distributed.initialize(
@@ -1497,8 +1487,12 @@ def run(args: Args, out: Optional[IO[bytes]] = None, engine: str = "auto") -> in
                 else:
                     out = sys.stdout.buffer
             try:
+                # --checkpoint: per-rank scan-phase resume (the merge
+                # phase is idempotent; resume = rerun the identical
+                # command with the same world).
                 return distributed.distributed_run(
-                    args, missions, out, engine=engine
+                    args, missions, out, engine=engine,
+                    checkpoint_path=args.checkpoint,
                 )
             finally:
                 if close_d:

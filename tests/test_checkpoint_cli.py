@@ -180,17 +180,16 @@ def test_run_checkpoint_validations(tmp_path):
             out=io.BytesIO())
 
 
-def test_checkpoint_with_dist_rejected(tmp_path):
-    """--checkpoint + --dist-nprocs must fail loudly, not silently
-    ignore the checkpoint (main.rs:181-184: the reference errors on
-    anything it cannot honor)."""
-    p = tmp_path / "a.bin"
-    p.write_bytes(b"x" * 10)
-    ck = tmp_path / "scan.ck"
-    with pytest.raises(RuntimeError, match="checkpoint.*dist|dist.*checkpoint"):
+def test_checkpoint_with_dist_stdin_rejected():
+    """--checkpoint + --dist-nprocs is SUPPORTED for file inputs
+    (per-rank scan-phase resume; process-level kill/resume pinned in
+    tests/test_distributed_2proc.py::test_two_process_checkpoint_resume),
+    but stdin still cannot be sharded - that combination must fail
+    loudly before joining any runtime."""
+    with pytest.raises(RuntimeError, match="stdin"):
         run(parse_args(
-            ARGV + ["--checkpoint", str(ck), "--dist-nprocs", "2",
-                    "--dist-rank", "0", str(p)]),
+            ARGV + ["--checkpoint", "/tmp/never.ck", "--dist-nprocs", "2",
+                    "--dist-rank", "0", "-"]),
             out=io.BytesIO())
 
 

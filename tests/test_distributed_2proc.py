@@ -140,6 +140,61 @@ def _cli_worker_main():
     print(f"WORKER{pid}-OK", flush=True)
 
 
+def _ckpt_worker_main():
+    """--checkpoint with --dist-nprocs: both ranks crash mid-scan in
+    phase 1 (test hook), then the identical command resumes in phase 2
+    - already-scanned chunks skipped, output byte-identical."""
+    pid = int(os.environ[_WORKER_ENV])
+    coord = os.environ["STRINGSEXT_DIST_COORD"]
+    work = os.environ["STRINGSEXT_DIST_WORKDIR"]
+    nprocs = int(os.environ.get("STRINGSEXT_DIST_NPROCS", "2"))
+    phase = os.environ["STRINGSEXT_DIST_CKPT_PHASE"]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["STRINGSEXT_DIST_CKPT_CHUNK"] = "8"
+
+    import io
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from stringsext_tpu.parallel import distributed
+
+    distributed.initialize(
+        coordinator_address=coord, num_processes=nprocs, process_id=pid
+    )
+    from stringsext_tpu.cli import parse_args
+    from stringsext_tpu.run import run
+
+    corpus = os.path.join(work, "sparse.bin")
+    ck = os.path.join(work, "dist.ck")
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le",
+            "--checkpoint", ck,
+            "--dist-nprocs", str(nprocs), "--dist-rank", str(pid),
+            "--dist-coord", coord, corpus]
+    if phase == "crash":
+        os.environ["STRINGSEXT_DIST_CKPT_DIE"] = "2"
+        try:
+            run(parse_args(argv), out=io.BytesIO())
+        except RuntimeError as e:
+            assert "simulated" in str(e), e
+            assert os.path.exists(f"{ck}.rank{pid}")
+            print(f"WORKER{pid}-CRASHED", flush=True)
+            return
+        raise AssertionError("crash hook did not fire")
+    buf = io.BytesIO()
+    rc = run(parse_args(argv), out=buf)
+    assert rc == 0
+    st = distributed.LAST_STATS
+    assert st["ckpt_chunks_skipped"] >= 1, st  # resume skipped work
+    if pid == 0:
+        expected = open(os.path.join(work, "sparse.expected"), "rb").read()
+        assert buf.getvalue() == expected
+    else:
+        assert buf.getvalue() == b""
+    assert not os.path.exists(f"{ck}.rank{pid}")  # removed on success
+    print(f"WORKER{pid}-OK", flush=True)
+
+
 def _worker_main():
     pid = int(os.environ[_WORKER_ENV])
     coord = os.environ["STRINGSEXT_DIST_COORD"]
@@ -223,11 +278,14 @@ def _worker_main():
     print(f"WORKER{pid}-OK", flush=True)
 
 
-def _spawn_round(port, timeout_s, mode="counts", workdir=None, nprocs=2):
+def _spawn_round(port, timeout_s, mode="counts", workdir=None, nprocs=2,
+                 extra_env=None):
     env = dict(os.environ)
     env["STRINGSEXT_DIST_COORD"] = f"127.0.0.1:{port}"
     env["STRINGSEXT_DIST_TEST_MODE"] = mode
     env["STRINGSEXT_DIST_NPROCS"] = str(nprocs)
+    if extra_env:
+        env.update(extra_env)
     if workdir is not None:
         env["STRINGSEXT_DIST_WORKDIR"] = str(workdir)
     env.pop("JAX_PLATFORMS", None)
@@ -374,6 +432,39 @@ def test_two_process_distributed_cli(tmp_path):
     assert False, f"all attempts failed: {last and [o[-2000:] for _, o in last]}"
 
 
+def test_two_process_checkpoint_resume(tmp_path):
+    """--checkpoint + --dist-nprocs: both ranks crash mid-scan, then
+    the identical command resumes - completed chunks skipped, rank 0's
+    output byte-identical, checkpoint files removed on success."""
+    _make_cli_corpora(tmp_path)
+    # phase 1: crash (both ranks exit nonzero with rank files on disk)
+    crashed = False
+    for _attempt in range(3):
+        res = _spawn_round(_free_port(), timeout_s=240, mode="ckpt",
+                           workdir=tmp_path,
+                           extra_env={"STRINGSEXT_DIST_CKPT_PHASE": "crash"})
+        if res is not None and all(
+            f"WORKER{pid}-CRASHED" in out for pid, (_p, out) in enumerate(res)
+        ):
+            crashed = True
+            break
+    assert crashed, "crash phase did not complete"
+    assert (tmp_path / "dist.ck.rank0").exists()
+    assert (tmp_path / "dist.ck.rank1").exists()
+    # phase 2: resume with the SAME workdir/checkpoint
+    last = None
+    for _attempt in range(3):
+        res = _spawn_round(_free_port(), timeout_s=240, mode="ckpt",
+                           workdir=tmp_path,
+                           extra_env={"STRINGSEXT_DIST_CKPT_PHASE": "resume"})
+        if res is not None and all(pr.returncode == 0 for pr, _ in res):
+            for pid, (pr, out) in enumerate(res):
+                assert f"WORKER{pid}-OK" in out, out[-3000:]
+            return
+        last = res
+    assert False, f"resume failed: {last and [o[-2000:] for _, o in last]}"
+
+
 def test_three_process_distributed_cli(tmp_path):
     """Same full-pipeline contract at 3 processes: shard-boundary
     search, per-shard scans, findings gather, and the rank-0 merge must
@@ -397,8 +488,11 @@ if __name__ == "__main__":
         sys.path.insert(
             0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-        if os.environ.get("STRINGSEXT_DIST_TEST_MODE") == "cli":
+        mode = os.environ.get("STRINGSEXT_DIST_TEST_MODE")
+        if mode == "cli":
             _cli_worker_main()
+        elif mode == "ckpt":
+            _ckpt_worker_main()
         else:
             _worker_main()
     else:
