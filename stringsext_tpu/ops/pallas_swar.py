@@ -1076,6 +1076,38 @@ def cjk_hot_spec(mission):
             if b not in (0x0E, 0x0F) and f.pass_af_filter(b):
                 plausible[b] = True
         return _plausible_to_spec(plausible)
+    if kind == "single-byte":
+        # Reached only when the EXACT sbyte spec overflowed the SWAR
+        # interval cap (swar_mission_spec returned None - e.g. the
+        # scattered macintosh table under permissive filters): coarsen
+        # the accepted-byte set to a conservative SUPERSET. Every
+        # consumer of this function runs hot_only passes (hot/cold
+        # block maps; the emitter rescans hot ranges exactly), where a
+        # superset only costs extra hot blocks - without it, ONE such
+        # mission in a set blocks device hot maps, host hot maps AND
+        # the distributed shard split for the whole set.
+        import numpy as np
+
+        from ..encodings import full_byte_table
+
+        tbl = full_byte_table(mission.encoding_name)
+        f = mission.filter
+        plausible = np.zeros(256, bool)
+        for b in range(256):
+            cp = int(tbl[b])
+            if cp < 0:
+                continue
+            if cp < 0x80:
+                plausible[b] = bool((f.af >> cp) & 1)
+            else:
+                if cp < 0x800:
+                    lead = 0xC0 | (cp >> 6)
+                elif cp < 0x10000:
+                    lead = 0xE0 | (cp >> 12)
+                else:
+                    lead = 0xF0 | (cp >> 18)
+                plausible[b] = bool((f.ubf >> (lead & 0x3F)) & 1)
+        return _plausible_to_spec(plausible)
     if kind not in ("euc-kr", "big5", "shift_jis", "euc-jp", "gb18030"):
         return None
 

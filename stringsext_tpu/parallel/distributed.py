@@ -437,6 +437,50 @@ def _empty_per_mission(missions):
     ]
 
 
+def _shard_hot_maps(missions, data, p_lo: int, engine: str):
+    """Hot byte ranges over THIS RANK'S shard buffer (buffer-relative
+    coordinates; the shard base is even by the boundary predicate, so
+    UTF-16 unit pairing by buffer offset matches the stream).
+    engine=tpu uses the device kernels; engine=auto honors the opt-in
+    STRINGSEXT_HOST_HOTMAP=1 numpy prepass (the no-device skip
+    machinery - what makes a many-mission sparse sweep feasible on
+    plain hosts)."""
+    from ..input import LoadedStream
+
+    if not len(data):
+        return {}
+    if engine == "tpu":
+        from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+        from ..run import _device_hot_ranges_swar, _warn_once
+
+        if p_lo % 2:
+            _warn_once(
+                ("dist-odd-base", jax.process_index()),
+                f"Warning: rank {jax.process_index()} shard starts at "
+                f"an odd stream offset {p_lo}; skipping device hot maps "
+                f"for it (full host scan - output is unaffected).",
+            )
+            return {}
+        swar_jobs = []
+        for i, m in enumerate(missions.v):
+            spec = swar_mission_spec(m) or cjk_hot_spec(m)
+            if spec is not None:
+                swar_jobs.append((i, spec))
+        if not swar_jobs:
+            return {}
+        return _device_hot_ranges_swar(
+            LoadedStream(data, [(None, 0, len(data))]), swar_jobs
+        )
+    if os.environ.get("STRINGSEXT_HOST_HOTMAP") == "1":
+        from ..run import _host_hot_ranges
+
+        return _host_hot_ranges(
+            LoadedStream(data, [(None, 0, len(data))]),
+            list(enumerate(missions.v)),
+        )
+    return {}
+
+
 def scan_shard(inputs, spans, missions, sl, r0: int, r1: int,
                entry_mode: int = 0, engine: str = "auto", data=None):
     """Exact scan of slice rows [r0, r1): reads ONLY those bytes,
@@ -463,32 +507,7 @@ def scan_shard(inputs, spans, missions, sl, r0: int, r1: int,
         lens[r0:r1], fids[r0:r1], last[r0:r1],
     )
 
-    hot_by_mission = {}
-    if engine == "tpu" and len(data):
-        # Device hot maps over THIS RANK'S shard buffer only (buffer-
-        # relative coordinates; the shard base is even by the boundary
-        # predicate, so UTF-16 unit pairing by buffer offset matches
-        # the stream).
-        from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
-        from ..run import _device_hot_ranges_swar, _warn_once
-
-        if p_lo % 2:
-            _warn_once(
-                ("dist-odd-base", jax.process_index()),
-                f"Warning: rank {jax.process_index()} shard starts at an "
-                f"odd stream offset {p_lo}; skipping device hot maps for "
-                f"it (full host scan - output is unaffected).",
-            )
-        else:
-            swar_jobs = []
-            for i, m in enumerate(missions.v):
-                spec = swar_mission_spec(m) or cjk_hot_spec(m)
-                if spec is not None:
-                    swar_jobs.append((i, spec))
-            if swar_jobs:
-                hot_by_mission = _device_hot_ranges_swar(
-                    LoadedStream(data, [(None, 0, len(data))]), swar_jobs
-                )
+    hot_by_mission = _shard_hot_maps(missions, data, p_lo, engine)
 
     def job(im):
         i, m = im
@@ -679,20 +698,7 @@ def scan_shard_checkpointed(inputs, spans, missions, sl, r0: int, r1: int,
     else:
         states, parts, next_chunk = fresh, [], 0
 
-    hot_by_mission = {}
-    if engine == "tpu" and len(data) and p_lo % 2 == 0:
-        from ..input import LoadedStream
-        from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
-        from ..run import _device_hot_ranges_swar
-
-        swar_jobs = [
-            (i, spec) for i, m in enumerate(missions.v)
-            if (spec := swar_mission_spec(m) or cjk_hot_spec(m)) is not None
-        ]
-        if swar_jobs:
-            hot_by_mission = _device_hot_ranges_swar(
-                LoadedStream(data, [(None, 0, len(data))]), swar_jobs
-            )
+    hot_by_mission = _shard_hot_maps(missions, data, p_lo, engine)
 
     pool = ThreadPoolExecutor(max_workers=max(1, len(missions.v)))
     try:

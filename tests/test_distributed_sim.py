@@ -176,3 +176,46 @@ def test_iso_modes_across_shards(tmp_path):
         got, bounds, _n = _simulate(argv, [str(p)], nprocs)
         assert got == _expected(argv, [str(p)]), f"nprocs={nprocs}"
         assert bounds[1] > 0
+
+
+def test_macintosh_overflow_spec_allows_split(tmp_path):
+    """macintosh's exact sbyte spec overflows the SWAR interval cap;
+    the conservative cjk_hot_spec fallback (accepted-byte superset)
+    must keep the whole mission SET shardable - one spec-less mission
+    used to force rank-0-scans-all for every encoding."""
+    from stringsext_tpu.encodings import full_byte_table
+    from stringsext_tpu.ops.pallas_swar import (
+        cjk_hot_spec,
+        swar_mission_spec,
+    )
+
+    ms = Missions.from_args(parse_args(
+        ["-e", "macintosh", "-e", "UTF-8", "/dev/null"]))
+    m = ms.v[0]
+    assert swar_mission_spec(m) is None  # the overflow that bit us
+    spec = cjk_hot_spec(m)
+    assert spec is not None and spec[0] == "sbyte"
+    # superset property: every filter-accepted byte value is covered
+    tbl = full_byte_table(m.encoding_name)
+    f = m.filter
+    iv = spec[1]
+    for b in range(256):
+        cp = int(tbl[b])
+        if cp < 0:
+            continue
+        if cp < 0x80:
+            ok = bool((f.af >> cp) & 1)
+        else:
+            lead = 0xC0 | (cp >> 6) if cp < 0x800 else 0xE0 | (cp >> 12)
+            ok = bool((f.ubf >> (lead & 0x3F)) & 1)
+        if ok:
+            assert any(lo <= b <= hi for lo, hi in iv), hex(b)
+    assert D._mission_jobs(ms) is not None
+
+    # and the simulated multi-rank scan still splits + matches
+    p = tmp_path / "mac.bin"
+    _write_sparse(p, 256 * 1024, seed=77)
+    argv = ["-t", "x", "-e", "macintosh", "-e", "UTF-8", "-n", "5"]
+    got, bounds, n_rows = _simulate(argv, [str(p)], 2)
+    assert got == _expected(argv, [str(p)])
+    assert 0 < bounds[1] < n_rows, bounds
