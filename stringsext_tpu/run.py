@@ -1255,9 +1255,19 @@ def _run_streaming_stdin(
             np.zeros(len(s), np.uint8),
         )
 
-        # engine=tpu: per-chunk device hot maps (buffer-relative byte
-        # coordinates - native_scan compares them against the same).
+        # Per-chunk hot maps (buffer-relative byte coordinates -
+        # native_scan compares them against the same): device kernels
+        # under engine=tpu, or the opt-in host prepass
+        # (STRINGSEXT_HOST_HOTMAP=1) with no device - the latter is
+        # what makes many-mission sparse sweeps of huge STREAMED files
+        # feasible (the buffered path has had it since round 2).
         hot_by_mission = {}
+        if (engine != "tpu" and len(data)
+                and os.environ.get("STRINGSEXT_HOST_HOTMAP") == "1"):
+            hot_by_mission = _host_hot_ranges(
+                LoadedStream(data, [(None, 0, len(data))]),
+                list(enumerate(missions.v)),
+            )
         if engine == "tpu" and len(data):
             from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
 
