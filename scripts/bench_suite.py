@@ -152,11 +152,24 @@ def main():
         sp = swar_mission_spec(m) or cjk_hot_spec(m)
         if sp is not None:
             specs.append(sp)
-    groups = [tuple(specs[i : i + 20]) for i in range(0, len(specs), 20)]
-    print(f"# sweep: {len(specs)} device specs in {len(groups)} launches",
-          file=sys.stderr)
-    timed_loop(words_of(raw), groups, True, "5:all-41-encodings-32MB",
-               32 * 1024 * 1024, missions=len(specs))
+    # Group-size fallback, mirroring the production launch_group halving
+    # (run.py): a group's scoped-VMEM footprint depends on its specs'
+    # interval counts, and the v5e limit is 16 MB - round 3's macintosh
+    # coarsened spec pushed a 20-group 172 KB over it.
+    for gsz in (20, 14, 10, 8):
+        groups = [tuple(specs[i : i + gsz])
+                  for i in range(0, len(specs), gsz)]
+        print(f"# sweep: {len(specs)} device specs in {len(groups)} "
+              f"launches of <= {gsz}", file=sys.stderr)
+        try:
+            timed_loop(words_of(raw), groups, True,
+                       f"5:all-41-encodings-32MB(g{gsz})",
+                       32 * 1024 * 1024, missions=len(specs))
+            break
+        except Exception as e:
+            print(f"# group size {gsz} failed to compile "
+                  f"({str(e)[:120]}...); halving",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

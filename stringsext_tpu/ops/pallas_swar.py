@@ -1107,7 +1107,19 @@ def cjk_hot_spec(mission):
                 else:
                     lead = 0xF0 | (cp >> 18)
                 plausible[b] = bool((f.ubf >> (lead & 0x3F)) & 1)
-        return _plausible_to_spec(plausible)
+        bits = 0
+        for b in np.flatnonzero(plausible).tolist():
+            bits |= 1 << b
+        if bits == 0:
+            return ("sbyte", (), ())
+        # Tighter interval cap than the CJK plausible specs (8 vs 12):
+        # this spec joins LARGE fused groups (the all-encodings sweep),
+        # where per-spec interval count drives scoped-VMEM pressure -
+        # 12 intervals here tipped a 20-spec group 172 KB over the v5e
+        # 16 MB limit. Coarser superset = a few extra hot blocks for
+        # this mission only.
+        return ("sbyte", _merge_to_max(decompose_intervals(bits, 256), 8),
+                ())
     if kind not in ("euc-kr", "big5", "shift_jis", "euc-jp", "gb18030"):
         return None
 
