@@ -397,6 +397,7 @@ def _host_hot_ranges(stream: LoadedStream, jobs):
     nb = (n + _HOT_BLOCK - 1) // _HOT_BLOCK
     n_body = (nb - 1) * _HOT_BLOCK if nb else 0  # whole blocks
     out = {}
+    lut_jobs = []  # (mission idx, 256-bool LUT): fused below
     for i, m in jobs:
         spec = swar_mission_spec(m) or cjk_hot_spec(m)
         if spec is None:
@@ -442,19 +443,58 @@ def _host_hot_ranges(stream: LoadedStream, jobs):
             lut = np.zeros(256, bool)
             for lo, hi in iv:
                 lut[lo : hi + 1] = True
-            bm = lut[data]
-            if n_body:
-                hb[: nb - 1] = bm[:n_body].reshape(-1, _HOT_BLOCK).any(axis=1)
-            if n > n_body and bm[n_body:].any():
-                hb[nb - 1] = True
+            lut_jobs.append((i, lut))
+            continue
         if len(hb):
             hb[0] = True
             hb[-1] = True  # stream edges: boundary-spanning carry
-        d = np.diff(hb.astype(np.int8), prepend=0, append=0)
-        s_blk = np.flatnonzero(d == 1).astype(np.int64) * _HOT_BLOCK - 8
-        e_blk = np.flatnonzero(d == -1).astype(np.int64) * _HOT_BLOCK + 8
-        out[i] = _merge_ranges(s_blk, e_blk, n)
+        out[i] = _hb_to_ranges(hb, n)
+
+    # Fused byte-LUT pass: all byte-value missions (utf8 / single-byte
+    # / CJK-plausible / iso-2022-jp) share ONE table gather per group
+    # of <= 64, a bit per mission - 40 separate `lut[data]` passes cost
+    # ~40x the memory traffic on a gather-weak host (the all-encodings
+    # sweep spent 96% of its wall here). Per-mission results are
+    # BIT-IDENTICAL to the one-at-a-time passes (same membership test,
+    # same block reduce); the fusion only batches them.
+    for g0 in range(0, len(lut_jobs), 64):
+        grp = lut_jobs[g0 : g0 + 64]
+        nbits = len(grp)
+        dt = (np.uint8 if nbits <= 8 else np.uint16 if nbits <= 16
+              else np.uint32 if nbits <= 32 else np.uint64)
+        bits = np.zeros(256, dt)
+        for gi, (_i, lut) in enumerate(grp):
+            bits[lut] |= dt(1 << gi)
+        blk = np.zeros(nb, dt)
+        CH = 32 * 1024 * 1024  # multiple of _HOT_BLOCK; bounds temps
+        pos = 0
+        while pos < n_body:
+            e = min(pos + CH, n_body)
+            per = bits[data[pos:e]]
+            blk[pos // _HOT_BLOCK : e // _HOT_BLOCK] = (
+                np.bitwise_or.reduce(
+                    per.reshape(-1, _HOT_BLOCK), axis=1
+                )
+            )
+            pos = e
+        if n > n_body:
+            blk[nb - 1] = np.bitwise_or.reduce(bits[data[n_body:]])
+        for gi, (i, _lut) in enumerate(grp):
+            hb = ((blk >> dt(gi)) & dt(1)).astype(bool)
+            if len(hb):
+                hb[0] = True
+                hb[-1] = True
+            out[i] = _hb_to_ranges(hb, n)
     return out
+
+
+def _hb_to_ranges(hb, n):
+    import numpy as np
+
+    d = np.diff(hb.astype(np.int8), prepend=0, append=0)
+    s_blk = np.flatnonzero(d == 1).astype(np.int64) * _HOT_BLOCK - 8
+    e_blk = np.flatnonzero(d == -1).astype(np.int64) * _HOT_BLOCK + 8
+    return _merge_ranges(s_blk, e_blk, n)
 
 
 # Segment-parallel native scanning (engine=tpu): kinds whose event
