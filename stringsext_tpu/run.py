@@ -397,23 +397,27 @@ def _host_hot_ranges(stream: LoadedStream, jobs):
     nb = (n + _HOT_BLOCK - 1) // _HOT_BLOCK
     n_body = (nb - 1) * _HOT_BLOCK if nb else 0  # whole blocks
     out = {}
-    lut_jobs = []  # (mission idx, 256-bool LUT): fused below
+    # (mission idx, kind-tagged byte LUTs): every mission fuses into
+    # ONE table gather below - byte-value membership for the utf8 /
+    # single-byte / CJK-plausible / iso-2022-jp specs, and a
+    # parity-split block test for UTF-16 (high-byte membership at the
+    # unit-high byte parity + the page-0 low-byte test; units sit at
+    # even stream offsets, and 512-byte blocks never split a unit).
+    fuse_jobs = []
     for i, m in jobs:
         spec = swar_mission_spec(m) or cjk_hot_spec(m)
         if spec is None:
             continue
         kind = spec[0]
-        hb = np.zeros(nb, bool)
         if kind == "utf16":
-            # High-byte LUT on the strided unit-high positions: a unit
-            # is accepted only if its high byte is the high byte of
-            # SOME accepted codepoint - a superset of the exact unit
-            # test at a fraction of the memory passes. Page 0 (high
-            # byte 0x00) gets an exact low-byte test instead: zero
-            #-filled gaps would otherwise be all-hot whenever the
-            # filter accepts any cp < 0x100 (cp 0x0000 is rejected,
-            # so zeros stay cold). Units sit at even stream offsets;
-            # LE's high byte is the odd position.
+            # A unit is hot iff its high byte is the high byte of SOME
+            # accepted codepoint, or (high byte 0x00) its low byte is
+            # an accepted cp < 0x100 - zero-filled gaps stay cold
+            # because cp 0x0000 is rejected. At block level this
+            # becomes: any(hi member at hi-parity) | (any(0x00 at
+            # hi-parity) & any(lo member at lo-parity)) - a superset of
+            # the exact per-unit test (the AND decouples), which is all
+            # the hot contract needs.
             _k, be, cp_iv, _g = spec
             iv = list(cp_iv)
             if any(hi >= 0x10000 for _lo, hi in iv):
@@ -425,65 +429,90 @@ def _host_hot_ranges(stream: LoadedStream, jobs):
                     hi_lut[max(lo >> 8, 1) : (min(hi, 0xFFFF) >> 8) + 1] = True
                 if lo <= 0xFF:
                     lo_lut0[lo : min(hi, 0xFF) + 1] = True
-            nu = n // 2  # whole units
-            hi_pos = data[(0 if be else 1) : 2 * nu : 2]
-            lo_pos = data[(1 if be else 0) : 2 * nu : 2]
-            um = hi_lut[hi_pos]
-            if lo_lut0.any():
-                um |= (hi_pos == 0) & lo_lut0[lo_pos]
-            upb = _HOT_BLOCK // 2
-            nbu = (nu // upb) * upb
-            if nbu:
-                blk = um[:nbu].reshape(-1, upb).any(axis=1)
-                hb[: len(blk)] = blk
-            if nu > nbu and um[nbu:].any():
-                hb[nbu // upb] = True
+            fuse_jobs.append((i, "u16", (bool(be), hi_lut, lo_lut0)))
         else:
             iv = (spec[1] + spec[2]) if kind == "utf8" else spec[1]
             lut = np.zeros(256, bool)
             for lo, hi in iv:
                 lut[lo : hi + 1] = True
-            lut_jobs.append((i, lut))
-            continue
-        if len(hb):
-            hb[0] = True
-            hb[-1] = True  # stream edges: boundary-spanning carry
-        out[i] = _hb_to_ranges(hb, n)
+            fuse_jobs.append((i, "lut", lut))
 
-    # Fused byte-LUT pass: all byte-value missions (utf8 / single-byte
-    # / CJK-plausible / iso-2022-jp) share ONE table gather per group
-    # of <= 64, a bit per mission - 40 separate `lut[data]` passes cost
-    # ~40x the memory traffic on a gather-weak host (the all-encodings
-    # sweep spent 96% of its wall here). Per-mission results are
-    # BIT-IDENTICAL to the one-at-a-time passes (same membership test,
-    # same block reduce); the fusion only batches them.
-    for g0 in range(0, len(lut_jobs), 64):
-        grp = lut_jobs[g0 : g0 + 64]
-        nbits = len(grp)
+    # Fused pass: one bits[data] gather per group, a bit (or three) per
+    # mission - separate per-mission passes cost ~#missions x the
+    # memory traffic, and the UTF-16 strided gathers are the host's
+    # weakest access pattern (the 40-mission sweep spent 96% of its
+    # wall here). The per-block even/odd-parity OR masks come from one
+    # reshape reduce; small chunks keep the gather output cache-
+    # resident for it (measured 1.6x vs 32 MiB chunks).
+    def bits_needed(job):
+        return 1 if job[1] == "lut" else 2  # u16: hi + lo0 (+shared 0)
+
+    groups = []
+    cur, used = [], 1  # bit 0 reserved per group: byte value == 0x00
+    for job in fuse_jobs:
+        need = bits_needed(job)
+        if used + need > 64:
+            groups.append(cur)
+            cur, used = [], 1
+        cur.append(job)
+        used += need
+    if cur:
+        groups.append(cur)
+
+    CH = 2 * 1024 * 1024  # multiple of 2*_HOT_BLOCK; cache-resident
+    for grp in groups:
+        nbits = 1 + sum(bits_needed(j) for j in grp)
         dt = (np.uint8 if nbits <= 8 else np.uint16 if nbits <= 16
               else np.uint32 if nbits <= 32 else np.uint64)
         bits = np.zeros(256, dt)
-        for gi, (_i, lut) in enumerate(grp):
-            bits[lut] |= dt(1 << gi)
-        blk = np.zeros(nb, dt)
-        CH = 32 * 1024 * 1024  # multiple of _HOT_BLOCK; bounds temps
+        bits[0] |= dt(1)  # shared bit 0: byte value 0x00
+        assign = {}
+        nxt = 1
+        for i, tag, payload in grp:
+            if tag == "lut":
+                bits[payload] |= dt(1 << nxt)
+                assign[i] = (tag, nxt)
+                nxt += 1
+            else:
+                _be, hi_lut, lo_lut0 = payload
+                bits[hi_lut] |= dt(1 << nxt)
+                bits[lo_lut0] |= dt(1 << (nxt + 1))
+                assign[i] = (tag, nxt)
+                nxt += 2
+        # Per-block OR masks split by byte-position parity.
+        blk_ev = np.zeros(nb, dt)
+        blk_od = np.zeros(nb, dt)
         pos = 0
         while pos < n_body:
             e = min(pos + CH, n_body)
             per = bits[data[pos:e]]
-            blk[pos // _HOT_BLOCK : e // _HOT_BLOCK] = (
-                np.bitwise_or.reduce(
-                    per.reshape(-1, _HOT_BLOCK), axis=1
-                )
+            r = np.bitwise_or.reduce(
+                per.reshape(-1, _HOT_BLOCK // 2, 2), axis=1
             )
+            blk_ev[pos // _HOT_BLOCK : e // _HOT_BLOCK] = r[:, 0]
+            blk_od[pos // _HOT_BLOCK : e // _HOT_BLOCK] = r[:, 1]
             pos = e
         if n > n_body:
-            blk[nb - 1] = np.bitwise_or.reduce(bits[data[n_body:]])
-        for gi, (i, _lut) in enumerate(grp):
-            hb = ((blk >> dt(gi)) & dt(1)).astype(bool)
+            tail = bits[data[n_body:]]
+            blk_ev[nb - 1] = np.bitwise_or.reduce(tail[0::2]) if len(
+                tail[0::2]) else dt(0)
+            blk_od[nb - 1] = np.bitwise_or.reduce(tail[1::2]) if len(
+                tail[1::2]) else dt(0)
+        for i, tag, payload in grp:
+            kind2, b0 = assign[i]
+            if kind2 == "lut":
+                hb = (((blk_ev | blk_od) >> dt(b0)) & dt(1)).astype(bool)
+            else:
+                be = payload[0]
+                hi_col, lo_col = (blk_ev, blk_od) if be else (blk_od,
+                                                              blk_ev)
+                hb = ((hi_col >> dt(b0)) & dt(1)).astype(bool)
+                if payload[2].any():
+                    hb |= (((hi_col & dt(1)) != 0)
+                           & (((lo_col >> dt(b0 + 1)) & dt(1)) != 0))
             if len(hb):
                 hb[0] = True
-                hb[-1] = True
+                hb[-1] = True  # stream edges: boundary-spanning carry
             out[i] = _hb_to_ranges(hb, n)
     return out
 
