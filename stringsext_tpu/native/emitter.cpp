@@ -1044,24 +1044,44 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
             // (ASCII chars interleaved with rejected NULs) and
             // low-byte binary noise, where valid-char runs defeat the
             // sterile-malformed lookahead.
-            if (ascii_fast && ev_ok && !have_pending && !flag &&
-                cursor == sstart + ws && !(is_last && last_window)) {
+            if ((ascii_fast || sbyte_fast) && ev_ok && !have_pending &&
+                !flag && cursor == sstart + ws &&
+                !(is_last && last_window)) {
+                // Single-byte missions widen the lane to the FULL byte
+                // range: every table-DEFINED byte is a valid 1-byte
+                // char, so a window of only defined bytes is still one
+                // call - the shape sbyte missions hit on binary noise
+                // (random high bytes, short accepted runs). Other
+                // kinds keep the sub-0x80 requirement.
+                const bool full256 = m.kind == 3 && sbyte_fast;
                 const uint8_t* p8 = data + sstart + ws;
                 const int64_t wn = we - ws;
                 int64_t k = 0;
-                while (k + 8 <= wn) {
-                    uint64_t x;
-                    memcpy(&x, p8 + k, 8);
-                    if (x & 0x8080808080808080ull) break;
-                    k += 8;
+                if (!full256) {
+                    while (k + 8 <= wn) {
+                        uint64_t x;
+                        memcpy(&x, p8 + k, 8);
+                        if (x & 0x8080808080808080ull) break;
+                        k += 8;
+                    }
+                    if (k + 8 > wn)
+                        while (k < wn && p8[k] < 0x80) k++;
+                } else {
+                    while (k < wn && sb_len[p8[k]] != 0) k++;
                 }
-                if (k + 8 > wn)
-                    while (k < wn && p8[k] < 0x80) k++;
                 if (k == wn) {
                     const int32_t vmin = m.chars_min_nb;
                     int32_t run = 0;
                     int64_t j = 0;
-                    if (acc_contig) {
+                    if (full256) {
+                        for (; j < wn; j++) {
+                            if (sb_acc[p8[j]]) {
+                                if (++run >= vmin) break;
+                            } else {
+                                run = 0;
+                            }
+                        }
+                    } else if (acc_contig) {
                         const uint8_t alo = (uint8_t)acc_lo;
                         const uint8_t aspan = (uint8_t)(acc_hi - acc_lo);
                         for (; j < wn; j++) {
@@ -1083,8 +1103,11 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     if (j == wn) {
                         if (run > 0) {  // tail run: refilter leftover
                             pending.clear();
-                            for (int32_t q2 = run; q2 > 0; q2--)
-                                pending.push_back((int32_t)p8[wn - q2]);
+                            for (int32_t q2 = run; q2 > 0; q2--) {
+                                const uint8_t v = p8[wn - q2];
+                                pending.push_back(
+                                    full256 ? m.table256[v] : (int32_t)v);
+                            }
                             have_pending = true;
                         }
                         cursor = sstart + we;

@@ -202,3 +202,32 @@ def test_sbyte_lane_mixed_ascii_highbyte_windows():
     a = b"plain ascii text windows here padding "
     c = "чисто кириллические окна здесь " .encode("koi8_r")
     _both_engines(["-t", "x", "-e", "KOI8-R", "-n", "6"], (a + c) * 120)
+
+
+def test_sbyte_submin_lane_rejected_highbyte_noise():
+    # defined-but-rejected byte noise with short accepted runs: the
+    # full-256 sub-min window lane's prime shape (KOI8-R accepts
+    # Cyrillic; latin noise + controls stay below -n 8)
+    rng2 = np.random.default_rng(123)
+    data = bytes(rng2.integers(0, 256, 96 * 1024, dtype=np.uint8))
+    _both_engines(["-t", "x", "-e", "KOI8-R", "-n", "8"], data)
+
+
+def test_sbyte_submin_lane_run_exactly_at_min():
+    # accepted runs of exactly chars_min MUST emit (the lane bails)
+    blk = "жжж".encode("koi8_r") + b"\x00" + "жж".encode("koi8_r") + b"\x00"
+    _both_engines(["-t", "x", "-e", "KOI8-R", "-n", "3"], blk * 200)
+
+
+def test_sbyte_submin_lane_undefined_byte_cut():
+    # windows-1252: 0x81 undefined (malformed event) -> multiple calls
+    # per window, the lane must bail; short runs either side
+    blk = b"ab\x81cd\x81" * 40
+    _both_engines(["-t", "x", "-e", "windows-1252", "-n", "5"], blk * 20)
+
+
+def test_sbyte_submin_lane_tail_run_carries():
+    # an accepted run touching the window end must carry as the
+    # refilter leftover and complete in the next window
+    blk = b"\x00" * 125 + "жжж".encode("koi8_r")  # 128-byte period
+    _both_engines(["-t", "x", "-e", "KOI8-R", "-n", "4"], blk * 64)
