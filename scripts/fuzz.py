@@ -247,15 +247,19 @@ def main():
                 from stringsext_tpu.encodings import encoding_kind as _ek
                 from stringsext_tpu.input import LoadedStream, slice_table
                 from stringsext_tpu.mission import Missions
-                from stringsext_tpu.ops.device_events import runtable_feed
+                from stringsext_tpu.ops.device_events import (
+                    FEED_KINDS,
+                    runtable_feed,
+                )
 
                 args = parse_args(argv + [paths[0]])
                 ms = Missions.from_args(args)
                 data = np.frombuffer(blob, np.uint8)
                 sl = slice_table(LoadedStream(data, [(1, 0, len(data))]))
                 for m in ms.v:
-                    if (_ek(m.encoding_name) != "single-byte"
-                            or not _nat.native_supported("single-byte")):
+                    k3 = _ek(m.encoding_name)
+                    if (k3 not in FEED_KINDS
+                            or not _nat.native_supported(k3)):
                         continue
                     feed = runtable_feed(data, m, device=False)
                     if feed is None:
@@ -275,7 +279,7 @@ def main():
                         print(f"FAIL trial={trials} feed-lane "
                               f"{m.encoding_name} argv={argv} repro={fn}",
                               flush=True)
-                    break  # one single-byte mission per trial
+                    break  # one feed-kind mission per trial
             if nfiles == 1:
                 # stdin streaming (state-carrying chunk scans) must
                 # match the buffered single-file scan byte-for-byte;

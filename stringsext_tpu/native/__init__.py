@@ -126,6 +126,7 @@ def _load_lib():
         ctypes.c_void_p,  # ft_end int64* or NULL
         ctypes.c_void_p,  # ft_co_base int64* or NULL
         ctypes.c_void_p,  # ft_co int64* or NULL (payload char offsets)
+        ctypes.c_void_p,  # ft_ip int64* or NULL (input char offsets)
         ctypes.c_void_p,  # ft_pay uint8* or NULL (decoded payload)
         ctypes.c_int64,  # n_ft
         P(ctypes.c_int64),  # out_count
@@ -559,10 +560,12 @@ def native_scan(
     """Scan one mission natively. Returns (columns_dict, strbuf_bytes).
 
     `runtable_feed`, when given, is (run_start, run_end, co_base, co,
-    payload): EXACT device-extracted accepted-char runs plus the
-    device-decoded UTF-8 payload with per-char cumulative offsets
-    (STRINGSEXT_RUNTABLE_FEED=1; docs/KERNELS.md design 1). The emitter
-    consumes whole runs: a full window inside one run becomes two
+    ip, payload): EXACT device-extracted accepted-char runs plus the
+    device-decoded UTF-8 payload with per-char slot offsets
+    (STRINGSEXT_RUNTABLE_FEED=1; docs/KERNELS.md design 1; slot layout
+    documented on ops/device_events._assemble_feed). payload=None means
+    the payload is the input buffer itself (UTF-8). The emitter
+    consumes whole runs: a full window inside one run becomes a few
     payload memcpys instead of a per-char decode walk.
 
     `input_refs=True` lets the fast lanes emit findings whose bytes are
@@ -690,18 +693,20 @@ def native_scan(
         hot_s = np.ascontiguousarray(hot_ranges[0], dtype=np.int64)
         hot_e = np.ascontiguousarray(hot_ranges[1], dtype=np.int64)
 
-    ft = [None] * 5
+    ft = [None] * 6
     n_ft = 0
     if runtable_feed is not None:
-        rs, re, cb, co, pay = runtable_feed
+        rs, re, cb, co, ip, pay = runtable_feed
         ft = [
             np.ascontiguousarray(rs, np.int64),
             np.ascontiguousarray(re, np.int64),
             np.ascontiguousarray(cb, np.int64),
             np.ascontiguousarray(co, np.int64),
-            np.ascontiguousarray(pay, np.uint8),
+            np.ascontiguousarray(ip, np.int64),
+            # payload None = the input buffer (UTF-8 zero-copy)
+            None if pay is None else np.ascontiguousarray(pay, np.uint8),
         ]
-        keepalive += ft
+        keepalive += [a for a in ft if a is not None]
         n_ft = len(ft[0])
 
     P = ctypes.POINTER
@@ -736,6 +741,8 @@ def native_scan(
         ft[2].ctypes.data if n_ft else None,
         ft[3].ctypes.data if n_ft else None,
         ft[4].ctypes.data if n_ft else None,
+        (data.ctypes.data if ft[5] is None else ft[5].ctypes.data)
+        if n_ft else None,
         n_ft,
         ctypes.byref(count),
         ctypes.byref(p_pos),

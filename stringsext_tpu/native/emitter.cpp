@@ -13,6 +13,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libemitter.so emitter.cpp
 
+#include <algorithm>
 #include <cerrno>
 #include <cstdint>
 #include <cstdio>
@@ -704,6 +705,7 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                          const int64_t* ft_end = nullptr,
                          const int64_t* ft_co_base = nullptr,
                          const int64_t* ft_co = nullptr,
+                         const int64_t* ft_ip = nullptr,
                          const uint8_t* ft_pay = nullptr,
                          int64_t n_ft = 0) {
     ScanState st;
@@ -825,11 +827,18 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     // Device run-table feed (STRINGSEXT_RUNTABLE_FEED=1; KERNELS.md
     // design 1, the on-device analog of finding_collection.rs:84-342's
     // decode work): ft_* carries EXACT accepted-char runs extracted on
-    // device plus the device-decoded UTF-8 payload (ft_pay) with
-    // per-char cumulative payload offsets (ft_co; run r's char k sits
-    // at ft_co[ft_co_base[r] + k]). Single-byte kinds only for now
-    // (1 byte = 1 char, so windows are always char-aligned).
-    const bool feed_fast = m.kind == 3 && n_ft > 0 && ft_start != nullptr &&
+    // device plus the device-decoded UTF-8 payload. Slot layout:
+    // run r owns slots [ft_co_base[r], ft_co_base[r+1]) = its chars in
+    // order plus one SENTINEL; ft_ip[slot] is the char's input byte
+    // offset (sentinel: the run's end byte), ft_co[slot] its offset
+    // into ft_pay (sentinel: the run's payload end). ft_pay == data
+    // means the payload IS the input span (UTF-8: chars decode to
+    // their own bytes), enabling SE_INREF zero-copy emission. Modal
+    // ISO-2022-JP (kind 9) is excluded: its cold-byte classes are
+    // mode-dependent, so a run table alone cannot prove window shape.
+    const bool feed_fast = m.kind != 9 && n_ft > 0 && ft_start != nullptr &&
+                           ft_co_base != nullptr && ft_co != nullptr &&
+                           ft_ip != nullptr &&
                            m.grep_char < 0 && !m.same_block &&
                            m.chars_min_nb <= m.line_max;
     int64_t ft_cursor = 0;
@@ -1118,47 +1127,86 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     }
                 }
             }
-            // Run-table feed lane: a full window lying entirely inside
-            // ONE device-extracted accepted run is, by the same
-            // SplitStr argument as the ASCII lane above, exactly two
-            // wrapped findings - and their bytes were already decoded
-            // on device, so both are payload-buffer memcpys (no
-            // per-char decode + utf8_append). label>0 keeps the
-            // first-window Before-precision heuristic on the generic
-            // path (finding_collection.rs:155-207).
+            // Run-table feed lane: a full window whose chars lie
+            // entirely inside ONE device-extracted accepted run has,
+            // by SplitStr semantics (helper.rs:226-237 wrapping +
+            // :349-392 boundary flags), a closed-form emission shape:
+            // its N in-window chars wrap into floor(N/line_max) full
+            // findings plus a completing tail, every finding a payload
+            // memcpy of device-decoded bytes (no per-char decode +
+            // utf8_append). The char walk collapses to two binary
+            // searches over the run's slot table. Chars partition into
+            // windows by REPORT (= last byte for every feed-eligible
+            // char - the builder excludes report-clamped chars), so a
+            // char is consumed iff its end slot offset is <= window
+            // end. N < line_max with a clear continuation flag would
+            // stash a refilter leftover (codepoints the payload does
+            // not carry) - that shape falls back to the generic walk.
+            // label>0 keeps the first-window Before-precision heuristic
+            // on the generic path (finding_collection.rs:155-207).
             if (feed_fast && ev_ok && !have_pending && label > 0 &&
-                we - ws == w && cursor == sstart + ws) {
-                while (ft_cursor < n_ft && ft_end[ft_cursor] < sstart + we)
+                we - ws == w) {
+                while (ft_cursor < n_ft && ft_end[ft_cursor] <= cursor)
                     ft_cursor++;
-                if (ft_cursor < n_ft && ft_start[ft_cursor] <= sstart + ws &&
-                    sstart + we <= ft_end[ft_cursor]) {
-                    const int64_t lm = m.line_max;
-                    const int64_t cb = ft_co_base[ft_cursor] +
-                                       (sstart + ws - ft_start[ft_cursor]);
-                    const int64_t o0 = ft_co[cb], o1 = ft_co[cb + lm],
-                                  o2 = ft_co[cb + w];
-                    const uint64_t pos = st.consumed + (uint64_t)label;
-                    uint64_t off = (uint64_t)out.strbuf.size();
-                    out.strbuf.insert(out.strbuf.end(), ft_pay + o0,
-                                      ft_pay + o2);
-                    out.position.push_back(pos);
-                    out.precision.push_back(0);
-                    out.completes.push_back(flag ? 1 : 0);
-                    out.file_id.push_back(file_id);
-                    out.str_off.push_back(off);
-                    out.str_len.push_back((uint32_t)(o1 - o0));
-                    out.position.push_back(pos);
-                    out.precision.push_back(1);
-                    out.completes.push_back(1);
-                    out.file_id.push_back(file_id);
-                    out.str_off.push_back(off + (uint64_t)(o1 - o0));
-                    out.str_len.push_back((uint32_t)(o2 - o1));
-                    flag = true;
-                    cursor = sstart + we;
-                    advance();
-                    label = we;
-                    ws = we;
-                    continue;
+                const int64_t r = ft_cursor;
+                const int64_t swe = sstart + we;
+                if (r < n_ft && ft_start[r] <= cursor &&
+                    cursor < ft_end[r] && swe <= ft_end[r]) {
+                    const int64_t s0 = ft_co_base[r];
+                    const int64_t s1 = ft_co_base[r + 1] - 1;  // sentinel
+                    // slot of the char starting at `cursor` (a true
+                    // event start; if it is not a char start of this
+                    // run, bail to the generic walk)
+                    const int64_t* lo =
+                        std::lower_bound(ft_ip + s0, ft_ip + s1, cursor);
+                    if (lo != ft_ip + s1 && *lo == cursor) {
+                        const int64_t a = lo - ft_ip;
+                        const int64_t u =
+                            std::upper_bound(ft_ip + a, ft_ip + s1 + 1,
+                                             swe) - ft_ip;
+                        const int64_t kend = u - 1;  // one past last char
+                        const int64_t N = kend - a;
+                        const int64_t lm = m.line_max;
+                        if (N > 0 && (N >= lm || flag)) {
+                            const uint64_t pos =
+                                st.consumed + (uint64_t)label;
+                            const bool inref =
+                                m.input_refs && ft_pay == data;
+                            int64_t cs = a;
+                            bool first = true;
+                            while (cs < kend) {
+                                const int64_t ce =
+                                    cs + lm < kend ? cs + lm : kend;
+                                const int64_t o0 = ft_co[cs],
+                                              o1 = ft_co[ce];
+                                uint64_t off;
+                                if (inref) {
+                                    off = SE_INREF | (uint64_t)o0;
+                                } else {
+                                    off = (uint64_t)out.strbuf.size();
+                                    out.strbuf.insert(out.strbuf.end(),
+                                                      ft_pay + o0,
+                                                      ft_pay + o1);
+                                }
+                                out.position.push_back(pos);
+                                out.precision.push_back(first ? 0 : 1);
+                                out.completes.push_back(
+                                    first ? (flag ? 1 : 0) : 1);
+                                out.file_id.push_back(file_id);
+                                out.str_off.push_back(off);
+                                out.str_len.push_back(
+                                    (uint32_t)(o1 - o0));
+                                first = false;
+                                cs = ce;
+                            }
+                            flag = true;
+                            cursor = ft_ip[kend];
+                            advance();
+                            label = we;
+                            ws = we;
+                            continue;
+                        }
+                    }
                 }
             }
             // Single-byte full-window accepted lane (see sb_acc/sb_enc
@@ -1630,7 +1678,7 @@ void* se_scan(const uint8_t* data, int64_t total,
               const int64_t* hot_start, const int64_t* hot_end, int64_t n_hot,
               const int64_t* ft_start, const int64_t* ft_end,
               const int64_t* ft_co_base, const int64_t* ft_co,
-              const uint8_t* ft_pay, int64_t n_ft,
+              const int64_t* ft_ip, const uint8_t* ft_pay, int64_t n_ft,
               int64_t* out_count,
               const uint64_t** out_position, const int8_t** out_precision,
               const uint8_t** out_completes, const int32_t** out_file_id,
@@ -1660,7 +1708,7 @@ void* se_scan(const uint8_t* data, int64_t total,
                  state_io ? &lo_in : nullptr,
                  state_io ? &lo_out : nullptr,
                  hot_start, hot_end, n_hot,
-                 ft_start, ft_end, ft_co_base, ft_co, ft_pay, n_ft);
+                 ft_start, ft_end, ft_co_base, ft_co, ft_ip, ft_pay, n_ft);
     if (state_io && leftover_io && leftover_len_io) {
         int32_t n = (int32_t)lo_out.size();
         if (n > leftover_cap) n = leftover_cap;

@@ -1,0 +1,317 @@
+"""Device classification lanes for the CJK multi-byte encodings:
+Big5, EUC-JP, EUC-KR, GBK/gb18030, Shift_JIS.
+
+jnp port of engine/events_cjk.py (the numpy host generator, itself the
+replacement for the encoding_rs CJK state machines -
+/root/reference/src/finding_collection.rs:139's decoder dependency):
+per-position "as-if-start" classification is pure elementwise algebra
+plus pair-table gathers; the true event starts (these encodings are not
+self-synchronizing) are the orbit of position 0 under `i -> i + step[i]`,
+resolved with O(log n) pointer-doubling rounds on device.
+
+The decoded codepoints come from the same vendored WHATWG index corpus
+(encodings/whatwg_data.npz) as the host generators, uploaded once per
+kind as 256x256 gather tables. These lanes power the CJK run-table feed
+(ops/device_events.runtable_feed): exact accepted-char runs plus the
+device-decoded payload, so the host emitter consumes (run, payload)
+memcpys instead of re-walking pairs (docs/KERNELS.md design 1).
+
+Correctness notes mirrored from the host generator:
+  - WHATWG error pushback: a bad pair with an ASCII trail consumes only
+    the lead (pushback=1); gb18030 bad four-byte forms push back 2-3
+    lookahead bytes.
+  - A truncated (pending) sequence at the chunk end consumes every
+    remaining byte, so the orbit cannot emit phantom events from its
+    tail.
+  - Report clamping (`np.maximum.accumulate` in events_cjk.generate) is
+    NOT applied here; the feed builder derives it from the lanes
+    (cummax over event reports) and excludes the few chars whose
+    effective report a preceding error inflates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..encodings import (
+    KIND_BIG5,
+    KIND_EUC_JP,
+    KIND_EUC_KR,
+    KIND_GB18030,
+    KIND_SHIFT_JIS,
+)
+from .classify import Lanes, _shift_left
+
+CJK_KINDS = (KIND_BIG5, KIND_EUC_JP, KIND_EUC_KR, KIND_GB18030,
+             KIND_SHIFT_JIS)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_cp_np(kind: str) -> np.ndarray:
+    """(256,256) int32 pair codepoint table (-1 = invalid). Multi-cp
+    pairs (the four Big5 double-codepoint pointers) are left at -1 here
+    and tracked by `multi_pair_mask`; the feed path excludes them."""
+    from ..encodings import whatwg
+
+    return np.ascontiguousarray(whatwg.pair_cp(kind), dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _multi_pair_np(kind: str) -> np.ndarray:
+    """(256,256) bool: pairs that decode to MORE than one codepoint."""
+    from ..encodings import whatwg
+
+    m = np.zeros((256, 256), dtype=bool)
+    for key in whatwg.pair_multi(kind):
+        m[key // 256, key % 256] = True
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _jis0212_np() -> np.ndarray:
+    from ..encodings import whatwg
+
+    return np.ascontiguousarray(whatwg.jis0212_cp(), dtype=np.int32)
+
+
+def _gather2(table: jax.Array, b: jax.Array, t: jax.Array) -> jax.Array:
+    """table[b, t] as a flat 65536-entry gather."""
+    return jnp.take(table.reshape(-1), b * 256 + t)
+
+
+def _orbit_mask(step: jax.Array, n: jax.Array) -> jax.Array:
+    """bool[cap]: position is reachable from 0 under i -> i+step[i]
+    (i.e. a true event start). Pointer doubling: after round k the mark
+    set is closed under 2^k applications, so ceil(log2(cap)) rounds
+    reach the fixpoint; positions >= n funnel into a dump slot."""
+    cap = step.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    nxt = jnp.minimum(idx + jnp.maximum(step, 1), cap)
+    # positions at/after the real end self-trap in the dump slot `cap`
+    nxt = jnp.where(idx < n, nxt, cap)
+    J = jnp.concatenate([nxt, jnp.array([cap], jnp.int32)])
+    marked = jnp.zeros(cap + 1, bool).at[0].set(True)
+
+    rounds = max(1, int(np.ceil(np.log2(max(cap, 2)))) + 1)
+
+    def body(_, carry):
+        marked, J = carry
+        tgt = jnp.where(marked, J, cap)
+        marked = marked.at[tgt].set(True)
+        return marked, jnp.take(J, J)
+
+    marked, _ = jax.lax.fori_loop(0, rounds, body, (marked, J))
+    return marked[:cap] & (idx < n)
+
+
+class _C:
+    """As-if-start classification accumulator (mirrors
+    events_cjk._Classified, but with jnp arrays and report as an
+    OFFSET from the position)."""
+
+    def __init__(self, cap: int):
+        self.step = jnp.ones(cap, jnp.int32)
+        self.cp = jnp.full(cap, -1, jnp.int32)
+        self.pending = jnp.zeros(cap, bool)
+        self.report_off = jnp.zeros(cap, jnp.int32)
+        self.pushback = jnp.zeros(cap, jnp.int32)
+        self.in_len = jnp.ones(cap, jnp.int32)
+        self.multi = jnp.zeros(cap, bool)
+
+    def set(self, mask, *, step=None, cp=None, report_off=None,
+            pushback=None, in_len=None):
+        if step is not None:
+            self.step = jnp.where(mask, step, self.step)
+        if cp is not None:
+            self.cp = jnp.where(mask, cp, self.cp)
+        if report_off is not None:
+            self.report_off = jnp.where(mask, report_off, self.report_off)
+        if pushback is not None:
+            self.pushback = jnp.where(mask, pushback, self.pushback)
+        if in_len is not None:
+            self.in_len = jnp.where(mask, in_len, self.in_len)
+
+
+def _classify_two_byte(b, have1, kind: str) -> _C:
+    """Big5 / EUC-KR / Shift_JIS (events_cjk._classify_two_byte)."""
+    cap = b.shape[0]
+    c = _C(cap)
+    pair_cp = jnp.asarray(_pair_cp_np(kind))
+    multi = jnp.asarray(_multi_pair_np(kind))
+
+    if kind == KIND_SHIFT_JIS:
+        single = b <= 0x80
+        kana = (b >= 0xA1) & (b <= 0xDF)
+        lead = ((b >= 0x81) & (b <= 0x9F)) | ((b >= 0xE0) & (b <= 0xFC))
+    else:
+        single = b < 0x80
+        kana = jnp.zeros(cap, bool)
+        lead = (b >= 0x81) & (b <= 0xFE)
+
+    c.set(single, cp=b)
+    if kind == KIND_SHIFT_JIS:
+        c.set(kana, cp=0xFF61 - 0xA1 + b)
+
+    t = _shift_left(b, 1, 0)
+    pcp = _gather2(pair_cp, b, t)
+    is_multi = _gather2(multi, b, t)
+    pair_ok = lead & have1 & ((pcp >= 0) | is_multi)
+    c.set(pair_ok, step=2, in_len=2, report_off=1, cp=pcp)
+    c.multi = pair_ok & is_multi
+
+    bad_pair = lead & have1 & ~pair_ok
+    trail_ascii = t < 0x80
+    c.set(bad_pair & trail_ascii, report_off=1, pushback=1)
+    c.set(bad_pair & ~trail_ascii, step=2, in_len=2, report_off=1)
+
+    c.pending = lead & ~have1
+    return c
+
+
+def _classify_eucjp(b, have1, have2, n) -> _C:
+    cap = b.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    c = _C(cap)
+    pair_cp = jnp.asarray(_pair_cp_np(KIND_EUC_JP))
+    t0212 = jnp.asarray(_jis0212_np())
+    t1 = _shift_left(b, 1, 0)
+    t2 = _shift_left(b, 2, 0)
+
+    ascii_ = b < 0x80
+    c.set(ascii_, cp=b)
+
+    is8e = b == 0x8E
+    kana_ok = is8e & have1 & (t1 >= 0xA1) & (t1 <= 0xDF)
+    c.set(kana_ok, cp=0xFF61 - 0xA1 + t1, step=2, in_len=2, report_off=1)
+    bad8e = is8e & have1 & ~((t1 >= 0xA1) & (t1 <= 0xDF))
+    c.set(bad8e & (t1 < 0x80), report_off=1, pushback=1)
+    c.set(bad8e & ~(t1 < 0x80), step=2, in_len=2, report_off=1)
+    pend8e = is8e & ~have1
+
+    lead = (b >= 0xA1) & (b <= 0xFE)
+    pcp = _gather2(pair_cp, b, t1)
+    pair_ok = lead & have1 & (pcp >= 0)
+    c.set(pair_ok, cp=pcp, step=2, in_len=2, report_off=1)
+    bad_pair = lead & have1 & ~pair_ok
+    c.set(bad_pair & (t1 < 0x80), report_off=1, pushback=1)
+    c.set(bad_pair & ~(t1 < 0x80), step=2, in_len=2, report_off=1)
+    pend_lead = lead & ~have1
+
+    is8f = b == 0x8F
+    second_ok = is8f & have1 & (t1 >= 0xA1) & (t1 <= 0xFE)
+    tcp = _gather2(t0212, t1, t2)
+    tri_ok = second_ok & have2 & (tcp >= 0)
+    c.set(tri_ok, cp=tcp, step=3, in_len=3, report_off=2)
+    bad3 = second_ok & have2 & ~(tcp >= 0)
+    c.set(bad3 & (t2 < 0x80), step=2, in_len=2, report_off=2, pushback=1)
+    c.set(bad3 & ~(t2 < 0x80), step=3, in_len=3, report_off=2)
+    bad2 = is8f & have1 & ~((t1 >= 0xA1) & (t1 <= 0xFE))
+    c.set(bad2 & (t1 < 0x80), report_off=1, pushback=1)
+    c.set(bad2 & ~(t1 < 0x80), step=2, in_len=2, report_off=1)
+    pend8f = (is8f & ~have1) | (second_ok & ~have2)
+
+    c.pending = pend8e | pend_lead | pend8f
+    c.step = jnp.where(c.pending, jnp.maximum(n - idx, 1), c.step)
+    return c
+
+
+def _classify_gb18030(b, have1, have2, have3, n) -> _C:
+    cap = b.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    c = _C(cap)
+    from ..encodings import whatwg
+
+    pair_cp = jnp.asarray(_pair_cp_np(KIND_GB18030))
+    rp_np, rc_np = whatwg.gb18030_ranges()
+    rp = jnp.asarray(np.asarray(rp_np, np.int64))
+    rc = jnp.asarray(np.asarray(rc_np, np.int32))
+    t1 = _shift_left(b, 1, 0)
+    t2 = _shift_left(b, 2, 0)
+    t3 = _shift_left(b, 3, 0)
+
+    ascii_ = b < 0x80
+    c.set(ascii_, cp=b)
+
+    lead = (b >= 0x81) & (b <= 0xFE)
+    digit1 = (t1 >= 0x30) & (t1 <= 0x39)
+    two_range = (t1 >= 0x40) & (t1 <= 0xFE) & (t1 != 0x7F)
+
+    pcp = _gather2(pair_cp, b, t1)
+    pair_ok = lead & have1 & two_range & (pcp >= 0)
+    c.set(pair_ok, cp=pcp, step=2, in_len=2, report_off=1)
+    bad_pair = lead & have1 & two_range & ~(pcp >= 0)
+    c.set(bad_pair & (t1 < 0x80), report_off=1, pushback=1)
+    c.set(bad_pair & ~(t1 < 0x80), step=2, in_len=2, report_off=1)
+
+    bad2 = lead & have1 & ~digit1 & ~two_range
+    c.set(bad2 & (t1 < 0x80), report_off=1, pushback=1)
+    c.set(bad2 & ~(t1 < 0x80), step=2, in_len=2, report_off=1)
+
+    four_start = lead & have1 & digit1
+    third_ok = (t2 >= 0x81) & (t2 <= 0xFE)
+    fourth_ok = (t3 >= 0x30) & (t3 <= 0x39)
+    f_all = four_start & have3 & third_ok & fourth_ok
+    p = ((b - 0x81) * 12600 + (t1 - 0x30) * 1260 + (t2 - 0x81) * 10
+         + (t3 - 0x30))
+    p_ok = (p <= 39419) | ((p >= 189000) & (p <= 1237575))
+    quad_ok = f_all & p_ok
+    k = jnp.searchsorted(rp, p.astype(jnp.int64), side="right") - 1
+    k = jnp.clip(k, 0, rp.shape[0] - 1)
+    qcp = (jnp.take(rc, k).astype(jnp.int64)
+           + (p.astype(jnp.int64) - jnp.take(rp, k))).astype(jnp.int32)
+    c.set(quad_ok, cp=qcp, step=4, in_len=4, report_off=3)
+    c.set(f_all & ~p_ok, step=4, in_len=4, report_off=3)
+    third_bad = four_start & have2 & ~third_ok
+    c.set(third_bad, report_off=2, pushback=2)
+    fourth_bad = four_start & have3 & third_ok & ~fourth_ok
+    c.set(fourth_bad, report_off=3, pushback=3)
+
+    c.pending = ((lead & ~have1) | (four_start & ~have2)
+                 | (four_start & have2 & third_ok & ~have3))
+    c.step = jnp.where(c.pending, jnp.maximum(n - idx, 1), c.step)
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def cjk_lanes(b: jax.Array, kind: str, n: jax.Array | None = None):
+    """Per-byte event lanes for a CJK chunk (padded to `b.shape[0]`;
+    `n` is the real length). Returns (Lanes, multi) where `multi` marks
+    events that decode to more than one codepoint (their cp lane is -1;
+    the feed path excludes them and the exact host walk handles them).
+
+    Unlike the UTF-8/UTF-16 lanes, `start` here is the resolved event
+    chain (orbit of 0), so consumers must NOT treat non-start positions
+    as meaningful."""
+    b = b.astype(jnp.int32)
+    cap = b.shape[0]
+    if n is None:
+        n = cap
+    n = jnp.asarray(n, jnp.int32)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    have1 = idx < n - 1
+    have2 = idx < n - 2
+    have3 = idx < n - 3
+
+    if kind == KIND_EUC_JP:
+        c = _classify_eucjp(b, have1, have2, n)
+    elif kind == KIND_GB18030:
+        c = _classify_gb18030(b, have1, have2, have3, n)
+    else:
+        c = _classify_two_byte(b, have1, kind)
+
+    start = _orbit_mask(c.step, n)
+    valid = start & ~c.pending & ((c.cp >= 0) | c.multi)
+    lanes = Lanes(
+        start=start & ~c.pending,
+        valid=valid,
+        length=c.in_len,
+        cp=jnp.where(c.multi, -1, c.cp),
+        report_off=c.report_off,
+        pushback=c.pushback,
+        pending=c.pending & start,
+    )
+    return lanes, c.multi & start

@@ -1,10 +1,12 @@
 """Exact decode-event generation using the device classification lanes.
 
-Bridges the TPU kernels (ops/classify.py) to the host emission
-automaton: lanes are computed on device, transferred, and compacted to
-the same `Events` struct the numpy generators produce. CJK encodings
-fall back to the host generators (their boundary chains need the
-pointer-jump pass, kept on host this round).
+Bridges the TPU kernels (ops/classify.py, ops/classify_cjk.py) to the
+host emission automaton: lanes are computed on device, transferred, and
+compacted to the same `Events` struct the numpy generators produce -
+and, for the run-table feed, to exact accepted-char run tables plus the
+device-decoded UTF-8 payload that the native emitter consumes instead
+of re-walking bytes (docs/KERNELS.md design 1; the on-device analog of
+the reference's decode loop, finding_collection.rs:84-342).
 """
 
 from __future__ import annotations
@@ -20,6 +22,14 @@ from ..encodings import (
 )
 from ..engine.events import Events, generate_events
 from . import classify
+
+# Kinds with an exact device classification kernel (the run-table feed
+# engages for all of them; modal ISO-2022-JP stays host-exact - its
+# mode chain is global, not a local classification).
+FEED_KINDS = (
+    KIND_UTF8, KIND_UTF16LE, KIND_UTF16BE, KIND_SINGLE_BYTE,
+    "big5", "euc-jp", "euc-kr", "gb18030", "shift_jis",
+)
 
 
 def lanes_to_events(lanes, base: int = 0) -> Events:
@@ -67,14 +77,16 @@ def compute_lanes(data: np.ndarray, encoding_name: str):
 
 
 def _utf8_encode_cps(cps: np.ndarray):
-    """Vectorized UTF-8 encoding of BMP codepoints (single-byte table
-    values never exceed U+FFFF). Returns (payload_u8, co_int64) where
-    co[k] is the payload offset of char k (len(cps)+1 entries)."""
+    """Vectorized UTF-8 encoding of codepoints (1-4 bytes; astral cps
+    come from UTF-16 surrogate pairs and gb18030 four-byte forms).
+    Returns (payload_u8, co_int64) where co[k] is the payload offset of
+    char k (len(cps)+1 entries)."""
     cps = cps.astype(np.int64)
     n1 = cps < 0x80
     n2 = (cps >= 0x80) & (cps < 0x800)
-    n3 = cps >= 0x800
-    lens = np.where(n1, 1, np.where(n2, 2, 3)).astype(np.int64)
+    n3 = (cps >= 0x800) & (cps < 0x10000)
+    n4 = cps >= 0x10000
+    lens = np.where(n1, 1, np.where(n2, 2, np.where(n3, 3, 4))).astype(np.int64)
     co = np.zeros(len(cps) + 1, np.int64)
     np.cumsum(lens, out=co[1:])
     out = np.empty(int(co[-1]), np.uint8)
@@ -85,75 +97,196 @@ def _utf8_encode_cps(cps: np.ndarray):
     out[p[n3]] = 0xE0 | (cps[n3] >> 12)
     out[p[n3] + 1] = 0x80 | ((cps[n3] >> 6) & 0x3F)
     out[p[n3] + 2] = 0x80 | (cps[n3] & 0x3F)
+    out[p[n4]] = 0xF0 | (cps[n4] >> 18)
+    out[p[n4] + 1] = 0x80 | ((cps[n4] >> 12) & 0x3F)
+    out[p[n4] + 2] = 0x80 | ((cps[n4] >> 6) & 0x3F)
+    out[p[n4] + 3] = 0x80 | (cps[n4] & 0x3F)
     return out, co
 
 
-def _feed_from_acc(acc: np.ndarray, cp: np.ndarray):
-    d = np.diff(acc.astype(np.int8), prepend=0, append=0)
-    rs = np.flatnonzero(d == 1).astype(np.int64)
-    re = np.flatnonzero(d == -1).astype(np.int64)
-    if len(rs) == 0:
+def _assemble_feed(cpos, clen, ccp, payload_is_input: bool):
+    """Build the run-table feed arrays from the feedable accepted chars
+    (ascending positions, byte lengths, codepoints).
+
+    Runs are maximal chains of byte-contiguous chars. Slot layout: run
+    r owns slots [co_base[r], co_base[r+1]) = its chars IN ORDER plus
+    one SENTINEL slot; ip[slot] is the char's input byte offset
+    (sentinel: the run's end), co[slot] its payload offset (sentinel:
+    the run's payload end). So char k of run r spans input
+    [ip[base+k], ip[base+k+1]) and payload [co[base+k], co[base+k+1]).
+
+    `payload_is_input` (UTF-8): the decoded bytes ARE the input span,
+    so co == ip and the payload buffer is the input itself (returned as
+    None; the native layer passes the data pointer, enabling SE_INREF
+    zero-copy emission)."""
+    nch_total = len(cpos)
+    if nch_total == 0:
         return None
-    pay, co = _utf8_encode_cps(cp[acc])
-    run_len = re - rs
-    co_base = np.zeros(len(rs), np.int64)
-    if len(rs) > 1:
-        np.cumsum(run_len[:-1], out=co_base[1:])
-    return rs, re, co_base, co, pay
+    cpos = cpos.astype(np.int64)
+    clen = clen.astype(np.int64)
+    brk = np.empty(nch_total, bool)
+    brk[0] = True
+    np.not_equal(cpos[1:], cpos[:-1] + clen[:-1], out=brk[1:])
+    run_first = np.flatnonzero(brk).astype(np.int64)
+    n_runs = len(run_first)
+    run_last = np.append(run_first[1:], nch_total) - 1
+    rs = cpos[run_first]
+    re = cpos[run_last] + clen[run_last]
+    nch = run_last - run_first + 1
+    co_base = np.zeros(n_runs + 1, np.int64)
+    np.cumsum(nch + 1, out=co_base[1:])
+    total_slots = int(co_base[-1])
+    run_of_slot = np.repeat(np.arange(n_runs, dtype=np.int64), nch + 1)
+    off = np.arange(total_slots, dtype=np.int64) - co_base[run_of_slot]
+    cidx = run_first[run_of_slot] + off  # char index; run_last+1 at sentinel
+    sent = off == nch[run_of_slot]
+    ip = cpos[np.minimum(cidx, nch_total - 1)]
+    ip[sent] = re[run_of_slot[sent]]
+    if payload_is_input:
+        return rs, re, co_base, ip, ip, None
+    pay, pc = _utf8_encode_cps(ccp)
+    co = pc[np.minimum(cidx, nch_total)]
+    return rs, re, co_base, co, ip, pay
 
 
-def runtable_feed(data: np.ndarray, mission, device: bool = True):
-    """EXACT accepted-char run tables + decoded UTF-8 payload for a
-    single-byte mission - the device run-table feed of KERNELS.md
-    design 1 (the on-device analog of the reference's decode loop,
+def _host_filter_tables(mission):
+    """(af_tbl bool[128], ubf_tbl bool[64]) from the mission filter."""
+    f = mission.filter
+    af_tbl = np.array([bool((f.af >> c) & 1) for c in range(128)])
+    ubf_tbl = np.array([bool((f.ubf >> b) & 1) for b in range(64)])
+    return af_tbl, ubf_tbl
+
+
+def _utf8_lead_np(cp):
+    return np.where(
+        cp < 0x80, cp,
+        np.where(cp < 0x800, 0xC0 | (cp >> 6),
+                 np.where(cp < 0x10000, 0xE0 | (cp >> 12),
+                          0xF0 | (cp >> 18))))
+
+
+def _feed_from_host_events(data: np.ndarray, mission, kind: str,
+                           with_extras: bool):
+    """jax-free twin builder: the same feed arrays from the host numpy
+    event generators (used by the ASan fuzz, where jax-tracing paths
+    are disabled; tests pin device == host)."""
+    ev = generate_events(data, mission.encoding_name)
+    n_ev = len(ev)
+    if n_ev == 0:
+        return None
+    is_char = ev.cp >= 0
+    # Multi-codepoint events (the four Big5 double-cp pairs) surface as
+    # a primary row plus an in_len==0 extra at the same position; both
+    # are excluded (the generic walk handles them exactly).
+    extra = ev.in_len == 0
+    primary_of_extra = np.zeros(n_ev, bool)
+    if extra.any():
+        primary_of_extra[:-1] = extra[1:] & (ev.pos[:-1] == ev.pos[1:])
+    # Report-clamped chars (an earlier error's pushback inflated their
+    # effective report past their own last byte) are excluded: the feed
+    # lane derives reports from char contiguity.
+    natural = ev.report == ev.pos + ev.in_len - 1
+    af_tbl, ubf_tbl = _host_filter_tables(mission)
+    cp = np.maximum(ev.cp, 0)
+    acc = np.where(ev.cp < 0x80, af_tbl[np.minimum(cp, 127)],
+                   ubf_tbl[_utf8_lead_np(cp) & 0x3F])
+    feed = is_char & acc & natural & ~extra & ~primary_of_extra
+    idx = np.flatnonzero(feed)
+    ft = _assemble_feed(ev.pos[idx], ev.in_len[idx], ev.cp[idx],
+                        kind == KIND_UTF8)
+    if not with_extras:
+        return ft
+    if ft is None:
+        return None
+    # Hot-coverage extras: chars excluded from the feed runs but still
+    # able to produce findings (multi-cp pairs regardless of filter,
+    # and report-clamped accepted chars).
+    ex = np.flatnonzero(extra | primary_of_extra
+                        | (is_char & acc & ~natural))
+    return ft, (ev.pos[ex], np.maximum(ev.in_len[ex], 1))
+
+
+def runtable_feed(data: np.ndarray, mission, device: bool = True,
+                  with_extras: bool = False):
+    """EXACT accepted-char run tables + decoded UTF-8 payload for one
+    mission - the device run-table feed of KERNELS.md design 1 (the
+    on-device analog of the reference's decode loop,
     finding_collection.rs:84-342), enabled by STRINGSEXT_RUNTABLE_FEED=1.
 
-    The classification (per-byte codepoints + filter acceptance) runs
-    on device; the run/payload compaction is a host numpy pass over the
-    device lanes. `device=False` builds the identical arrays from the
-    byte table with numpy alone (no jax import - used by the ASan fuzz,
-    where jax-tracing paths are disabled; tests pin device==host).
-    Returns (run_start, run_end, co_base, co, payload) for
-    native_scan's `runtable_feed`, or None (no device kernel / no
-    accepted run). Payload chars are globally consecutive across runs,
-    so run r's char k sits at payload[co[co_base[r]+k] :
-    co[co_base[r]+k+1]).
-    """
-    from ..encodings import encoding_kind
+    Covers every non-modal kind: UTF-8 / UTF-16LE/BE / single-byte /
+    Big5 / EUC-JP / EUC-KR / GBK / gb18030 / Shift_JIS. The
+    classification (per-byte events + filter acceptance + the CJK
+    boundary-chain orbit) runs on device; the run/payload compaction is
+    a host numpy pass over the device lanes. `device=False` builds the
+    identical arrays from the host numpy event generators with no jax
+    import. Returns (run_start, run_end, co_base, co, ip, payload) for
+    native_scan's `runtable_feed` (see _assemble_feed for the slot
+    layout; payload None = the input buffer itself, UTF-8), or None
+    (unsupported kind / no feedable run).
 
-    if encoding_kind(mission.encoding_name) != KIND_SINGLE_BYTE:
+    `with_extras=True` returns (feed, (extra_pos, extra_len)) instead:
+    the events EXCLUDED from the feed runs that can still produce
+    findings (multi-codepoint pairs and report-clamped accepted chars).
+    A hot map derived from the runs must also cover these spans, or
+    the window skipper would drop their findings.
+    """
+    kind = encoding_kind(mission.encoding_name)
+    if kind not in FEED_KINDS:
         return None
     n = len(data)
+    if n == 0:
+        return None
     if not device:
-        from ..encodings import full_byte_table
+        return _feed_from_host_events(data, mission, kind, with_extras)
 
-        tbl = np.asarray(full_byte_table(mission.encoding_name), np.int32)
-        f = mission.filter
-        ok = np.zeros(256, bool)
-        for b in range(256):
-            c = int(tbl[b])
-            if c < 0:
-                continue
-            if c < 0x80:
-                ok[b] = bool((f.af >> c) & 1)
-            else:
-                lead = 0xC0 | (c >> 6) if c < 0x800 else (
-                    0xE0 | (c >> 12) if c < 0x10000 else 0xF0 | (c >> 18))
-                ok[b] = bool((f.ubf >> (lead & 0x3F)) & 1)
-        return _feed_from_acc(ok[data], tbl[data])
+    import jax.numpy as jnp
 
     from .runs import accept_mask, filter_words
 
-    lanes = compute_lanes(data, mission.encoding_name)
-    if lanes is None:
-        return None
-    import jax.numpy as jnp
+    cap = _bucket(n)
+    padded = np.zeros(cap, dtype=np.uint8)
+    padded[:n] = data
+    b = jnp.asarray(padded)
+    multi = None
+    if kind == KIND_UTF8:
+        lanes = classify.utf8_lanes(b, n)
+    elif kind in (KIND_UTF16LE, KIND_UTF16BE):
+        lanes = classify.utf16_lanes(b, kind == KIND_UTF16BE, n)
+    elif kind == KIND_SINGLE_BYTE:
+        lanes = classify.single_byte_lanes(b, mission.encoding_name, n)
+    else:
+        from .classify_cjk import cjk_lanes
+
+        lanes, multi = cjk_lanes(b, kind, n)
 
     af_w, ubf_w = filter_words(mission)
-    acc_dev = accept_mask(lanes, jnp.asarray(af_w), jnp.asarray(ubf_w))
-    acc = np.asarray(acc_dev)[:n]
-    cp = np.asarray(lanes.cp)[:n]
-    return _feed_from_acc(acc, cp)
+    acc = accept_mask(lanes, jnp.asarray(af_w), jnp.asarray(ubf_w))
+    # Effective report = running max over event reports (the emitter's
+    # clock; events_cjk.generate's maximum.accumulate). A char whose
+    # effective report exceeds its own last byte is excluded.
+    import jax
+
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    evt = lanes.start & ~lanes.pending
+    rep = jnp.where(evt, idx + lanes.report_off, -1)
+    rep_max = jax.lax.cummax(rep)
+    feedable = acc & (rep_max == idx + lanes.length - 1)
+
+    feedable_np = np.asarray(feedable)[:n]
+    cpos = np.flatnonzero(feedable_np)
+    length_np = np.asarray(lanes.length)[:n]
+    clen = length_np[cpos]
+    ccp = np.asarray(lanes.cp)[:n][cpos]
+    ft = _assemble_feed(cpos, clen, ccp, kind == KIND_UTF8)
+    if not with_extras:
+        return ft
+    if ft is None:
+        return None
+    ex_mask = acc & ~feedable
+    if multi is not None:
+        ex_mask = ex_mask | multi
+    ex = np.flatnonzero(np.asarray(ex_mask)[:n])
+    return ft, (ex.astype(np.int64), np.maximum(length_np[ex], 1))
 
 
 def generate_events_device(data: np.ndarray, encoding_name: str) -> Events:

@@ -732,21 +732,29 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                         f"falling back to a full host scan for it.",
                     )
             if os.environ.get("STRINGSEXT_RUNTABLE_FEED") == "1":
-                # Device run-table feed (KERNELS.md design 1 prototype):
-                # single-byte missions get EXACT accepted runs + the
-                # device-decoded payload; the emitter consumes whole
-                # runs (full in-run windows become payload memcpys)
-                # and the exact runs double as the hot map.
-                from .ops.device_events import runtable_feed
+                # Device run-table feed (KERNELS.md design 1): every
+                # non-modal kind - UTF-8/UTF-16/single-byte/CJK - gets
+                # EXACT accepted runs + the device-decoded payload
+                # (UTF-8 payloads are the input itself); the emitter
+                # consumes whole runs (full in-run windows become
+                # payload memcpys) and the exact runs double as the
+                # hot map.
+                from .ops.device_events import FEED_KINDS, runtable_feed
 
                 for i, m in native_jobs:
-                    if encoding_kind(m.encoding_name) != "single-byte":
+                    if encoding_kind(m.encoding_name) not in FEED_KINDS:
                         continue
-                    feed = runtable_feed(stream.data, m)
-                    if feed is not None:
+                    res = runtable_feed(stream.data, m, with_extras=True)
+                    if res is not None:
+                        feed, (ex_pos, ex_len) = res
                         runtable_feeds[i] = feed
+                        # the hot map must also cover accepted chars
+                        # the feed excludes (multi-cp / report-clamped)
+                        hs = np.concatenate([feed[0], ex_pos]) - 8
+                        he = np.concatenate(
+                            [feed[1], ex_pos + ex_len]) + 8
                         hot_by_mission[i] = _merge_ranges(
-                            feed[0] - 8, feed[1] + 8, len(stream.data)
+                            hs, he, len(stream.data)
                         )
 
         # Segment-parallel dispatch: missions with device hot maps and a

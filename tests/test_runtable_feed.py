@@ -1,9 +1,11 @@
 """Device run-table feed (STRINGSEXT_RUNTABLE_FEED=1): the emitter
 consumes EXACT device-extracted accepted runs plus the device-decoded
 UTF-8 payload (docs/KERNELS.md design 1 - the on-device analog of the
-reference's decode loop, finding_collection.rs:84-342). Interpret-mode
-differential pins byte-identity; a corrupted-payload probe proves the
-fast lane actually consumes the payload (not silently falling back).
+reference's decode loop, finding_collection.rs:84-342). Covers every
+non-modal kind: UTF-8 / UTF-16LE/BE / single-byte / the five CJK
+encodings. Interpret-mode differential pins byte-identity; a
+corrupted-payload probe proves the fast lane actually consumes the
+payload (not silently falling back).
 """
 
 import io
@@ -25,22 +27,38 @@ pytestmark = pytest.mark.skipif(
 
 rng = np.random.default_rng(21)
 
+# (encoding label, dense text in that encoding)
+KIND_TEXTS = [
+    ("UTF-8", lambda: ("Привет мир! ёлочка " * 40).encode("utf-8")),
+    ("UTF-8", lambda: ("你好世界，这是一个测试。" * 30).encode("utf-8")),
+    ("UTF-16LE", lambda: ("hello 世界 \U0001d11e music " * 30).encode("utf-16-le")),
+    ("UTF-16BE", lambda: ("Привет 世界 " * 40).encode("utf-16-be")),
+    ("KOI8-R", lambda: ("в лесу родилась ёлочка " * 30).encode("koi8_r")),
+    ("EUC-KR", lambda: ("안녕하세요 세계 " * 30).encode("euc_kr")),
+    ("Shift_JIS", lambda: ("こんにちは世界。テスト" * 30).encode("shift_jis")),
+    ("EUC-JP", lambda: ("こんにちは世界。テスト" * 30).encode("euc_jp")),
+    ("Big5", lambda: ("你好世界這是測試" * 30).encode("big5")),
+    ("gb18030", lambda: ("你好，测试。\U0001d11e" * 30).encode("gb18030")),
+]
 
-def _corpus(n=256 * 1024):
+
+def _corpus(text=None, n=256 * 1024):
     data = bytearray(rng.integers(0, 256, n, np.uint8).tobytes())
-    text = "в лесу родилась ёлочка, в лесу она росла ".encode("koi8_r")
-    long_run = text * 30  # >> one 2q window: full in-run windows exist
+    if text is None:
+        text = "в лесу родилась ёлочка, в лесу она росла ".encode("koi8_r")
+    long_run = text * max(1, 4000 // len(text))
     for off in range(2048, n - len(long_run) - 64, 16384):
         data[off : off + len(long_run)] = long_run
     # short runs, runs cut by undefined/rejected bytes, window-edge runs
     for off in range(1024, n - 256, 7000):
-        data[off : off + 3] = "да!".encode("koi8_r")
+        data[off : off + 3] = "\xd0\xd0!".encode("latin-1")
     return bytes(data)
 
 
 def test_utf8_encode_cps_matches_python():
     cps = np.array(
-        [0x41, 0x7F, 0x80, 0x7FF, 0x800, 0x2126, 0xFFFD, 0x451], np.int32
+        [0x41, 0x7F, 0x80, 0x7FF, 0x800, 0x2126, 0xFFFD, 0x451,
+         0x10000, 0x1D11E, 0x10FFFF], np.int32
     )
     pay, co = _utf8_encode_cps(cps)
     expect = "".join(chr(c) for c in cps).encode("utf-8")
@@ -50,15 +68,17 @@ def test_utf8_encode_cps_matches_python():
 
 
 def test_feed_builder_matches_oracle():
-    """Runs are exactly the maximal accepted-char runs; the payload is
-    the concatenated UTF-8 of the accepted chars."""
-    blob = _corpus(64 * 1024)
+    """Single-byte runs are exactly the maximal accepted-char runs; the
+    payload is the concatenated UTF-8 of the accepted chars; the slot
+    tables carry per-char input/payload offsets plus per-run
+    sentinels."""
+    blob = _corpus(n=64 * 1024)
     argv = ["-t", "x", "-e", "KOI8-R", "-n", "4", "/dev/null"]
     m = Missions.from_args(parse_args(argv)).v[0]
     data = np.frombuffer(blob, np.uint8)
     feed = runtable_feed(data, m)
     assert feed is not None
-    rs, re, cb, co, pay = feed
+    rs, re, cb, co, ip, pay = feed
     # oracle accept mask from the decode table + filters
     from stringsext_tpu.encodings import full_byte_table
 
@@ -82,6 +102,65 @@ def test_feed_builder_matches_oracle():
     assert np.array_equal(re, np.flatnonzero(d == -1))
     expect_pay = "".join(chr(c) for c in cp[acc]).encode("utf-8")
     assert pay.tobytes() == expect_pay
+    # slot structure: n_runs+1 bases; per-run slots = chars + sentinel
+    nch = re - rs  # single-byte: 1 byte = 1 char
+    assert len(cb) == len(rs) + 1
+    assert np.array_equal(np.diff(cb), nch + 1)
+    # ip: char k of run r at rs[r]+k; sentinel = re[r]
+    for r in (0, len(rs) // 2, len(rs) - 1):
+        s0, s1 = int(cb[r]), int(cb[r + 1])
+        assert np.array_equal(
+            ip[s0 : s1 - 1], np.arange(rs[r], re[r], dtype=np.int64))
+        assert ip[s1 - 1] == re[r]
+    # payload offsets are globally cumulative; sentinel closes the run
+    assert co[0] == 0 and co[int(cb[-1]) - 1] == len(pay)
+
+
+def test_feed_builder_utf8_payload_is_input():
+    """UTF-8 feed: payload is None (the input itself), co == ip, and
+    each run's slots step by the chars' UTF-8 byte lengths."""
+    blob = _corpus(("Привет мир! " * 40).encode("utf-8"))
+    argv = ["-t", "x", "-e", "UTF-8", "-n", "4", "/dev/null"]
+    m = Missions.from_args(parse_args(argv)).v[0]
+    data = np.frombuffer(blob, np.uint8)
+    feed = runtable_feed(data, m)
+    assert feed is not None
+    rs, re, cb, co, ip, pay = feed
+    assert pay is None
+    assert np.array_equal(co, ip)
+    # slots within each run are strictly increasing by 1..4 bytes
+    for r in (0, len(rs) // 2):
+        s0, s1 = int(cb[r]), int(cb[r + 1])
+        steps = np.diff(ip[s0:s1])
+        assert ((steps >= 1) & (steps <= 4)).all()
+        assert ip[s0] == rs[r] and ip[s1 - 1] == re[r]
+
+
+@pytest.mark.parametrize("enc,text", KIND_TEXTS,
+                         ids=[f"{e}-{i}" for i, (e, _t) in
+                              enumerate(KIND_TEXTS)])
+def test_feed_scan_identity_all_kinds(enc, text):
+    """Fed scan == unfed scan, bit for bit, for every feed kind; the
+    device builder == the jax-free host twin builder."""
+    blob = _corpus(text())
+    argv = ["-t", "x", "-e", enc, "-n", "4", "/dev/null"]
+    m = Missions.from_args(parse_args(argv)).v[0]
+    data = np.frombuffer(blob, np.uint8)
+    sl = slice_table(LoadedStream(data, [(1, 0, len(data))]))
+    dev = runtable_feed(data, m, device=True)
+    host = runtable_feed(data, m, device=False)
+    assert dev is not None and host is not None
+    for a, b in zip(dev, host):
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            assert np.array_equal(a, b)
+    base_res, base_sb = native.native_scan(m, data, *sl)
+    f_res, f_sb = native.native_scan(m, data, *sl, runtable_feed=dev)
+    assert bytes(f_sb) == bytes(base_sb)
+    for k in base_res:
+        assert np.array_equal(base_res[k], f_res[k]), k
+    assert len(base_res["position"]) > 100  # real findings
 
 
 @pytest.mark.parametrize("argv_extra", [
@@ -89,10 +168,14 @@ def test_feed_builder_matches_oracle():
     ["-e", "KOI8-R", "-e", "UTF-8"],
     ["-e", "KOI8-R", "-q", "10"],  # small windows: many edge cases
     ["-e", "windows-1252", "-e", "KOI8-R", "-n", "6"],
+    ["-e", "UTF-8", "-e", "UTF-16LE"],
+    ["-e", "Shift_JIS", "-e", "gb18030", "-e", "UTF-8"],
 ])
 def test_feed_end_to_end_byte_identical(tmp_path, monkeypatch, argv_extra):
     p = tmp_path / "feed.bin"
-    p.write_bytes(_corpus())
+    mixed = (_corpus() + _corpus(("héllo wörld " * 50).encode("utf-8"))
+             + _corpus(("国際化テスト " * 40).encode("shift_jis")))
+    p.write_bytes(mixed)
     argv = ["-t", "x", "-n", "4"] + argv_extra + [str(p)]
     buf_a = io.BytesIO()
     assert run(parse_args(argv), out=buf_a, engine="auto") == 0
@@ -103,12 +186,23 @@ def test_feed_end_to_end_byte_identical(tmp_path, monkeypatch, argv_extra):
     assert buf_a.getvalue().count(b"\n") > 100  # real findings
 
 
-def test_feed_lane_actually_consumes_payload(tmp_path):
+@pytest.mark.parametrize("enc,extra,text", [
+    ("KOI8-R", [], None),
+    # all-bits UBF: long accepted runs under the default block filter
+    # are rare for UTF-16 (the filter exists to cut false positives);
+    # accepting every lead makes the planted text one long run so full
+    # windows engage the lane
+    ("UTF-16LE", ["-u", "0xffffffffffffffff"],
+     lambda: ("hello 世界 music " * 30).encode("utf-16-le")),
+    ("Shift_JIS", ["-u", "0xffffffffffffffff"],
+     lambda: ("こんにちは世界。テスト" * 30).encode("shift_jis")),
+])
+def test_feed_lane_actually_consumes_payload(enc, extra, text):
     """Engagement proof: scanning with a CORRUPTED payload must change
     the output (the lane read it), and with the intact payload must
     equal the no-feed scan byte-for-byte."""
-    blob = _corpus(128 * 1024)
-    argv = ["-t", "x", "-e", "KOI8-R", "-n", "4", "/dev/null"]
+    blob = _corpus(None if text is None else text(), n=128 * 1024)
+    argv = ["-t", "x", "-e", enc, "-n", "4"] + extra + ["/dev/null"]
     m = Missions.from_args(parse_args(argv)).v[0]
     data = np.frombuffer(blob, np.uint8)
     stream = LoadedStream(data, [(1, 0, len(data))])
@@ -127,7 +221,7 @@ def test_feed_lane_actually_consumes_payload(tmp_path):
         assert np.array_equal(base_res[k], feed_res[k]), k
 
     corrupt = list(feed)
-    corrupt[4] = feed[4] ^ np.uint8(0x01)  # flip payload bits
+    corrupt[5] = feed[5] ^ np.uint8(0x01)  # flip payload bits
     _res, bad_sb = scan(tuple(corrupt))
     assert bad_sb != base_sb, (
         "corrupted payload produced identical output - the feed lane "
@@ -135,16 +229,62 @@ def test_feed_lane_actually_consumes_payload(tmp_path):
     )
 
 
+def test_feed_lane_engages_for_utf8_inref():
+    """UTF-8 engagement proof: the payload IS the input, so corrupt the
+    slot tables instead - shifting every payload offset by one byte
+    must change the output iff the lane engaged."""
+    blob = _corpus(("Привет мир! ёлочка " * 40).encode("utf-8"))
+    argv = ["-t", "x", "-e", "UTF-8", "-n", "4", "/dev/null"]
+    m = Missions.from_args(parse_args(argv)).v[0]
+    data = np.frombuffer(blob, np.uint8)
+    sl = slice_table(LoadedStream(data, [(1, 0, len(data))]))
+    feed = runtable_feed(data, m)
+    assert feed is not None and feed[5] is None
+    _res, base_sb = native.native_scan(m, data, *sl)
+    corrupt = list(feed)
+    corrupt[3] = np.maximum(feed[3] - 1, 0)  # payload offsets only
+    _res2, bad_sb = native.native_scan(
+        m, data, *sl, runtable_feed=tuple(corrupt))
+    assert bytes(bad_sb) != bytes(base_sb), (
+        "corrupted payload offsets produced identical output - the "
+        "UTF-8 feed lane never engaged"
+    )
+
+
 def test_feed_host_builder_matches_device():
     """runtable_feed(device=False) - the jax-free builder the ASan fuzz
     drives the C lane with - must produce arrays identical to the
-    device-lanes builder."""
-    blob = _corpus(64 * 1024)
+    device-lanes builder (extras included)."""
+    blob = _corpus(n=64 * 1024)
     argv = ["-t", "x", "-e", "KOI8-R", "-n", "4", "/dev/null"]
     m = Missions.from_args(parse_args(argv)).v[0]
     data = np.frombuffer(blob, np.uint8)
-    dev = runtable_feed(data, m, device=True)
-    host = runtable_feed(data, m, device=False)
+    dev = runtable_feed(data, m, device=True, with_extras=True)
+    host = runtable_feed(data, m, device=False, with_extras=True)
     assert dev is not None and host is not None
-    for a, b in zip(dev, host):
+    for a, b in zip(dev[0], host[0]):
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            assert np.array_equal(a, b)
+    for a, b in zip(dev[1], host[1]):
         assert np.array_equal(a, b)
+
+
+def test_feed_extras_cover_multi_cp_big5(tmp_path, monkeypatch):
+    """The four Big5 double-codepoint pairs are excluded from feed runs
+    but must stay hot (their findings survive the window skipper)."""
+    # 0x88 0x62 decodes to U+00CA U+0304 (WHATWG big5 pointer 1133)
+    pair = b"\x88\x62"
+    cold = bytes(256) + b"ABCD" + bytes(256)
+    blob = bytes(8192) + b"\xa4\x40\xa4\x40" + pair + b"\xa4\x40\xa4\x40" \
+        + bytes(8192) + cold
+    argv = ["-t", "x", "-e", "Big5", "-n", "2", str(tmp_path / "b.bin")]
+    (tmp_path / "b.bin").write_bytes(blob)
+    buf_a = io.BytesIO()
+    assert run(parse_args(argv), out=buf_a, engine="auto") == 0
+    monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "1")
+    buf_t = io.BytesIO()
+    assert run(parse_args(argv), out=buf_t, engine="tpu") == 0
+    assert buf_t.getvalue() == buf_a.getvalue()
+    assert "Ê".encode() in buf_a.getvalue()  # the multi-cp pair decoded
