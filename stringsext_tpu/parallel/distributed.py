@@ -829,6 +829,8 @@ def _gather_shards_to_zero(blob: bytes, p_lo: int, p_hi: int,
     if nproc == 1:
         return iter(()) if pid == 0 else None
     client = _kv_client()
+    if os.environ.get("STRINGSEXT_FORCE_GATHER_FALLBACK") == "1":
+        client = None  # test/ops hook: exercise the allgather fallback
     key = f"stringsext:gather:{_GATHER_EPOCH}"
     if client is None:
         return _gather_fallback_allgather(blob, p_lo, p_hi, nproc, pid)
@@ -890,24 +892,56 @@ def _gather_shards_to_zero(blob: bytes, p_lo: int, p_hi: int,
     return None
 
 
+_GATHER_FALLBACK_CHUNK = 8 << 20  # bytes per allgather round
+
+
 def _gather_fallback_allgather(blob, p_lo, p_hi, nproc, pid):
+    """Findings gather without a key-value store: CHUNKED allgather
+    rounds. Each round every rank contributes one fixed-size chunk of
+    its payload, so a non-zero rank transiently holds nproc x chunk
+    bytes - never all payloads (the round-2 padded form allgathered
+    whole max-size blobs). Rank 0 accumulates per-rank payloads across
+    rounds (it must hold them anyway to merge). Loud: engaging this
+    path warns once - it is strictly worse than the TCP gather."""
     from jax.experimental import multihost_utils
 
+    from ..run import _warn_once
+
+    _warn_once(
+        ("gather-fallback-allgather",),
+        "Warning: jax.distributed key-value store unavailable; the "
+        "findings gather falls back to chunked allgather rounds "
+        "(every rank transiently holds one chunk per peer).",
+    )
     meta = np.array([len(blob), p_lo, p_hi], np.int64)
     metas = np.asarray(multihost_utils.process_allgather(meta))
     metas = metas.reshape(nproc, 3)
     mx = int(metas[:, 0].max())
-    padded = np.zeros(mx, np.uint8)
-    padded[: len(blob)] = np.frombuffer(blob, np.uint8)
-    allp = np.asarray(multihost_utils.process_allgather(padded))
-    allp = allp.reshape(nproc, mx)
+    chunk = max(1, min(_GATHER_FALLBACK_CHUNK, mx))
+    nrounds = max(1, -(-mx // chunk))
+    src = np.frombuffer(blob, np.uint8)
+    parts = [bytearray() for _ in range(nproc)] if pid == 0 else None
+    for c in range(nrounds):
+        lo = c * chunk
+        part = np.zeros(chunk, np.uint8)
+        if lo < len(src):
+            seg = src[lo : lo + chunk]
+            part[: len(seg)] = seg
+        allp = np.asarray(multihost_utils.process_allgather(part))
+        allp = allp.reshape(nproc, chunk)
+        if pid == 0:
+            for r in range(1, nproc):
+                take = min(max(int(metas[r, 0]) - lo, 0), chunk)
+                if take:
+                    parts[r] += allp[r, :take].tobytes()
+        del allp
     if pid != 0:
         return None
 
     def gen():
         for r in range(1, nproc):
-            ln, lo, hi = (int(v) for v in metas[r])
-            yield r, lo, hi, allp[r, :ln].tobytes()
+            _ln, lo2, hi2 = (int(v) for v in metas[r])
+            yield r, lo2, hi2, bytes(parts[r])
 
     return gen()
 

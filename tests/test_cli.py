@@ -191,6 +191,27 @@ def test_debug_options_dump(capsys):
     assert "encoding: EUC-KR," in out
 
 
+def test_debug_options_dump_golden(capsys):
+    """Full-byte golden pin of the -d dump (help.rs:22-45): the config
+    introspection surface must not drift (VERDICT r3 item 10). Regen:
+    python -m stringsext_tpu.cli -d -t x \\
+      -e UTF-8,10,All-Ctrl,Cyrillic,63 -e euc-kr -e ascii -g 58 -n 6 \\
+      -s 4096 -q 32 --same-unicode-block /dev/null /etc/hostname \\
+      > tests/golden_extra/debug_dump.expected"""
+    import pathlib
+
+    from stringsext_tpu.cli import main
+
+    rc = main(["-d", "-t", "x", "-e", "UTF-8,10,All-Ctrl,Cyrillic,63",
+               "-e", "euc-kr", "-e", "ascii", "-g", "58", "-n", "6",
+               "-s", "4096", "-q", "32", "--same-unicode-block",
+               "/dev/null", "/etc/hostname"])
+    assert rc == 0
+    expected = (pathlib.Path(__file__).parent / "golden_extra"
+                / "debug_dump.expected").read_text()
+    assert capsys.readouterr().out == expected
+
+
 def test_version_flag(capsys):
     """-V prints 'Version X, AUTHOR' and exits 0 (help.rs:17-20)."""
     from stringsext_tpu import __version__

@@ -99,6 +99,18 @@ def _cli_worker_main():
                                              engine="tpu")
             assert rc == 0
             assert buf_t.getvalue() == buf.getvalue()
+            # KV-store-less gather fallback (chunked allgather rounds):
+            # forced via the env hook; must stay byte-identical and
+            # warn once on stderr (asserted by the parent harness).
+            os.environ["STRINGSEXT_FORCE_GATHER_FALLBACK"] = "1"
+            try:
+                buf_f = io.BytesIO()
+                rc = distributed.distributed_run(args, ms, buf_f,
+                                                 engine="auto")
+                assert rc == 0
+                assert buf_f.getvalue() == buf.getvalue()
+            finally:
+                del os.environ["STRINGSEXT_FORCE_GATHER_FALLBACK"]
         if pid == 0:
             expected = open(os.path.join(work, f"{name}.expected"),
                             "rb").read()
@@ -427,6 +439,8 @@ def test_two_process_distributed_cli(tmp_path):
         if res is not None and all(pr.returncode == 0 for pr, _ in res):
             for pid, (pr, out) in enumerate(res):
                 assert f"WORKER{pid}-OK" in out, out[-3000:]
+                # the forced KV-store-less gather fallback must be LOUD
+                assert "chunked allgather" in out, out[-3000:]
             return
         last = res
     assert False, f"all attempts failed: {last and [o[-2000:] for _, o in last]}"
