@@ -235,3 +235,42 @@ def test_engine_tpu_mesh_hot_path(monkeypatch, tmp_path):
             outs[(mesh_mode, engine)] = buf.getvalue()
     assert outs[("1", "tpu")] == outs[("0", "native")]
     assert len(outs[("1", "tpu")]) > 100
+
+
+def test_compiled_collectives_are_neighbor_ppermute_only():
+    """Machine-check the MESH_SCALING comm claim on the virtual mesh:
+    the compiled sharded programs contain NO all-gather/all-reduce/
+    all-to-all/reduce-scatter, and every collective-permute is a
+    data-axis neighbor exchange (scripts/audit_collectives.py is the
+    standalone 8+16-device version)."""
+    import numpy as np
+
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from audit_collectives import audit_hlo, compiled_text
+
+    from stringsext_tpu.mission import Missions
+    from stringsext_tpu.ops.pallas_swar import swar_params
+    from stringsext_tpu.parallel import mesh as pmesh
+
+    ms = Missions.new(flag_encoding=["UTF-8", "utf-16le", "utf-16be"])
+    p = swar_params(ms.v)
+    specs = (
+        ("utf8", p["af_iv"], p["ubf_iv"], p["greps"][0]),
+        ("utf16", False, p["cp_iv_le"], p["greps"][1]),
+    )
+    m8 = pmesh.make_mesh(8, 1)
+    step = pmesh.build_sharded_counts(specs, m8, shard_rows=16,
+                                      interpret=True)
+    hlo = compiled_text(step, np.zeros((8 * 16, 128), np.int32))
+    r = audit_hlo(hlo, 8, 1)
+    assert r["ok"], r
+
+    m42 = pmesh.make_mesh(4, 2)
+    step2 = pmesh.build_sharded_scan(ms.v[:2], m42, shard_len=4096,
+                                     capacity=128)
+    hlo2 = compiled_text(step2, np.zeros(4 * 4096, np.uint8))
+    r2 = audit_hlo(hlo2, 4, 2)
+    assert r2["ok"], r2
