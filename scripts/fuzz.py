@@ -325,6 +325,34 @@ def main():
                             outs["stream-fd"] = fo.read()
                     finally:
                         os.unlink(opath)
+            if "tpu" in engines and trials % 2 == 1:
+                # (gated on the full engine set: ASan mode must not
+                # import jax, which parallel.distributed does)
+                # Randomized DISTRIBUTED differential (VERDICT r3 item
+                # 4): the in-process N-rank simulator (boundary search,
+                # O(shard) reads, entry-mode composition, rank-0
+                # holdback merge - distributed.simulate_ranks, the same
+                # pure functions distributed_run executes per rank)
+                # must reproduce the single-process stream
+                # byte-for-byte on random corpora x mission sets x
+                # nprocs, multi-file included. nprocs is trial-derived
+                # (no rng draws: replay order unchanged); shard reads
+                # must partition the input exactly when a real split
+                # happened.
+                from stringsext_tpu.parallel import distributed as D
+
+                nprocs = 2 + (trials // 2) % 4  # 2..5
+                d_args = parse_args(argv + paths)
+                sim_out, st = D.simulate_ranks(d_args, paths, nprocs)
+                outs[f"dist{nprocs}"] = sim_out
+                total = sum(os.path.getsize(p) for p in paths)
+                bounds = st["bounds"]
+                real_split = len(set(bounds)) > 2
+                if real_split and sum(st["shard_read"]) != total:
+                    fails += 1
+                    print(f"FAIL trial={trials} dist shard reads "
+                          f"{st['shard_read']} != total {total} "
+                          f"argv={argv}", flush=True)
             if not all(v == outs["python"] for v in outs.values()):
                 fails += 1
                 fn = f"/tmp/fuzz_fail_{trials}.bin"

@@ -1169,3 +1169,82 @@ def _done_barrier():
         )
     except Exception:
         pass  # best-effort: teardown races are a robustness concern only
+
+
+def simulate_ranks(args, paths, nprocs: int):
+    """In-process simulation of the distributed data plane: the
+    boundary search, shard scans, entry-mode composition and rank-0
+    holdback merge are pure functions (no collectives), so N ranks run
+    sequentially in one process. Used by tests/test_distributed_sim.py
+    and the randomized distributed fuzz (scripts/fuzz.py --dist
+    branch).
+
+    Returns (output_bytes, stats) where stats carries the row bounds,
+    the per-rank shard read sizes (the O(shard) evidence - excludes
+    the bounded boundary-search windows), and n_rows.
+    """
+    import io as _io
+
+    from ..encodings import encoding_kind
+    from ..input import slice_table
+    from ..mission import Missions
+    from ..run import _emit_lines
+
+    ms = Missions.from_args(args)
+    spans = stat_spans(paths)
+    sl = slice_table(_SpanStream(spans))
+    n_rows = len(sl[0])
+    bounds = shard_row_bounds(paths, spans, ms, nprocs)
+    if bounds is None:
+        bounds = [0] + [n_rows] * nprocs
+    has_iso = any(
+        encoding_kind(m.encoding_name) == "iso-2022-jp" for m in ms.v
+    )
+    transfers = []
+    shard_data = []
+    shard_read = []
+    for s in range(nprocs):
+        r0, r1 = bounds[s], bounds[s + 1]
+        sd = None
+        t = -1
+        if r1 > r0:
+            lo = int(sl[0][r0])
+            hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
+            sd = _read_range(paths, spans, lo, hi)
+            if has_iso:
+                t = _iso_mode_transfer(sd)
+        shard_data.append(sd)
+        shard_read.append(0 if sd is None else len(sd))
+        transfers.append(t)
+
+    out = _io.BytesIO()
+    out.write(b"\xef\xbb\xbf")
+    held = []
+    for s in range(nprocs):
+        em = _compose_entry_mode(transfers, s) if has_iso else 0
+        pm, (_lo, p_hi) = scan_shard(
+            paths, spans, ms, sl, bounds[s], bounds[s + 1],
+            entry_mode=em, data=shard_data[s],
+        )
+        rows = held + [(ms.v[i], res, sb) for i, (res, sb) in
+                       enumerate(pm)]
+        emit, hold = [], []
+        last = s == nprocs - 1
+        for m, res, sb in rows:
+            if last:
+                emit.append((m, res, sb))
+                continue
+            bound = m.counter_offset + p_hi
+            pos = res["position"]
+            cut = int(np.searchsorted(pos, bound, "left"))
+            emit.append((m, {k: v[:cut] for k, v in res.items()}, sb))
+            if cut < len(pos):
+                hold.append((m, {k: v[cut:] for k, v in res.items()}, sb))
+        held = hold
+        _emit_lines(out, args, emit)
+    out.write(b"\n")
+    return out.getvalue(), {
+        "bounds": bounds,
+        "n_rows": n_rows,
+        "shard_read": shard_read,
+    }

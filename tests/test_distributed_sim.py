@@ -15,10 +15,9 @@ import pytest
 
 from stringsext_tpu import native
 from stringsext_tpu.cli import parse_args
-from stringsext_tpu.input import slice_table
 from stringsext_tpu.mission import Missions
 from stringsext_tpu.parallel import distributed as D
-from stringsext_tpu.run import _emit_lines, run
+from stringsext_tpu.run import run
 
 pytestmark = pytest.mark.skipif(
     native.get_lib() is None, reason="no native toolchain"
@@ -28,61 +27,12 @@ rng = np.random.default_rng(33)
 
 
 def _simulate(argv, paths, nprocs):
-    """Exactly distributed_run's rank logic, all ranks in-process."""
+    """Exactly distributed_run's rank logic, all ranks in-process
+    (distributed.simulate_ranks - shared with the randomized
+    distributed fuzz in scripts/fuzz.py)."""
     args = parse_args(argv + paths)
-    ms = Missions.from_args(args)
-    spans = D.stat_spans(paths)
-    sl = slice_table(D._SpanStream(spans))
-    n_rows = len(sl[0])
-    bounds = D.shard_row_bounds(paths, spans, ms, nprocs)
-    if bounds is None:
-        bounds = [0] + [n_rows] * nprocs
-    from stringsext_tpu.encodings import encoding_kind
-
-    has_iso = any(
-        encoding_kind(m.encoding_name) == "iso-2022-jp" for m in ms.v
-    )
-    transfers = []
-    shard_data = []
-    for s in range(nprocs):
-        r0, r1 = bounds[s], bounds[s + 1]
-        sd = None
-        t = -1
-        if r1 > r0:
-            lo = int(sl[0][r0])
-            hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
-            sd = D._read_range(paths, spans, lo, hi)
-            if has_iso:
-                t = D._iso_mode_transfer(sd)
-        shard_data.append(sd)
-        transfers.append(t)
-
-    out = io.BytesIO()
-    out.write(b"\xef\xbb\xbf")
-    held = []
-    for s in range(nprocs):
-        em = D._compose_entry_mode(transfers, s) if has_iso else 0
-        pm, (_lo, p_hi) = D.scan_shard(
-            paths, spans, ms, sl, bounds[s], bounds[s + 1],
-            entry_mode=em, data=shard_data[s],
-        )
-        rows = held + [(ms.v[i], res, sb) for i, (res, sb) in enumerate(pm)]
-        emit, hold = [], []
-        last = s == nprocs - 1
-        for m, res, sb in rows:
-            if last:
-                emit.append((m, res, sb))
-                continue
-            bound = m.counter_offset + p_hi
-            pos = res["position"]
-            cut = int(np.searchsorted(pos, bound, "left"))
-            emit.append((m, {k: v[:cut] for k, v in res.items()}, sb))
-            if cut < len(pos):
-                hold.append((m, {k: v[cut:] for k, v in res.items()}, sb))
-        held = hold
-        _emit_lines(out, args, emit)
-    out.write(b"\n")
-    return out.getvalue(), bounds, n_rows
+    out, stats = D.simulate_ranks(args, paths, nprocs)
+    return out, stats["bounds"], stats["n_rows"]
 
 
 def _expected(argv, paths):
@@ -219,3 +169,40 @@ def test_macintosh_overflow_spec_allows_split(tmp_path):
     got, bounds, n_rows = _simulate(argv, [str(p)], 2)
     assert got == _expected(argv, [str(p)])
     assert 0 < bounds[1] < n_rows, bounds
+
+
+def test_randomized_distributed_differential(tmp_path):
+    """Bounded-trial randomized distributed fuzz (the pytest wiring of
+    scripts/fuzz.py's --dist branch): random corpora x random mission
+    sets x nprocs in 2..5, in-process N-rank simulation byte-identical
+    to the single-process scan, and shard reads partitioning the input
+    exactly whenever a real split happened."""
+    import random
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    import fuzz as fuzz_mod
+
+    rng = random.Random(77)
+    nprng = np.random.default_rng(77)
+    splits_seen = 0
+    for t in range(12):
+        argv = fuzz_mod.random_config(rng)
+        blob = fuzz_mod.random_corpus(rng, nprng)
+        nfiles = rng.randint(1, 3)
+        paths = []
+        for k in range(nfiles):
+            p = tmp_path / f"t{t}_{k}.bin"
+            p.write_bytes(blob[k::nfiles] if nfiles > 1 else blob)
+            paths.append(str(p))
+        expected = _expected(argv, paths)
+        nprocs = 2 + t % 4
+        args = parse_args(argv + paths)
+        sim_out, st = D.simulate_ranks(args, paths, nprocs)
+        assert sim_out == expected, (t, argv, nprocs, st["bounds"])
+        total = sum(len(open(p, "rb").read()) for p in paths)
+        if len(set(st["bounds"])) > 2:
+            splits_seen += 1
+            assert sum(st["shard_read"]) == total, (t, st)
+    assert splits_seen >= 1  # at least one trial really split
