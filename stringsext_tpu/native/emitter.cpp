@@ -790,9 +790,22 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
             if (!ascii_acc[c]) acc_contig = false;
     }
     bool ubf_acc[256];
-    if (utf16_fast)
+    std::vector<uint8_t> u16cls;  // unit class for the mixed BMP lane:
+                                  // 0 surrogate, 1 valid rejected,
+                                  // 2 accepted (one lookup per unit)
+    if (utf16_fast) {
         for (int c = 0; c < 256; c++)
             ubf_acc[c] = c >= 0xC0 && pass_ubf(m, c);
+        u16cls.resize(65536);
+        for (uint32_t u = 0; u < 65536; u++) {
+            if (u - 0xD800 < 0x800u) { u16cls[u] = 0; continue; }
+            const bool okc = u < 0x80
+                ? ascii_acc[u]
+                : ubf_acc[u < 0x800 ? (0xC0 | (u >> 6))
+                                    : (0xE0 | (u >> 12))];
+            u16cls[u] = okc ? 2 : 1;
+        }
+    }
     // Single-byte full-window accepted lane: for kind 3 every byte is
     // one char, so a full window of table-defined, filter-accepted
     // bytes is exactly two wrapped findings (the ASCII lane's argument
@@ -1040,93 +1053,6 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     continue;
                 }
             }
-            // Sub-min ASCII window lane: a window whose bytes are ALL
-            // < 0x80 is one call of valid 1-byte chars (no malformed
-            // cut, invalid_after=false); if every maximal AF-accepted
-            // run in it stays BELOW chars_min, SplitStr emits nothing
-            // and only the trailing accepted run (touching the call
-            // end) carries - as the refilter leftover
-            // (helper.rs:389-392). Entered clean (no pending, flag
-            // off), that is the complete observable effect, so the
-            // whole call collapses to one SWAR scan + a tail stash.
-            // Dominant for the UTF-8 mission over UTF-16 text regions
-            // (ASCII chars interleaved with rejected NULs) and
-            // low-byte binary noise, where valid-char runs defeat the
-            // sterile-malformed lookahead.
-            if ((ascii_fast || sbyte_fast) && ev_ok && !have_pending &&
-                !flag && cursor == sstart + ws &&
-                !(is_last && last_window)) {
-                // Single-byte missions widen the lane to the FULL byte
-                // range: every table-DEFINED byte is a valid 1-byte
-                // char, so a window of only defined bytes is still one
-                // call - the shape sbyte missions hit on binary noise
-                // (random high bytes, short accepted runs). Other
-                // kinds keep the sub-0x80 requirement.
-                const bool full256 = m.kind == 3 && sbyte_fast;
-                const uint8_t* p8 = data + sstart + ws;
-                const int64_t wn = we - ws;
-                int64_t k = 0;
-                if (!full256) {
-                    while (k + 8 <= wn) {
-                        uint64_t x;
-                        memcpy(&x, p8 + k, 8);
-                        if (x & 0x8080808080808080ull) break;
-                        k += 8;
-                    }
-                    if (k + 8 > wn)
-                        while (k < wn && p8[k] < 0x80) k++;
-                } else {
-                    while (k < wn && sb_len[p8[k]] != 0) k++;
-                }
-                if (k == wn) {
-                    const int32_t vmin = m.chars_min_nb;
-                    int32_t run = 0;
-                    int64_t j = 0;
-                    if (full256) {
-                        for (; j < wn; j++) {
-                            if (sb_acc[p8[j]]) {
-                                if (++run >= vmin) break;
-                            } else {
-                                run = 0;
-                            }
-                        }
-                    } else if (acc_contig) {
-                        const uint8_t alo = (uint8_t)acc_lo;
-                        const uint8_t aspan = (uint8_t)(acc_hi - acc_lo);
-                        for (; j < wn; j++) {
-                            if ((uint8_t)(p8[j] - alo) <= aspan) {
-                                if (++run >= vmin) break;
-                            } else {
-                                run = 0;
-                            }
-                        }
-                    } else {
-                        for (; j < wn; j++) {
-                            if (ascii_acc[p8[j]]) {
-                                if (++run >= vmin) break;
-                            } else {
-                                run = 0;
-                            }
-                        }
-                    }
-                    if (j == wn) {
-                        if (run > 0) {  // tail run: refilter leftover
-                            pending.clear();
-                            for (int32_t q2 = run; q2 > 0; q2--) {
-                                const uint8_t v = p8[wn - q2];
-                                pending.push_back(
-                                    full256 ? m.table256[v] : (int32_t)v);
-                            }
-                            have_pending = true;
-                        }
-                        cursor = sstart + we;
-                        advance();
-                        label = we;
-                        ws = we;
-                        continue;
-                    }
-                }
-            }
             // Run-table feed lane: a full window whose chars lie
             // entirely inside ONE device-extracted accepted run has,
             // by SplitStr semantics (helper.rs:226-237 wrapping +
@@ -1301,6 +1227,263 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     out.str_len.push_back(
                         (uint32_t)(out.strbuf.size() - off));
                     flag = true;
+                    cursor = sstart + we;
+                    advance();
+                    label = we;
+                    ws = we;
+                    continue;
+                }
+            }
+            // Mixed ASCII/defined-byte window lane (round-4
+            // generalization of the former sub-min lane): a window
+            // whose bytes are ALL complete 1-byte chars - sub-0x80
+            // for UTF-8 and the CJK kinds, any table-DEFINED byte for
+            // single-byte - is ONE call of valid chars with no
+            // malformed cut. SplitStr over 1-byte chars specializes
+            // to a byte-level walk (helper.rs:206-433 with every char
+            // length 1): maximal accepted runs, wrap at line_max, and
+            // the exact boundary-flag algebra of helper.rs:349-392,
+            // including completes-chains, refilter tail stashes and
+            // the stream-end invalid_after dismissal. Entered clean
+            // (cursor at window start, no pending leftover) the walk
+            // emits the identical findings with no int32 char
+            // materialization; UTF-8/CJK ASCII spans are
+            // input-identical, so input_refs emits SE_INREF zero-copy
+            // spans. Dominant on text windows broken by an occasional
+            // rejected byte (the mixed-window shape that previously
+            // fell to the generic walk) as well as the old lane's
+            // all-sub-min shapes.
+            if ((ascii_fast || sbyte_fast) && ev_ok && !have_pending &&
+                cursor == sstart + ws) {
+                const bool full256 = m.kind == 3 && sbyte_fast;
+                const uint8_t* p8 = data + sstart + ws;
+                const int64_t wn = we - ws;
+                int64_t k = 0;
+                if (!full256) {
+                    while (k + 8 <= wn) {
+                        uint64_t x;
+                        memcpy(&x, p8 + k, 8);
+                        if (x & 0x8080808080808080ull) break;
+                        k += 8;
+                    }
+                    if (k + 8 > wn)
+                        while (k < wn && p8[k] < 0x80) k++;
+                } else {
+                    while (k < wn && sb_len[p8[k]] != 0) k++;
+                }
+                if (k == wn) {
+                    const bool inv_after = last_window && is_last;
+                    const int32_t vmin = m.chars_min_nb;
+                    const int64_t lm = m.line_max;
+                    int64_t inp_start = 0, p = 0;
+                    bool lmc = flag;  // continue_str at call entry
+                    flag = false;     // process_call clears; chunks set
+                    bool first_chunk = true;
+                    for (;;) {
+                        int64_t ok_s = p;
+                        int64_t ok_nb = 0;
+                        while (p < wn && ok_nb < lm) {
+                            const uint8_t v = p8[p];
+                            if (full256 ? sb_acc[v] : ascii_acc[v]) {
+                                ok_nb++; p++;
+                                // contiguous-accept burst: extend the
+                                // run 8 bytes per step (same SWAR
+                                // range test as the full-window lane)
+                                if (acc_contig && !full256) {
+                                    const uint64_t ones =
+                                        0x0101010101010101ull;
+                                    const uint64_t highs =
+                                        0x8080808080808080ull;
+                                    const uint64_t lo8 =
+                                        ones * (uint64_t)acc_lo;
+                                    const uint64_t add =
+                                        ones * (uint64_t)(127 - acc_hi);
+                                    while (p + 8 <= wn &&
+                                           ok_nb + 8 <= lm) {
+                                        uint64_t x;
+                                        memcpy(&x, p8 + p, 8);
+                                        if ((((x - lo8) & ~x) |
+                                             ((x + add) | x)) & highs)
+                                            break;
+                                        p += 8; ok_nb += 8;
+                                    }
+                                }
+                                continue;
+                            }
+                            p++;
+                            if ((lmc && ok_nb > 0 && ok_s == inp_start) ||
+                                ok_nb >= vmin)
+                                break;
+                            ok_nb = 0; ok_s = p;
+                        }
+                        if (ok_nb == 0) break;
+                        const bool left = ok_s == inp_start;
+                        const bool right = ok_s + ok_nb >= wn;
+                        const bool mc =
+                            ok_nb >= lm || (right && !inv_after);
+                        const bool completes = left && lmc;
+                        const bool again = !completes && right &&
+                                           !inv_after && ok_nb < lm;
+                        if (!completes && !again && ok_nb < vmin) break;
+                        if (ok_nb >= lm) inp_start = p;
+                        lmc = mc;
+                        if (!again) {
+                            uint64_t off;
+                            uint32_t olen;
+                            if (full256) {
+                                off = (uint64_t)out.strbuf.size();
+                                for (int64_t q = 0; q < ok_nb; q++) {
+                                    const uint8_t v = p8[ok_s + q];
+                                    out.strbuf.push_back(sb_enc[v][0]);
+                                    if (sb_len[v] > 1)
+                                        out.strbuf.push_back(sb_enc[v][1]);
+                                    if (sb_len[v] > 2)
+                                        out.strbuf.push_back(sb_enc[v][2]);
+                                }
+                                olen = (uint32_t)(out.strbuf.size() - off);
+                            } else if (m.input_refs) {
+                                off = SE_INREF |
+                                      (uint64_t)(sstart + ws + ok_s);
+                                olen = (uint32_t)ok_nb;
+                            } else {
+                                off = (uint64_t)out.strbuf.size();
+                                out.strbuf.insert(out.strbuf.end(),
+                                                  p8 + ok_s,
+                                                  p8 + ok_s + ok_nb);
+                                olen = (uint32_t)ok_nb;
+                            }
+                            out.position.push_back(
+                                st.consumed + (uint64_t)label);
+                            out.precision.push_back(first_chunk ? 0 : 1);
+                            out.completes.push_back(completes ? 1 : 0);
+                            out.file_id.push_back(file_id);
+                            out.str_off.push_back(off);
+                            out.str_len.push_back(olen);
+                            flag = mc;
+                        } else {
+                            pending.clear();
+                            pending.reserve((size_t)ok_nb);
+                            for (int64_t q = 0; q < ok_nb; q++) {
+                                const uint8_t v = p8[ok_s + q];
+                                pending.push_back(
+                                    full256 ? m.table256[v] : (int32_t)v);
+                            }
+                            have_pending = true;
+                            flag = false;
+                        }
+                        first_chunk = false;
+                    }
+                    cursor = sstart + we;
+                    advance();
+                    label = we;
+                    ws = we;
+                    continue;
+                }
+            }
+            // UTF-16 mixed BMP window lane: the unit-level sibling of
+            // the byte lane above. A window of complete NON-SURROGATE
+            // units is one call of valid 1-unit chars; the same
+            // specialized SplitStr walk applies with accept =
+            // AF(unit<0x80) / UBF(would-be UTF-8 lead). Dominant for
+            // UTF-16 missions over ASCII-text regions (runs of
+            // REJECTED valid BMP chars - e.g. 'th' = U+7468 under the
+            // default block filter - that previously walked the
+            // generic per-char path). label>0 keeps the first-window
+            // Before heuristic generic, as in the sibling lanes.
+            if (utf16_fast && ev_ok && !have_pending && label > 0 &&
+                cursor == sstart + ws && ((we - ws) & 1) == 0) {
+                const uint8_t* p8 = data + sstart + ws;
+                const bool be16 = m.kind == 2;
+                const int64_t un = (we - ws) >> 1;
+                // surrogate precheck, 4 units per 64-bit step: a unit
+                // is a surrogate iff (u & 0xF800) == 0xD800, i.e. a
+                // 16-bit lane of (x & m16) ^ s16 is zero.
+                int64_t k = 0;
+                {
+                    // LE lane value of a BE unit is lo<<8|hi, so the
+                    // surrogate mask sits in the LOW byte there; the
+                    // 16-bit haszero detector is endian-agnostic.
+                    const uint64_t m16 = be16 ? 0x00F800F800F800F8ull
+                                              : 0xF800F800F800F800ull;
+                    const uint64_t s16 = be16 ? 0x00D800D800D800D8ull
+                                              : 0xD800D800D800D800ull;
+                    const uint64_t ones16 = 0x0001000100010001ull;
+                    const uint64_t high16 = 0x8000800080008000ull;
+                    while (k + 4 <= un) {
+                        uint64_t x;
+                        memcpy(&x, p8 + 2 * k, 8);
+                        const uint64_t y = (x & m16) ^ s16;
+                        if ((y - ones16) & ~y & high16) break;
+                        k += 4;
+                    }
+                    for (; k < un; k++) {
+                        const uint32_t u = be16
+                            ? ((uint32_t)p8[2 * k] << 8) | p8[2 * k + 1]
+                            : ((uint32_t)p8[2 * k + 1] << 8) | p8[2 * k];
+                        if (u - 0xD800 < 0x800u) break;
+                    }
+                }
+                if (k == un) {
+                    const bool inv_after = last_window && is_last;
+                    const int32_t vmin = m.chars_min_nb;
+                    const int64_t lm = m.line_max;
+                    auto unit_at = [&](int64_t q) -> uint32_t {
+                        return be16
+                            ? ((uint32_t)p8[2 * q] << 8) | p8[2 * q + 1]
+                            : ((uint32_t)p8[2 * q + 1] << 8) | p8[2 * q];
+                    };
+                    int64_t inp_start = 0, p = 0;
+                    bool lmc = flag;
+                    flag = false;
+                    bool first_chunk = true;
+                    for (;;) {
+                        int64_t ok_s = p;
+                        int64_t ok_nb = 0;
+                        while (p < un && ok_nb < lm) {
+                            if (u16cls[unit_at(p)] == 2) {
+                                ok_nb++; p++; continue;
+                            }
+                            p++;
+                            if ((lmc && ok_nb > 0 && ok_s == inp_start) ||
+                                ok_nb >= vmin)
+                                break;
+                            ok_nb = 0; ok_s = p;
+                        }
+                        if (ok_nb == 0) break;
+                        const bool left = ok_s == inp_start;
+                        const bool right = ok_s + ok_nb >= un;
+                        const bool mc =
+                            ok_nb >= lm || (right && !inv_after);
+                        const bool completes = left && lmc;
+                        const bool again = !completes && right &&
+                                           !inv_after && ok_nb < lm;
+                        if (!completes && !again && ok_nb < vmin) break;
+                        if (ok_nb >= lm) inp_start = p;
+                        lmc = mc;
+                        if (!again) {
+                            const uint64_t off = (uint64_t)out.strbuf.size();
+                            for (int64_t q = 0; q < ok_nb; q++)
+                                utf8_append(out.strbuf,
+                                            (int32_t)unit_at(ok_s + q));
+                            out.position.push_back(
+                                st.consumed + (uint64_t)label);
+                            out.precision.push_back(first_chunk ? 0 : 1);
+                            out.completes.push_back(completes ? 1 : 0);
+                            out.file_id.push_back(file_id);
+                            out.str_off.push_back(off);
+                            out.str_len.push_back(
+                                (uint32_t)(out.strbuf.size() - off));
+                            flag = mc;
+                        } else {
+                            pending.clear();
+                            pending.reserve((size_t)ok_nb);
+                            for (int64_t q = 0; q < ok_nb; q++)
+                                pending.push_back((int32_t)unit_at(ok_s + q));
+                            have_pending = true;
+                            flag = false;
+                        }
+                        first_chunk = false;
+                    }
                     cursor = sstart + we;
                     advance();
                     label = we;
