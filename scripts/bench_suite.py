@@ -68,14 +68,16 @@ def main():
             jnp.asarray(raw[:n].view(np.int32).reshape(-1, 128))
         )
 
-    def timed_loop(words, specs_groups, hot_only, label, size, missions=1):
+    def timed_loop(words, specs_groups, hot_only, label, size, missions=1,
+                   tile_rows=512):
         @jax.jit
         def looped(w, k):
             def body(i, acc):
                 xw = (i % 2) * 0x01010101
                 for sg in specs_groups:
                     c = pallas_swar.swar_counts(
-                        w, sg, tile_rows=512, hot_only=hot_only, xor_word=xw
+                        w, sg, tile_rows=tile_rows, hot_only=hot_only,
+                        xor_word=xw
                     )
                     acc = acc + jnp.sum(c[:, ::64].astype(jnp.int64))
                 return acc
@@ -152,24 +154,27 @@ def main():
         sp = swar_mission_spec(m) or cjk_hot_spec(m)
         if sp is not None:
             specs.append(sp)
-    # Group-size fallback, mirroring the production launch_group halving
-    # (run.py): a group's scoped-VMEM footprint depends on its specs'
-    # interval counts, and the v5e limit is 16 MB - round 3's macintosh
-    # coarsened spec pushed a 20-group 172 KB over it.
-    for gsz in (20, 14, 10, 8):
-        groups = [tuple(specs[i : i + gsz])
-                  for i in range(0, len(specs), gsz)]
-        print(f"# sweep: {len(specs)} device specs in {len(groups)} "
-              f"launches of <= {gsz}", file=sys.stderr)
-        try:
-            timed_loop(words_of(raw), groups, True,
-                       f"5:all-41-encodings-32MB(g{gsz})",
-                       32 * 1024 * 1024, missions=len(specs))
-            break
-        except Exception as e:
-            print(f"# group size {gsz} failed to compile "
-                  f"({str(e)[:120]}...); halving",
-                  file=sys.stderr)
+    # Static calibrated scoped-VMEM launch plan (run.py uses the same
+    # model): tile + groups chosen BEFORE compiling - no
+    # fail-then-halve. For this 41-spec set the plan lands at ONE
+    # 128-row-tile launch (the per-launch budget doubles as the tile
+    # halves), measured 10.3 GB/s vs 9.0 for three 512-row launches.
+    from stringsext_tpu.ops.pallas_swar import (
+        plan_hot_launches,
+        spec_vmem_weight,
+    )
+
+    tile, packed = plan_hot_launches([(i, sp) for i, sp in enumerate(specs)])
+    groups = [tuple(sp for _i, sp in g) for g in packed]
+    sizes = [len(g) for g in groups]
+    weights = [sum(spec_vmem_weight(sp) for sp in g) for g in groups]
+    print(f"# sweep: {len(specs)} device specs in {len(groups)} "
+          f"launches, tile={tile}, sizes={sizes}, "
+          f"vmem-weights={weights}", file=sys.stderr)
+    timed_loop(words_of(raw), groups, True,
+               f"5:all-41-encodings-32MB(vmem-plan,tile{tile},"
+               f"{'+'.join(str(s) for s in sizes)})",
+               32 * 1024 * 1024, missions=len(specs), tile_rows=tile)
 
 
 if __name__ == "__main__":

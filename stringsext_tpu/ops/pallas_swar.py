@@ -956,6 +956,86 @@ def utf16_cp_intervals(mission) -> tuple:
     return tuple(out)
 
 
+# --- Static scoped-VMEM grouping model (VERDICT r3 item 3) ----------
+#
+# A fused hot-only counts launch must fit the v5e's 16 MB scoped-VMEM
+# limit; round 3 discovered group viability reactively (compile-fail
+# -then-halve), which cost the all-41 sweep ~2 GB/s when the fallback
+# landed at 14/launch. The footprint is additive per spec to good
+# accuracy; weights and budget below were calibrated 2026-08-21 on the
+# attached v5e with compile-only bracket probes over the REAL all-41
+# spec set (scripts/calibrate_vmem.py; synthetic identical specs CSE
+# away and do NOT reproduce the pressure):
+#
+#   pass/fail brackets (cost units = sum over sbyte specs of 2+n_iv):
+#     sbyte-only:            OK <= 174, FAIL >= 196
+#     + one utf16 spec:      OK <= 162+F16, FAIL >= 174+F16
+#     + one utf8 spec:       OK <= 131+F8,  FAIL >= 150+F8
+#     + utf8 + two utf16:    OK <= 101+S,   FAIL >= 119+S
+#   consistent assignment: CAP ~= 180, F16 ~= 16, F8 ~= 42.
+#
+# The budget keeps ~6% margin under the fitted CAP. Weights are for
+# the production 512-row tile - smaller tiles only lower the pressure,
+# so the same budget is safe for them. The reactive halving stays as a
+# safety net but is not expected to fire.
+
+VMEM_GROUP_BUDGET = 168
+
+
+def spec_vmem_weight(spec) -> int:
+    """Calibrated scoped-VMEM weight of one counts-kernel spec."""
+    if spec[0] == "utf8":
+        return 42
+    if spec[0] == "utf16":
+        return 16
+    niv = sum(len(x) for x in spec[1:] if isinstance(x, tuple))
+    return 2 + niv
+
+
+def group_specs_by_vmem(items, budget: int | None = None,
+                        max_count: int | None = None):
+    """Pack (item, spec) pairs into launch groups whose summed
+    calibrated weights fit the scoped-VMEM budget, preserving order.
+    `max_count` optionally bounds specs per group (the old
+    STRINGSEXT_HOT_GROUP knob). A single over-budget spec still gets
+    its own group."""
+    b = VMEM_GROUP_BUDGET if budget is None else budget
+    groups, cur, w = [], [], 0
+    for item in items:
+        _j, spec = item
+        sw = spec_vmem_weight(spec)
+        if cur and (w + sw > b or (max_count and len(cur) >= max_count)):
+            groups.append(cur)
+            cur, w = [], 0
+        cur.append(item)
+        w += sw
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def plan_hot_launches(items, max_count: int | None = None):
+    """Choose (tile_rows, launch groups) for a hot-only counts pass.
+
+    Scoped-VMEM pressure scales with the tile, so halving the tile
+    doubles the spec budget per launch; fewer launches beat per-tile
+    efficiency for large spec sets (all-41 sweep on v5e, 2026-08-21:
+    3 launches @ tile 512 = 9.04 GB/s, 2 @ 256 = 9.28, ONE @ 128 =
+    10.30). Tries 512/256/128-row tiles and returns the config with
+    the fewest launches (larger tile wins ties). The returned
+    tile_rows is a CAP - callers still clamp it to their chunk's
+    natural tile."""
+    best = None
+    for tile, budget in ((512, VMEM_GROUP_BUDGET),
+                         (256, 2 * VMEM_GROUP_BUDGET),
+                         (128, 4 * VMEM_GROUP_BUDGET)):
+        groups = group_specs_by_vmem(items, budget=budget,
+                                     max_count=max_count)
+        if best is None or len(groups) < len(best[1]):
+            best = (tile, groups)
+    return best
+
+
 def swar_mission_spec(mission):
     """Static swar_counts spec for one mission, or None when the
     encoding or its filters don't fit the SWAR kernel (too many filter

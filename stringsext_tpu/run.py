@@ -188,13 +188,21 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs,
 
     # Hot-only passes skip the run-boundary algebra, so the kernel's
     # 8-length-class-bit budget does not apply: missions of ANY kind
-    # fuse into one pass. The group cap bounds compile size (a 28- or
-    # 40-mission launch fails to compile on v5e); for the all-41 sweep
-    # 24/launch measured 10.30 GB/s vs 9.26 at 20 vs 7.93 at 8 (fewer
-    # fixed-cost launches). Groups that still fail to compile split in
-    # half at launch time (launch_group below).
-    cap = int(os.environ.get("STRINGSEXT_HOT_GROUP", "24"))
-    groups = [list(jobs[k : k + cap]) for k in range(0, len(jobs), cap)]
+    # fuse into one pass. Tile size + group sizes come from the STATIC
+    # calibrated scoped-VMEM model (pallas_swar.plan_hot_launches:
+    # additive per-spec weights vs the v5e 16 MB limit, chosen BEFORE
+    # compiling; a smaller tile doubles the per-launch budget, and for
+    # the all-41 sweep ONE 128-row-tile launch beats three 512-row
+    # launches, 10.3 vs 9.0 GB/s - round 3's reactive
+    # compile-fail-then-halve fallback cost ~2 GB/s here).
+    # STRINGSEXT_HOT_GROUP, when set, bounds the per-group spec COUNT
+    # on top; the halving fallback remains as a safety net only.
+    from .ops.pallas_swar import plan_hot_launches
+
+    cap_env = os.environ.get("STRINGSEXT_HOT_GROUP")
+    tile_cap, groups = plan_hot_launches(
+        list(jobs), max_count=int(cap_env) if cap_env else None
+    )
 
     # Multi-chip: shard each chunk's counts pass over the "data" mesh
     # axis (ppermute halos; bit-exact vs the single-device pass). On
@@ -255,6 +263,9 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs,
             tile_rows = 512
         else:
             tile_rows = -(-eff // (8 * _HOT_BLOCK)) * 8
+        # the launch plan may cap the tile (large spec sets trade tile
+        # size for fewer launches under the scoped-VMEM budget)
+        tile_rows = min(tile_rows, tile_cap)
         tile_bytes = tile_rows * _HOT_BLOCK
         padded = ((eff + tile_bytes - 1) // tile_bytes) * tile_bytes
         buf = np.zeros(padded, np.uint8)

@@ -496,3 +496,47 @@ def test_hot_only_many_utf16_missions():
         )
         np.testing.assert_array_equal(c_all[2 * mi], c_solo[0], f"m{mi}")
         np.testing.assert_array_equal(c_all[2 * mi + 1], c_solo[1])
+
+
+def test_plan_hot_launches_static_model():
+    """The static scoped-VMEM launch plan (VERDICT r3 item 3): groups
+    are chosen before compiling from calibrated per-spec weights; the
+    tile shrinks when that reduces launch count; every group fits the
+    tile-scaled budget."""
+    from stringsext_tpu.encodings import ALL_ENCODING_NAMES
+    from stringsext_tpu.mission import Missions
+    from stringsext_tpu.ops.pallas_swar import (
+        VMEM_GROUP_BUDGET,
+        cjk_hot_spec,
+        plan_hot_launches,
+        spec_vmem_weight,
+        swar_mission_spec,
+    )
+
+    # flagship trio: light - one 512-row-tile launch
+    ms3 = Missions.new(flag_encoding=["UTF-8", "utf-16le", "utf-16be"])
+    jobs3 = [(i, swar_mission_spec(m)) for i, m in enumerate(ms3.v)]
+    tile, groups = plan_hot_launches(jobs3)
+    assert tile == 512 and len(groups) == 1
+
+    # all-41 sweep: heavy - fewer launches via a smaller tile
+    names = ["ascii"] + list(ALL_ENCODING_NAMES)
+    ms = Missions.new(flag_encoding=names)
+    jobs = []
+    for i, m in enumerate(ms.v):
+        sp = swar_mission_spec(m) or cjk_hot_spec(m)
+        if sp is not None:
+            jobs.append((i, sp))
+    assert len(jobs) == 41
+    tile, groups = plan_hot_launches(jobs)
+    budget = VMEM_GROUP_BUDGET * (512 // tile)
+    assert len(groups) <= 2, (tile, [len(g) for g in groups])
+    for g in groups:
+        assert sum(spec_vmem_weight(sp) for _i, sp in g) <= budget
+    # order is preserved (results map back by job index)
+    flat = [i for g in groups for i, _sp in g]
+    assert flat == [i for i, _sp in jobs]
+
+    # the count cap still applies on top
+    tile_c, groups_c = plan_hot_launches(jobs, max_count=8)
+    assert all(len(g) <= 8 for g in groups_c)
