@@ -1,25 +1,31 @@
 #!/usr/bin/env python3
 """Real-chip engine=tpu smoke: one command, scripted assertions.
 
-All 466 unit tests force the CPU backend (tests/conftest.py), so a
-Mosaic or device-tunnel regression in the engine=tpu path would only
-surface when someone manually follows the verify recipe. This script
-closes that gap (VERDICT r2 item 7):
+All unit tests force the CPU backend (tests/conftest.py), so a Mosaic
+or device-tunnel regression in the engine=tpu path would only surface
+when someone manually follows the verify recipe. This script closes
+that gap (VERDICT r2 item 7; broadened to 3 configs per r3 item 9):
 
-1. runs golden config 1 (the reference conformance corpus,
-   /root/reference/tests/functional/run-tests:10-16) with engine=auto
-   and engine=tpu IN SUBPROCESSES on the attached accelerator and
-   asserts byte-identical stdout against the checked-in
-   expected_output1;
-2. runs engine=tpu a SECOND time in a fresh process with compile
-   logging on and asserts the persistent XLA compilation cache served
-   hits (no recompilation across CLI processes);
-3. records wall times for both runs to stdout (one JSON line).
+1. golden config 1 (the reference conformance corpus,
+   /root/reference/tests/functional/run-tests:10-16): engine=auto and
+   engine=tpu in subprocesses on the attached accelerator, stdout
+   byte-identical to the checked-in expected_output1; engine=tpu runs
+   a SECOND fresh process with compile logging and asserts the
+   persistent XLA compilation cache served every expensive kernel;
+2. a UTF-16 + CJK hot-map config (utf-16le + Shift_JIS + gb18030 on a
+   deterministic sparse corpus with planted strings and cold gaps):
+   engine=tpu byte-identical to engine=auto - covers the UTF-16 parity
+   kernels and the CJK plausible-byte hot maps + align_cursor resume;
+3. a run-table-feed config (STRINGSEXT_RUNTABLE_FEED=1, KOI8-R +
+   UTF-8 over a text-dense corpus): engine=tpu byte-identical to
+   engine=auto - covers the device exact-run extraction + payload
+   feed lanes on real hardware.
 
-Budget: the first engine=tpu process pays the device's first-execution
-latency (on the session's tunneled v5e that alone measured 130-300 s;
-on a co-located TPU it is the Mosaic compile, ~20-40 s cold and ~0 s
-warm). Allow ~15 min end to end over a tunnel. Exit 0 = all green.
+Budget: each engine=tpu process pays the device's first-execution
+latency once (on the session's tunneled v5e that alone measured
+130-300 s; on a co-located TPU it is the Mosaic compile, ~20-40 s cold
+and ~0 s warm). Allow ~20 min end to end over a tunnel. Exit 0 = all
+green, one JSON line.
 
 Usage: python scripts/tpu_smoke.py [corpus_dir]
        make tpu-smoke
@@ -29,17 +35,14 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CORPUS = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/tests/functional"
 
-ARGV = ["-q", "16", "-g", "63", "-tx", "-a", "All-Ctrl", "-u", "Common",
-        "-e", "UTF-8", "-e", "utf-16le", "-e", "utf-16be", "--",
-        os.path.join(CORPUS, "input1")]
 
-
-def run_cli(engine: str, log_compiles: bool = False):
+def run_cli(argv, engine: str, log_compiles: bool = False, extra_env=None):
     env = dict(os.environ)
     env["STRINGSEXT_ENGINE"] = engine
     env.setdefault(
@@ -49,9 +52,11 @@ def run_cli(engine: str, log_compiles: bool = False):
     )
     if log_compiles:
         env["JAX_LOG_COMPILES"] = "1"
+    if extra_env:
+        env.update(extra_env)
     t0 = time.perf_counter()
     p = subprocess.run(
-        [sys.executable, "-m", "stringsext_tpu.cli", *ARGV],
+        [sys.executable, "-m", "stringsext_tpu.cli", *argv],
         capture_output=True, cwd=REPO, env=env, timeout=1200,
     )
     dt = time.perf_counter() - t0
@@ -61,21 +66,61 @@ def run_cli(engine: str, log_compiles: bool = False):
     return p.stdout, p.stderr.decode(errors="replace"), dt
 
 
+def make_corpora(tmp):
+    """Deterministic smoke corpora (small: the tunnel dominates)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    # config 2: sparse with planted UTF-16 + CJK strings and cold gaps
+    n = 256 * 1024
+    blob = bytearray(n)
+    msgs = [
+        "wide строка для теста".encode("utf-16-le"),
+        "シフトジスの文字列".encode("shift_jis"),
+        "汉字字符串测试".encode("gb18030"),
+        b"plain ascii anchor string",
+    ]
+    k = 0
+    for off in range(700, n - 128, 2900):
+        if (off % (64 * 1024)) > 40 * 1024:
+            continue  # cold gaps: the hot-map skipper must engage
+        m = msgs[k % len(msgs)]
+        blob[off:off + len(m)] = m
+        k += 1
+    noise = rng.integers(0, 256, 2048, np.uint8).tobytes()
+    blob[n // 2:n // 2 + len(noise)] = noise
+    p2 = os.path.join(tmp, "cjk_utf16.bin")
+    open(p2, "wb").write(bytes(blob))
+
+    # config 3: text-dense KOI8-R + ASCII (long accepted runs: the
+    # run-table feed's full-window lane must engage)
+    text = ("в лесу родилась ёлочка, в лесу она росла " * 40).encode("koi8_r")
+    blob3 = bytearray(rng.integers(0, 256, n, np.uint8).tobytes())
+    for off in range(2048, n - len(text) - 64, 24576):
+        blob3[off:off + len(text)] = text
+    p3 = os.path.join(tmp, "feed.bin")
+    open(p3, "wb").write(bytes(blob3))
+    return p2, p3
+
+
 def main():
     if not os.path.exists(os.path.join(CORPUS, "input1")):
         print(json.dumps({"tpu_smoke": "skip", "reason": "no corpus"}))
         return 0
     expected = open(os.path.join(CORPUS, "expected_output1"), "rb").read()
+    argv1 = ["-q", "16", "-g", "63", "-tx", "-a", "All-Ctrl", "-u",
+             "Common", "-e", "UTF-8", "-e", "utf-16le", "-e", "utf-16be",
+             "--", os.path.join(CORPUS, "input1")]
 
-    out_auto, _, t_auto = run_cli("auto")
+    out_auto, _, t_auto = run_cli(argv1, "auto")
     assert out_auto == expected, "engine=auto diverges from golden 1"
 
-    out_tpu, _, t_tpu1 = run_cli("tpu")
+    out_tpu, _, t_tpu1 = run_cli(argv1, "tpu")
     assert out_tpu == expected, "engine=tpu diverges from golden 1"
 
     # Second fresh process: the persistent compilation cache must serve
     # every kernel (no recompilation across CLI invocations).
-    out_tpu2, err2, t_tpu2 = run_cli("tpu", log_compiles=True)
+    out_tpu2, err2, t_tpu2 = run_cli(argv1, "tpu", log_compiles=True)
     assert out_tpu2 == expected, "engine=tpu (2nd process) diverges"
     compiles = err2.count("Finished XLA compilation")
     cache_hits = err2.lower().count("cache hit")
@@ -98,11 +143,33 @@ def main():
         f"JAX_COMPILATION_CACHE_DIR)"
     )
 
+    with tempfile.TemporaryDirectory() as tmp:
+        p2, p3 = make_corpora(tmp)
+
+        # config 2: UTF-16 + CJK hot maps
+        argv2 = ["-t", "x", "-n", "4", "-e", "utf-16le", "-e", "Shift_JIS",
+                 "-e", "gb18030", p2]
+        ref2, _, _ = run_cli(argv2, "auto")
+        got2, _, t_cjk = run_cli(argv2, "tpu")
+        assert got2 == ref2, "engine=tpu diverges on the UTF-16+CJK config"
+        assert ref2.count(b"\n") > 50, "UTF-16+CJK config found too little"
+
+        # config 3: run-table feed
+        argv3 = ["-t", "x", "-n", "4", "-e", "KOI8-R", "-e", "UTF-8", p3]
+        ref3, _, _ = run_cli(argv3, "auto")
+        got3, _, t_feed = run_cli(
+            argv3, "tpu", extra_env={"STRINGSEXT_RUNTABLE_FEED": "1"})
+        assert got3 == ref3, "engine=tpu diverges on the runtable-feed config"
+        assert ref3.count(b"\n") > 100, "feed config found too little"
+
     print(json.dumps({
         "tpu_smoke": "ok",
+        "configs": 3,
         "backend_first_run_s": round(t_tpu1, 1),
         "backend_cached_run_s": round(t_tpu2, 1),
         "auto_run_s": round(t_auto, 1),
+        "cjk_utf16_tpu_run_s": round(t_cjk, 1),
+        "runtable_feed_tpu_run_s": round(t_feed, 1),
         "second_run_xla_compiles": compiles,
         "second_run_cache_hits": cache_hits,
     }))

@@ -1,8 +1,13 @@
 """Native runtime: C++ emission engine bindings (ctypes).
 
-Builds `libemitter.so` on demand with g++ (cached next to the source).
-If no toolchain is available the engine reports unavailable and callers
-fall back to the pure-Python automaton (identical output, slower).
+Builds `libemitter.so` on demand with g++ (cached next to the source,
+-march=native). When no toolchain is available, falls back to the
+PREBUILT portable `libemitter-generic.so` that wheels ship
+(-march=x86-64-v3, compiled by setup.py at wheel-build time - the
+analog of the reference's prebuilt release binaries) with a one-time
+warning. Only if neither exists does the engine report unavailable
+(loudly), and callers fall back to the pure-Python automaton
+(identical output, much slower).
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "emitter.cpp")
 _LIB = os.path.join(_DIR, "libemitter.so")
+_LIB_GENERIC = os.path.join(_DIR, "libemitter-generic.so")
 
 _lib = None
 _lib_tried = False
@@ -97,13 +103,37 @@ def _get_lib_locked():
 
 
 def _load_lib():
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        if not _build():
+    path = _LIB
+    stale = not os.path.exists(_LIB) or (
+        os.path.exists(_SRC)
+        and os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+    )
+    if stale and not _build():
+        if os.path.exists(_LIB_GENERIC):
+            sys.stderr.write(
+                "stringsext-tpu: no native toolchain; using the "
+                "prebuilt generic (x86-64-v3) emitter - install g++ "
+                "for a machine-tuned build\n"
+            )
+            path = _LIB_GENERIC
+        else:
+            sys.stderr.write(
+                "stringsext-tpu: native engine unavailable (no "
+                "toolchain and no prebuilt library); falling back to "
+                "the pure-Python engine (identical output, much "
+                "slower)\n"
+            )
             return None
     try:
-        lib = ctypes.CDLL(_LIB, use_errno=True)
+        lib = ctypes.CDLL(path, use_errno=True)
     except OSError:
-        return None
+        if path != _LIB_GENERIC and os.path.exists(_LIB_GENERIC):
+            try:
+                lib = ctypes.CDLL(_LIB_GENERIC, use_errno=True)
+            except OSError:
+                return None
+        else:
+            return None
     P = ctypes.POINTER
     lib.se_scan.restype = ctypes.c_void_p
     lib.se_scan.argtypes = [
