@@ -847,9 +847,13 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
     // into ft_pay (sentinel: the run's payload end). ft_pay == data
     // means the payload IS the input span (UTF-8: chars decode to
     // their own bytes), enabling SE_INREF zero-copy emission. Modal
-    // ISO-2022-JP (kind 9) is excluded: its cold-byte classes are
-    // mode-dependent, so a run table alone cannot prove window shape.
-    const bool feed_fast = m.kind != 9 && n_ft > 0 && ft_start != nullptr &&
+    // ISO-2022-JP (kind 9) works too: a run is byte-contiguous
+    // accepted chars, so it never spans an escape - the mode is
+    // constant across any in-run window and consuming its chars only
+    // clears the output flag (done below); the feed's hot map keeps
+    // every mode/phase-dependent byte hot (classify_iso2022.state_hot)
+    // so the cold-window skipper stays sound.
+    const bool feed_fast = n_ft > 0 && ft_start != nullptr &&
                            ft_co_base != nullptr && ft_co != nullptr &&
                            ft_ip != nullptr &&
                            m.grep_char < 0 && !m.same_block &&
@@ -1126,6 +1130,10 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                                 cs = ce;
                             }
                             flag = true;
+                            // kind 9: consumed data bytes clear the
+                            // modal output flag; the mode itself is
+                            // constant inside a run (no escapes).
+                            if (m.kind == 9) dstate.output_flag = false;
                             cursor = ft_ip[kend];
                             advance();
                             label = we;

@@ -24,11 +24,11 @@ from ..engine.events import Events, generate_events
 from . import classify
 
 # Kinds with an exact device classification kernel (the run-table feed
-# engages for all of them; modal ISO-2022-JP stays host-exact - its
-# mode chain is global, not a local classification).
+# engages for ALL of them, modal ISO-2022-JP included: its global mode
+# chain is a device prefix scan - see ops/classify_iso2022.py).
 FEED_KINDS = (
     KIND_UTF8, KIND_UTF16LE, KIND_UTF16BE, KIND_SINGLE_BYTE,
-    "big5", "euc-jp", "euc-kr", "gb18030", "shift_jis",
+    "big5", "euc-jp", "euc-kr", "gb18030", "shift_jis", "iso-2022-jp",
 )
 
 
@@ -200,10 +200,22 @@ def _feed_from_host_events(data: np.ndarray, mission, kind: str,
         return None
     # Hot-coverage extras: chars excluded from the feed runs but still
     # able to produce findings (multi-cp pairs regardless of filter,
-    # and report-clamped accepted chars).
-    ex = np.flatnonzero(extra | primary_of_extra
-                        | (is_char & acc & ~natural))
-    return ft, (ev.pos[ex], np.maximum(ev.in_len[ex], 1))
+    # and report-clamped accepted chars). For modal ISO-2022-JP also
+    # every mode/phase-dependent byte (escape spans + LEAD-mode data):
+    # the cold-window skipper requires skipped bytes to be mode- and
+    # phase-neutral 1-byte events.
+    ex_mask = np.zeros(len(data), bool)
+    ex_i = extra | primary_of_extra | (is_char & acc & ~natural)
+    np.add.at(ex_mask, ev.pos[ex_i].astype(np.int64), True)
+    ex_len_at = np.ones(len(data), np.int64)
+    np.maximum.at(ex_len_at, ev.pos[ex_i].astype(np.int64),
+                  ev.in_len[ex_i].astype(np.int64))
+    if kind == "iso-2022-jp":
+        from .classify_iso2022 import iso2022_state_hot_np
+
+        ex_mask |= iso2022_state_hot_np(data)
+    ex = np.flatnonzero(ex_mask)
+    return ft, (ex.astype(np.int64), ex_len_at[ex])
 
 
 def runtable_feed(data: np.ndarray, mission, device: bool = True,
@@ -213,11 +225,13 @@ def runtable_feed(data: np.ndarray, mission, device: bool = True,
     on-device analog of the reference's decode loop,
     finding_collection.rs:84-342), enabled by STRINGSEXT_RUNTABLE_FEED=1.
 
-    Covers every non-modal kind: UTF-8 / UTF-16LE/BE / single-byte /
-    Big5 / EUC-JP / EUC-KR / GBK / gb18030 / Shift_JIS. The
-    classification (per-byte events + filter acceptance + the CJK
-    boundary-chain orbit) runs on device; the run/payload compaction is
-    a host numpy pass over the device lanes. `device=False` builds the
+    Covers EVERY kind: UTF-8 / UTF-16LE/BE / single-byte / Big5 /
+    EUC-JP / EUC-KR / GBK / gb18030 / Shift_JIS / modal ISO-2022-JP
+    (its global mode chain is a device prefix scan,
+    ops/classify_iso2022.py). The classification (per-byte events +
+    filter acceptance + the CJK/ISO boundary-chain orbit) runs on
+    device; the run/payload compaction is a host numpy pass over the
+    device lanes. `device=False` builds the
     identical arrays from the host numpy event generators with no jax
     import. Returns (run_start, run_end, co_base, co, ip, payload) for
     native_scan's `runtable_feed` (see _assemble_feed for the slot
@@ -248,12 +262,17 @@ def runtable_feed(data: np.ndarray, mission, device: bool = True,
     padded[:n] = data
     b = jnp.asarray(padded)
     multi = None
+    state_hot = None
     if kind == KIND_UTF8:
         lanes = classify.utf8_lanes(b, n)
     elif kind in (KIND_UTF16LE, KIND_UTF16BE):
         lanes = classify.utf16_lanes(b, kind == KIND_UTF16BE, n)
     elif kind == KIND_SINGLE_BYTE:
         lanes = classify.single_byte_lanes(b, mission.encoding_name, n)
+    elif kind == "iso-2022-jp":
+        from .classify_iso2022 import iso2022_lanes
+
+        lanes, state_hot = iso2022_lanes(b, n)
     else:
         from .classify_cjk import cjk_lanes
 
@@ -282,11 +301,18 @@ def runtable_feed(data: np.ndarray, mission, device: bool = True,
         return ft
     if ft is None:
         return None
-    ex_mask = acc & ~feedable
+    ev_extra = acc & ~feedable
     if multi is not None:
-        ex_mask = ex_mask | multi
+        ev_extra = ev_extra | multi
+    ex_mask = ev_extra
+    if state_hot is not None:
+        ex_mask = ex_mask | state_hot
     ex = np.flatnonzero(np.asarray(ex_mask)[:n])
-    return ft, (ex.astype(np.int64), np.maximum(length_np[ex], 1))
+    # Event-start extras carry their event length; state-hot-only
+    # positions (mode/phase-dependent bytes, not event starts) count 1.
+    ex_len = np.where(np.asarray(ev_extra)[:n][ex],
+                      np.maximum(length_np[ex], 1), 1).astype(np.int64)
+    return ft, (ex.astype(np.int64), ex_len)
 
 
 def generate_events_device(data: np.ndarray, encoding_name: str) -> Events:

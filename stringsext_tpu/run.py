@@ -743,13 +743,15 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                         f"falling back to a full host scan for it.",
                     )
             if os.environ.get("STRINGSEXT_RUNTABLE_FEED") == "1":
-                # Device run-table feed (KERNELS.md design 1): every
-                # non-modal kind - UTF-8/UTF-16/single-byte/CJK - gets
-                # EXACT accepted runs + the device-decoded payload
-                # (UTF-8 payloads are the input itself); the emitter
-                # consumes whole runs (full in-run windows become
-                # payload memcpys) and the exact runs double as the
-                # hot map.
+                # Device run-table feed (KERNELS.md design 1): EVERY
+                # kind - UTF-8/UTF-16/single-byte/CJK and modal
+                # ISO-2022-JP (device mode-prefix scan) - gets EXACT
+                # accepted runs + the device-decoded payload (UTF-8
+                # payloads are the input itself); the emitter consumes
+                # whole runs (full in-run windows become payload
+                # memcpys) and the exact runs double as the hot map
+                # (for ISO-2022-JP the extras keep every mode/phase-
+                # dependent byte hot so the skip gate stays sound).
                 from .ops.device_events import FEED_KINDS, runtable_feed
 
                 for i, m in native_jobs:

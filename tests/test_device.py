@@ -115,3 +115,79 @@ def test_extract_runs_matches_reference(enc):
         got = [(int(s[k]), int(e[k]), int(ch[k]), int(gh[k])) for k in range(count)]
         want = _reference_runs(data, enc, filt)
         assert got == want, f"{enc} corpus#{i}\n got={got[:10]}\nwant={want[:10]}"
+
+
+def test_iso2022_lanes_match_host():
+    """Modal ISO-2022-JP device lanes (mode prefix scan + orbit,
+    ops/classify_iso2022.py) == the host generator
+    (engine/events_iso2022.generate), event for event: directed escape
+    shapes (valid/invalid/truncated/redundant, dangling leads, parity
+    shifts) + escape-planted random fuzz."""
+    import jax.numpy as jnp
+
+    from stringsext_tpu.ops.classify_iso2022 import iso2022_lanes
+
+    r = np.random.default_rng(0)
+
+    def device_events(data):
+        n = len(data)
+        cap = 8
+        while cap < n:
+            cap *= 2
+        padded = np.zeros(cap, np.uint8)
+        padded[:n] = data
+        lanes, _hot = iso2022_lanes(jnp.asarray(padded), n)
+        start = np.asarray(lanes.start)[:n]
+        pend = np.asarray(lanes.pending)[:n]
+        pos = np.flatnonzero(start & ~pend)
+        rep = pos + np.asarray(lanes.report_off)[:n][pos]
+        # raw per-event reports; the host generator applies the
+        # emission-clock running max (events_iso2022.generate's
+        # maximum.accumulate) - mirror it
+        rep = np.maximum.accumulate(rep) if len(rep) else rep
+        return (pos, np.asarray(lanes.length)[:n][pos],
+                np.asarray(lanes.cp)[:n][pos], rep,
+                np.asarray(lanes.pushback)[:n][pos])
+
+    def check(blob, tag):
+        data = np.frombuffer(bytes(blob), np.uint8)
+        ev = generate_events(data, "ISO-2022-JP")
+        order = np.argsort(ev.pos, kind="stable")
+        host = (ev.pos[order], ev.in_len[order], ev.cp[order],
+                ev.report[order], ev.pushback[order])
+        dev = device_events(data)
+        for name, a, b in zip(("pos", "len", "cp", "rep", "pb"),
+                              host, dev):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.int64), np.asarray(b, np.int64),
+                err_msg=f"{tag}: {name}")
+
+    check(b"hello world", "ascii")
+    check("こんにちは世界 test".encode("iso2022_jp"), "jis-roundtrip")
+    check(b"\x1b(Iabc\x31\x5f\x1b(Bback", "katakana")
+    check(b"\x1b(Jback\\slash~tilde", "roman")
+    check(b"ab\x1bXcd", "inv-near")
+    check(b"ab\x1b(Xcd", "inv-far")
+    check(b"a\x1b(B\x1b(Bb", "redundant")
+    check(b"a\x1b(B\x1bX\x1b(Bb", "red-with-inv")
+    check(b"abc\x1b", "trunc1")
+    check(b"abc\x1b(", "trunc2")
+    check(b"abc\x1b$", "trunc3")
+    check(b"\x1b$B\x24\x1b(Bx", "dangle")
+    check(b"\x1b$B\x24\x22\x10\x24\x22\x81\x24\x22\x1b(Bz", "lead-bad")
+    check(b"\x1b$B\x24", "pend-lead")
+    check(b"\x1b$B\x24\x22\x24", "pend-lead2")
+    check(b"a\x1b\x1b(Bb", "esc-esc")
+    check(b"a\x1b$\x1b(Bb", "esc-dollar-esc")
+    check(b"a\x0e\x0fb", "so-si")
+    frags = [b"\x1b", b"\x1b(", b"\x1b(B", b"\x1b(I", b"\x1b(J",
+             b"\x1b$B", b"\x1b$@", b"\x1b$X"]
+    for t in range(40):
+        nn = int(r.integers(1, 400))
+        d = r.integers(0, 256, nn, np.uint8)
+        for _ in range(int(r.integers(0, 8))):
+            p = int(r.integers(0, nn))
+            f = frags[int(r.integers(0, len(frags)))]
+            d[p:p + len(f)] = np.frombuffer(f, np.uint8)[
+                :max(0, min(len(f), nn - p))]
+        check(d.tobytes(), f"fuzz{t}")

@@ -1,11 +1,12 @@
 """Device run-table feed (STRINGSEXT_RUNTABLE_FEED=1): the emitter
 consumes EXACT device-extracted accepted runs plus the device-decoded
 UTF-8 payload (docs/KERNELS.md design 1 - the on-device analog of the
-reference's decode loop, finding_collection.rs:84-342). Covers every
-non-modal kind: UTF-8 / UTF-16LE/BE / single-byte / the five CJK
-encodings. Interpret-mode differential pins byte-identity; a
-corrupted-payload probe proves the fast lane actually consumes the
-payload (not silently falling back).
+reference's decode loop, finding_collection.rs:84-342). Covers EVERY
+kind: UTF-8 / UTF-16LE/BE / single-byte / the five CJK encodings /
+modal ISO-2022-JP (whose mode chain is a device prefix scan,
+ops/classify_iso2022.py). Interpret-mode differential pins
+byte-identity; a corrupted-payload probe proves the fast lane actually
+consumes the payload (not silently falling back).
 """
 
 import io
@@ -269,6 +270,112 @@ def test_feed_host_builder_matches_device():
             assert np.array_equal(a, b)
     for a, b in zip(dev[1], host[1]):
         assert np.array_equal(a, b)
+
+
+def _iso_corpus(n=256 * 1024, seed=11):
+    """Random bytes + planted ISO-2022-JP blocks (jis0208 / katakana /
+    Roman segments) + escapes scattered in COLD regions: mode switches,
+    invalid escapes (pushback-clamped re-decodes), redundant escapes -
+    every mode/phase-dependent shape the state_hot map must keep hot
+    for the window skipper to stay sound."""
+    r = np.random.default_rng(seed)
+    data = bytearray(r.integers(0, 256, n, np.uint8).tobytes())
+    text = "こんにちは世界。国際化テストです。".encode("iso2022_jp")
+    kat = b"\x1b(I" + bytes(list(range(0x21, 0x5F)) * 6) + b"\x1b(B"
+    for off in range(2048, n - 4096, 16384):
+        blk = [b"\x1b$B" + text[3:-3] * 12 + b"\x1b(B", kat,
+               b"\x1b(Jroman text with \\ and ~ chars " * 8 + b"\x1b(B"
+               ][(off // 16384) % 3]
+        data[off:off + len(blk)] = blk
+    for off in range(5000, n - 16, 23456):
+        data[off:off + 3] = b"\x1b$B"  # cold-region mode switch
+    for off in range(9000, n - 16, 31111):
+        data[off:off + 2] = b"\x1bX"  # invalid escape (pushback 1)
+    for off in range(12000, n - 16, 37999):
+        data[off:off + 6] = b"\x1b(B\x1b(B"  # redundant-escape error
+    return bytes(data)
+
+
+@pytest.mark.parametrize("extra", [
+    [], ["-u", "0xffffffffffffffff"], ["-n", "2"], ["-q", "10"],
+])
+def test_feed_scan_identity_iso2022(extra):
+    """Modal ISO-2022-JP: fed scan == unfed scan bit for bit, and the
+    device lanes builder == the jax-free host twin (extras included -
+    the state_hot mask that keeps mode/phase-dependent bytes hot)."""
+    blob = _iso_corpus()
+    argv = ["-t", "x", "-e", "ISO-2022-JP", "-n", "4"] + extra + [
+        "/dev/null"]
+    m = Missions.from_args(parse_args(argv)).v[0]
+    data = np.frombuffer(blob, np.uint8)
+    sl = slice_table(LoadedStream(data, [(1, 0, len(data))]))
+    dev = runtable_feed(data, m, device=True, with_extras=True)
+    host = runtable_feed(data, m, device=False, with_extras=True)
+    assert dev is not None and host is not None
+    for a, b in zip(dev[0], host[0]):
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            assert np.array_equal(a, b)
+    for a, b in zip(dev[1], host[1]):
+        assert np.array_equal(a, b)
+    base_res, base_sb = native.native_scan(m, data, *sl)
+    f_res, f_sb = native.native_scan(m, data, *sl, runtable_feed=dev[0])
+    assert bytes(f_sb) == bytes(base_sb)
+    for k in base_res:
+        assert np.array_equal(base_res[k], f_res[k]), k
+    assert len(base_res["position"]) > 100
+
+
+def test_feed_lane_engages_for_iso2022():
+    """Engagement proof for the modal kind: long single-mode jis0208
+    runs (no ASCII chars -> no mode switches inside) + all-bits UBF so
+    full windows lie inside one run; a corrupted payload must change
+    the output."""
+    rng2 = np.random.default_rng(7)
+    n = 128 * 1024
+    data = bytearray(rng2.integers(0, 256, n, np.uint8).tobytes())
+    text = "こんにちは世界。国際化テストです。".encode("iso2022_jp")
+    for off in range(2048, n - 2048, 8192):
+        blk = b"\x1b$B" + text[3:-3] * 12 + b"\x1b(B"
+        data[off:off + len(blk)] = blk
+    data = np.frombuffer(bytes(data), np.uint8)
+    argv = ["-t", "x", "-e", "ISO-2022-JP", "-n", "4",
+            "-u", "0xffffffffffffffff", "/dev/null"]
+    m = Missions.from_args(parse_args(argv)).v[0]
+    sl = slice_table(LoadedStream(data, [(1, 0, len(data))]))
+    feed = runtable_feed(data, m)
+    assert feed is not None and len(feed[0]) > 10
+    base_res, base_sb = native.native_scan(m, data, *sl)
+    _f, f_sb = native.native_scan(m, data, *sl, runtable_feed=feed)
+    assert bytes(f_sb) == bytes(base_sb)
+    corrupt = list(feed)
+    corrupt[5] = feed[5] ^ np.uint8(0x01)
+    _r, bad_sb = native.native_scan(
+        m, data, *sl, runtable_feed=tuple(corrupt))
+    assert bytes(bad_sb) != bytes(base_sb), (
+        "corrupted payload produced identical output - the ISO-2022-JP "
+        "feed lane never engaged"
+    )
+
+
+def test_feed_end_to_end_iso2022(tmp_path, monkeypatch):
+    """Full run() path: engine=tpu + feed == engine=auto byte-for-byte
+    on the escape-stress corpus (exercises the feed-derived hot map +
+    the mode-gated window skipper together)."""
+    p = tmp_path / "iso.bin"
+    p.write_bytes(_iso_corpus(n=512 * 1024))
+    for extra in ([], ["-e", "UTF-8"], ["-n", "2", "-q", "12"]):
+        argv = ["-t", "x", "-e", "ISO-2022-JP", "-n", "4"] + extra + [
+            str(p)]
+        buf_a = io.BytesIO()
+        assert run(parse_args(argv), out=buf_a, engine="auto") == 0
+        monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "1")
+        buf_t = io.BytesIO()
+        assert run(parse_args(argv), out=buf_t, engine="tpu") == 0
+        monkeypatch.delenv("STRINGSEXT_RUNTABLE_FEED")
+        assert buf_t.getvalue() == buf_a.getvalue(), extra
+        assert buf_a.getvalue().count(b"\n") > 100
 
 
 def test_feed_extras_cover_multi_cp_big5(tmp_path, monkeypatch):
