@@ -17,9 +17,10 @@ that gap (VERDICT r2 item 7; broadened to 3 configs per r3 item 9):
    engine=tpu byte-identical to engine=auto - covers the UTF-16 parity
    kernels and the CJK plausible-byte hot maps + align_cursor resume;
 3. a run-table-feed config (STRINGSEXT_RUNTABLE_FEED=1, KOI8-R +
-   UTF-8 over a text-dense corpus): engine=tpu byte-identical to
+   UTF-8 + modal ISO-2022-JP over a text-dense corpus with planted
+   JIS blocks and cold-region escapes): engine=tpu byte-identical to
    engine=auto - covers the device exact-run extraction + payload
-   feed lanes on real hardware.
+   feed lanes (incl. the mode-prefix-scan ISO path) on real hardware.
 
 Budget: each engine=tpu process pays the device's first-execution
 latency once (on the session's tunneled v5e that alone measured
@@ -93,11 +94,19 @@ def make_corpora(tmp):
     open(p2, "wb").write(bytes(blob))
 
     # config 3: text-dense KOI8-R + ASCII (long accepted runs: the
-    # run-table feed's full-window lane must engage)
+    # run-table feed's full-window lane must engage) + planted modal
+    # ISO-2022-JP blocks with cold-region escapes (the round-4
+    # mode-prefix-scan feed path, ops/classify_iso2022.py)
     text = ("в лесу родилась ёлочка, в лесу она росла " * 40).encode("koi8_r")
+    jis = "こんにちは世界。国際化テストです。".encode("iso2022_jp")
     blob3 = bytearray(rng.integers(0, 256, n, np.uint8).tobytes())
     for off in range(2048, n - len(text) - 64, 24576):
         blob3[off:off + len(text)] = text
+    jblk = b"\x1b$B" + jis[3:-3] * 12 + b"\x1b(B"
+    for off in range(14000, n - len(jblk) - 64, 49152):
+        blob3[off:off + len(jblk)] = jblk
+    for off in range(9000, n - 16, 31111):
+        blob3[off:off + 3] = b"\x1b$B"  # cold-region mode switch
     p3 = os.path.join(tmp, "feed.bin")
     open(p3, "wb").write(bytes(blob3))
     return p2, p3
@@ -154,8 +163,9 @@ def main():
         assert got2 == ref2, "engine=tpu diverges on the UTF-16+CJK config"
         assert ref2.count(b"\n") > 50, "UTF-16+CJK config found too little"
 
-        # config 3: run-table feed
-        argv3 = ["-t", "x", "-n", "4", "-e", "KOI8-R", "-e", "UTF-8", p3]
+        # config 3: run-table feed (incl. the modal ISO-2022-JP path)
+        argv3 = ["-t", "x", "-n", "4", "-e", "KOI8-R", "-e", "UTF-8",
+                 "-e", "ISO-2022-JP", p3]
         ref3, _, _ = run_cli(argv3, "auto")
         got3, _, t_feed = run_cli(
             argv3, "tpu", extra_env={"STRINGSEXT_RUNTABLE_FEED": "1"})
