@@ -11,6 +11,8 @@ the reference's decode loop, finding_collection.rs:84-342).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..encodings import (
@@ -52,6 +54,54 @@ def _bucket(n: int, minimum: int = 1024) -> int:
     while cap < n:
         cap *= 2
     return cap
+
+
+@functools.lru_cache(maxsize=None)
+def _compact_fn():
+    """Jitted device compaction of (mask, length, cp): positions ride
+    a BITMASK (cap/8 bytes, packed with 8 strided slices - elementwise,
+    no scatter) and per-char data rides ONE scatter of the packed word
+    (cp << 3) | length (cp <= 0x10FFFF = 21 bits, length <= 4 = 3
+    bits; slot `cap` is the dump slot for unset lanes). Keeps the
+    feed's compaction ON DEVICE so ~n/8 + 4*chars bytes - not the full
+    per-byte lanes (~9 B per input byte) - cross the device->host
+    link."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def compact(mask, length, cp):
+        cap = mask.shape[0]
+        m8 = mask.astype(jnp.uint8)
+        bits = jnp.zeros(cap // 8, jnp.uint8)
+        for k in range(8):
+            bits = bits | (
+                jax.lax.slice(m8, (k,), (cap - 7 + k,), (8,)) << k)
+        midx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        tgt = jnp.where(mask, midx, cap)
+        packed = ((cp.astype(jnp.int32) << 3)
+                  | (length.astype(jnp.int32) & 7))
+        out = jnp.zeros(cap + 1, jnp.int32).at[tgt].set(packed)
+        return midx[-1] + 1, bits, out
+
+    return compact
+
+
+def _fetch_compact(cnt, bits, packed):
+    """D2H fetch of a _compact_fn result: the full bitmask (cap/8
+    bytes) + the first `cnt` packed chars, sliced on device to a
+    power-of-two bucket (one compiled slice per bucket, at most ~2x
+    the needed bytes - never the whole capacity). Returns
+    (pos int64, length int32, cp int32)."""
+    k = int(cnt)
+    if k <= 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
+    bm = np.unpackbits(np.asarray(bits), bitorder="little")
+    pos = np.flatnonzero(bm).astype(np.int64)
+    fc = min(_bucket(k), packed.shape[0])
+    pk = np.asarray(packed[:fc])[:k]
+    return pos[:k], (pk & 7).astype(np.int32), (pk >> 3).astype(np.int32)
 
 
 def compute_lanes(data: np.ndarray, encoding_name: str):
@@ -291,11 +341,21 @@ def runtable_feed(data: np.ndarray, mission, device: bool = True,
     rep_max = jax.lax.cummax(rep)
     feedable = acc & (rep_max == idx + lanes.length - 1)
 
-    feedable_np = np.asarray(feedable)[:n]
-    cpos = np.flatnonzero(feedable_np)
-    length_np = np.asarray(lanes.length)[:n]
-    clen = length_np[cpos]
-    ccp = np.asarray(lanes.cp)[:n][cpos]
+    if cap >= 2**31:
+        # int32 device-position overflow guard (>=2 GiB buffered
+        # buffer): host-side compaction of the full lanes.
+        feedable_np = np.asarray(feedable)[:n]
+        cpos = np.flatnonzero(feedable_np)
+        length_np = np.asarray(lanes.length)[:n]
+        clen = length_np[cpos]
+        ccp = np.asarray(lanes.cp)[:n][cpos]
+    else:
+        # Device compaction: only a position bitmask (n/8 bytes) + the
+        # accepted chars' packed (cp, len) words cross the device->host
+        # link (the full per-byte lanes stay in HBM).
+        compact = _compact_fn()
+        cnt, dbits, dpk = compact(feedable, lanes.length, lanes.cp)
+        cpos, clen, ccp = _fetch_compact(cnt, dbits, dpk)
     ft = _assemble_feed(cpos, clen, ccp, kind == KIND_UTF8)
     if not with_extras:
         return ft
@@ -307,12 +367,17 @@ def runtable_feed(data: np.ndarray, mission, device: bool = True,
     ex_mask = ev_extra
     if state_hot is not None:
         ex_mask = ex_mask | state_hot
-    ex = np.flatnonzero(np.asarray(ex_mask)[:n])
-    # Event-start extras carry their event length; state-hot-only
-    # positions (mode/phase-dependent bytes, not event starts) count 1.
-    ex_len = np.where(np.asarray(ev_extra)[:n][ex],
-                      np.maximum(length_np[ex], 1), 1).astype(np.int64)
-    return ft, (ex.astype(np.int64), ex_len)
+    if cap >= 2**31:
+        ex = np.flatnonzero(np.asarray(ex_mask)[:n])
+        # Event-start extras carry their event length; state-hot-only
+        # positions (mode/phase-dependent bytes, not starts) count 1.
+        ex_len = np.where(np.asarray(ev_extra)[:n][ex],
+                          np.maximum(length_np[ex], 1), 1).astype(np.int64)
+        return ft, (ex.astype(np.int64), ex_len)
+    ex_len_lane = jnp.where(ev_extra, jnp.maximum(lanes.length, 1), 1)
+    cnt2, ebits, epk = _compact_fn()(ex_mask, ex_len_lane, ex_len_lane)
+    ex, ex_len, _ecp = _fetch_compact(cnt2, ebits, epk)
+    return ft, (ex, ex_len.astype(np.int64))
 
 
 def generate_events_device(data: np.ndarray, encoding_name: str) -> Events:
