@@ -945,6 +945,42 @@ def write_output(out, args: Args, results) -> None:
 _FORMAT_BATCH = 1 << 21
 
 
+def _chunk_runtable_feed(data, m, st):
+    """Per-chunk run-table feed for the streaming path (KERNELS.md
+    design 1 on the scale path): classification is grounded at the
+    MISSION'S OWN CURSOR - a true event start by the native state
+    contract - so the event chain is exact even for the
+    non-self-synchronizing CJK kinds (the chunk-base as-if-ground of
+    the counts hot maps would not be). Feed/extras coordinates are
+    shifted back to chunk-buffer positions. Modal ISO-2022-JP engages
+    only when the chunk is entered in ground state (mode ASCII, output
+    flag clear - the lanes decode from mode 0); other entries fall
+    back to the conservative hot spec for that chunk. Returns
+    (feed, (extra_pos, extra_len)) or None."""
+    from .encodings import encoding_kind
+    from .ops.device_events import FEED_KINDS, runtable_feed
+
+    kind = encoding_kind(m.encoding_name)
+    if kind not in FEED_KINDS:
+        return None
+    if kind == "iso-2022-jp" and (
+            int(st.get("dec_mode", 0)) != 0 or st.get("dec_output_flag")):
+        return None
+    c0 = int(st["cursor"])
+    if c0 < 0 or c0 >= len(data):
+        return None
+    res = runtable_feed(data[c0:], m, with_extras=True)
+    if res is None:
+        return None
+    (rs, re, cb, co, ip, pay), (ex_pos, ex_len) = res
+    if c0:
+        ip = ip + c0
+        # UTF-8: co IS ip (payload = the input span); shift once.
+        co = ip if pay is None else co
+        rs, re, ex_pos = rs + c0, re + c0, ex_pos + c0
+    return (rs, re, cb, co, ip, pay), (ex_pos, ex_len)
+
+
 def _emit_lines(out, args: Args, results) -> None:
     """Write the merged finding lines of one batch ("\n" + line each,
     no BOM / trailing newline) - shared by the buffered path and the
@@ -1358,27 +1394,49 @@ def _run_streaming_stdin(
                 LoadedStream(data, [(None, 0, len(data))]),
                 list(enumerate(missions.v)),
             )
+        runtable_feeds = {}
         if engine == "tpu" and len(data):
             from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
 
+            if os.environ.get("STRINGSEXT_RUNTABLE_FEED") == "1":
+                # Per-chunk device run-table feed (cursor-grounded
+                # exact classification; see _chunk_runtable_feed). The
+                # exact runs + extras double as the chunk's hot map,
+                # with the pre-cursor head kept hot.
+                for i, m in enumerate(missions.v):
+                    r = _chunk_runtable_feed(data, m, states[i])
+                    if r is None:
+                        continue
+                    feed, (ex_pos, ex_len) = r
+                    runtable_feeds[i] = feed
+                    c0 = int(states[i]["cursor"])
+                    hs = np.concatenate(
+                        [feed[0], ex_pos, [0]]) - 8
+                    he = np.concatenate(
+                        [feed[1], ex_pos + ex_len, [c0 + 8]]) + 8
+                    hot_by_mission[i] = _merge_ranges(
+                        hs, he, len(data))
             chunk_stream = LoadedStream(data, [(None, 0, len(data))])
             swar_jobs = []
             for i, m in enumerate(missions.v):
+                if i in runtable_feeds:
+                    continue
                 spec = swar_mission_spec(m) or cjk_hot_spec(m)
                 if spec is not None:
                     swar_jobs.append((i, spec))
             if swar_jobs:
                 # pad_to pins the kernel shape so the short final chunk
                 # reuses the steady-state compile.
-                hot_by_mission = _device_hot_ranges_swar(
+                hot_by_mission.update(_device_hot_ranges_swar(
                     chunk_stream, swar_jobs, pad_to=chunk_bytes + 4096
-                )
+                ))
 
         def job(i, m):
             return i, native.native_scan(
                 m, data, *sl, state=states[i],
                 hot_ranges=hot_by_mission.get(i),
                 input_refs=use_input_refs,
+                runtable_feed=runtable_feeds.get(i),
             )
 
         futs = [pool.submit(job, i, m) for i, m in enumerate(missions.v)]

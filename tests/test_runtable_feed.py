@@ -395,3 +395,62 @@ def test_feed_extras_cover_multi_cp_big5(tmp_path, monkeypatch):
     assert run(parse_args(argv), out=buf_t, engine="tpu") == 0
     assert buf_t.getvalue() == buf_a.getvalue()
     assert "Ê".encode() in buf_a.getvalue()  # the multi-cp pair decoded
+
+
+def _stream_corpus(n=600 * 1024, seed=13):
+    r = np.random.default_rng(seed)
+    data = bytearray(r.integers(0, 256, n, np.uint8).tobytes())
+    texts = [
+        ("в лесу родилась ёлочка " * 30).encode("koi8_r"),
+        ("Привет мир! ёлочка " * 30).encode("utf-8"),
+        ("hello 世界 music " * 30).encode("utf-16-le"),
+        ("こんにちは世界。テスト" * 30).encode("shift_jis"),
+        b"\x1b$B"
+        + ("こんにちは世界。国際化テストです。".encode("iso2022_jp")[3:-3]) * 12
+        + b"\x1b(B",
+    ]
+    for off in range(2048, n - 4096, 12288):
+        t = texts[(off // 12288) % len(texts)]
+        data[off:off + len(t)] = t
+    for off in range(5000, n - 16, 23456):
+        data[off:off + 3] = b"\x1b$B"  # mode switch across chunk seams
+    return bytes(data)
+
+
+@pytest.mark.parametrize("argv,chunk", [
+    (["-t", "x", "-e", "UTF-8", "-e", "KOI8-R", "-n", "4"], 8192),
+    (["-t", "x", "-e", "utf-16le", "-e", "Shift_JIS", "-n", "4",
+      "-u", "0xffffffffffffffff"], 8192),
+    (["-t", "x", "-e", "ISO-2022-JP", "-e", "UTF-8", "-n", "4"], 8192),
+    (["-t", "x", "-e", "gb18030", "-e", "Big5", "-e", "EUC-JP",
+      "-n", "2"], 65536),
+])
+def test_feed_streaming_byte_identical(monkeypatch, argv, chunk):
+    """Per-chunk run-table feed on the streaming path: cursor-grounded
+    classification (exact for the non-self-synchronizing CJK kinds),
+    ISO-2022-JP falling back on chunks entered mid-mode. Small chunks
+    force many boundary crossings + carry splices."""
+    from stringsext_tpu.run import _run_streaming_stdin
+
+    blob = _stream_corpus()
+
+    def stream(engine, feed):
+        args = parse_args(argv + ["-"])
+        ms = Missions.from_args(args)
+        buf = io.BytesIO()
+        if feed:
+            monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "1")
+        try:
+            rc = _run_streaming_stdin(
+                args, ms, buf, src=io.BytesIO(blob), chunk_bytes=chunk,
+                engine=engine)
+        finally:
+            monkeypatch.delenv("STRINGSEXT_RUNTABLE_FEED",
+                               raising=False)
+        assert rc == 0
+        return buf.getvalue()
+
+    ref = stream("auto", False)
+    got = stream("tpu", True)
+    assert got == ref
+    assert ref.count(b"\n") > 100
