@@ -509,9 +509,8 @@ def scan_shard(inputs, spans, missions, sl, r0: int, r1: int,
 
     hot_by_mission = _shard_hot_maps(missions, data, p_lo, engine)
 
-    def job(im):
-        i, m = im
-        st = {
+    def _mission_state(m):
+        return {
             "consumed": m.counter_offset + p_lo,
             "cursor": 0,
             "printed_maybe_cut": False,
@@ -519,8 +518,33 @@ def scan_shard(inputs, spans, missions, sl, r0: int, r1: int,
             "dec_output_flag": False,
             "leftover_cps": [],
         }
+
+    runtable_feeds = {}
+    if (engine == "tpu" and len(data)
+            and os.environ.get("STRINGSEXT_RUNTABLE_FEED") == "1"):
+        # Per-shard device run-table feed: the shard base is a true
+        # event start for every mission (the windowed boundary search
+        # guarantees it), so the chunk-feed builder applies directly
+        # with cursor 0; ISO-2022-JP engages only when this shard's
+        # composed entry mode is ground (the builder's gate).
+        from ..run import _chunk_runtable_feed, _merge_ranges
+
+        for i, m in enumerate(missions.v):
+            r = _chunk_runtable_feed(data, m, _mission_state(m))
+            if r is None:
+                continue
+            feed, (ex_pos, ex_len) = r
+            runtable_feeds[i] = feed
+            hs = np.concatenate([feed[0], ex_pos]) - 8
+            he = np.concatenate([feed[1], ex_pos + ex_len]) + 8
+            hot_by_mission[i] = _merge_ranges(hs, he, len(data))
+
+    def job(im):
+        i, m = im
         return native.native_scan(
-            m, data, *ssl, state=st, hot_ranges=hot_by_mission.get(i)
+            m, data, *ssl, state=_mission_state(m),
+            hot_ranges=hot_by_mission.get(i),
+            runtable_feed=runtable_feeds.get(i),
         )
 
     with ThreadPoolExecutor(max_workers=max(1, len(missions.v))) as ex:
@@ -1171,7 +1195,7 @@ def _done_barrier():
         pass  # best-effort: teardown races are a robustness concern only
 
 
-def simulate_ranks(args, paths, nprocs: int):
+def simulate_ranks(args, paths, nprocs: int, engine: str = "auto"):
     """In-process simulation of the distributed data plane: the
     boundary search, shard scans, entry-mode composition and rank-0
     holdback merge are pure functions (no collectives), so N ranks run
@@ -1224,7 +1248,7 @@ def simulate_ranks(args, paths, nprocs: int):
         em = _compose_entry_mode(transfers, s) if has_iso else 0
         pm, (_lo, p_hi) = scan_shard(
             paths, spans, ms, sl, bounds[s], bounds[s + 1],
-            entry_mode=em, data=shard_data[s],
+            entry_mode=em, engine=engine, data=shard_data[s],
         )
         rows = held + [(ms.v[i], res, sb) for i, (res, sb) in
                        enumerate(pm)]

@@ -206,3 +206,45 @@ def test_randomized_distributed_differential(tmp_path):
             splits_seen += 1
             assert sum(st["shard_read"]) == total, (t, st)
     assert splits_seen >= 1  # at least one trial really split
+
+
+def test_distributed_runtable_feed(tmp_path, monkeypatch):
+    """Per-shard run-table feed (engine=tpu + STRINGSEXT_RUNTABLE_FEED):
+    the shard base is a true event start for every mission, so the
+    cursor-grounded feed builder applies with cursor 0; ISO-2022-JP
+    engages only on ground-entry shards (mode switches planted so some
+    shards enter mid-mode and must fall back). Byte-identical to the
+    single-process scan at 2 and 4 ranks."""
+    r = np.random.default_rng(17)
+    paths = []
+    for fi in range(2):
+        n = 300 * 1024 + fi * 7777
+        data = bytearray(r.integers(0, 256, n, np.uint8).tobytes())
+        texts = [
+            ("в лесу ёлочка " * 30).encode("koi8_r"),
+            ("Привет мир! " * 30).encode("utf-8"),
+            ("hello 世界 " * 30).encode("utf-16-le"),
+            ("こんにちは世界。テスト" * 30).encode("shift_jis"),
+            b"\x1b$B"
+            + ("国際化テストです。".encode("iso2022_jp")[3:-3]) * 12
+            + b"\x1b(B",
+        ]
+        for off in range(2048, n - 4096, 12288):
+            t = texts[(off // 12288) % len(texts)]
+            data[off:off + len(t)] = t
+        for off in range(5000, n - 16, 23456):
+            data[off:off + 3] = b"\x1b$B"
+        p = tmp_path / f"f{fi}.bin"
+        p.write_bytes(bytes(data))
+        paths.append(str(p))
+    for argv in (["-t", "x", "-e", "UTF-8", "-e", "KOI8-R", "-n", "4"],
+                 ["-t", "x", "-e", "ISO-2022-JP", "-e", "Shift_JIS",
+                  "-n", "4"]):
+        expected = _expected(argv, paths)
+        monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "1")
+        for nprocs in (2, 4):
+            got, _stats = D.simulate_ranks(
+                parse_args(argv + paths), paths, nprocs, engine="tpu")
+            assert got == expected, (argv, nprocs)
+        monkeypatch.delenv("STRINGSEXT_RUNTABLE_FEED")
+        assert expected.count(b"\n") > 100
