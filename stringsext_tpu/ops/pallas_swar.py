@@ -405,7 +405,11 @@ def _utf16_slot_masks(u, un, pair, h, l, l_next, trail, cp_iv, grep_char):
         for lo, hi in iv:
             passes = passes | ((cp >= lo) & (cp <= hi))
     accept = start & valid & passes
-    grep = accept & (cp == grep_char)
+    # grep_char is static: with no grep the mask is statically false,
+    # so the compare/and AND the counts kernel's per-row grep
+    # reduction column constant-fold away.
+    grep = (accept & (cp == grep_char) if grep_char >= 0
+            else jnp.zeros_like(u) != 0)
     return dict(start=start, valid=valid, accept=accept, grep=grep)
 
 
