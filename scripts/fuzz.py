@@ -343,7 +343,12 @@ def main():
 
                 nprocs = 2 + (trials // 2) % 4  # 2..5
                 d_args = parse_args(argv + paths)
-                sim_out, st = D.simulate_ranks(d_args, paths, nprocs)
+                # Trial-derived engine (no rng draws): feed trials run
+                # the ranks with engine=tpu so the per-shard run-table
+                # feed + device hot maps are fuzzed too.
+                d_eng = "tpu" if trials % 3 == 0 else "auto"
+                sim_out, st = D.simulate_ranks(
+                    d_args, paths, nprocs, engine=d_eng)
                 outs[f"dist{nprocs}"] = sim_out
                 total = sum(os.path.getsize(p) for p in paths)
                 bounds = st["bounds"]
