@@ -454,3 +454,54 @@ def test_feed_streaming_byte_identical(monkeypatch, argv, chunk):
     got = stream("tpu", True)
     assert got == ref
     assert ref.count(b"\n") > 100
+
+
+def test_feed_streaming_checkpoint_kill_resume(tmp_path, monkeypatch):
+    """--checkpoint composes with the per-chunk feed: kill mid-stream
+    with engine=tpu + STRINGSEXT_RUNTABLE_FEED=1, resume, and the
+    assembled output equals the uninterrupted engine=auto run."""
+    from stringsext_tpu.run import _run_streaming_stdin
+
+    blob = _stream_corpus(n=200 * 1024)
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "Shift_JIS", "-n", "4", "-"]
+
+    args = parse_args(argv)
+    buf = io.BytesIO()
+    rc = _run_streaming_stdin(args, Missions.from_args(args), buf,
+                              src=io.BytesIO(blob), chunk_bytes=8192)
+    assert rc == 0
+    expected = buf.getvalue()
+
+    class _Dying(io.BytesIO):
+        def __init__(self, data, die_after):
+            super().__init__(data)
+            self.left = die_after
+
+        def readinto(self, b):
+            if self.left <= 0:
+                raise RuntimeError("simulated crash")
+            view = b[:self.left] if len(b) > self.left else b
+            got = super().readinto(view)
+            self.left -= got
+            return got
+
+    monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "1")
+    ck = str(tmp_path / "feed.ck")
+    out1 = tmp_path / "out.bin"
+    args = parse_args(argv)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        with open(out1, "wb") as fo:
+            _run_streaming_stdin(
+                args, Missions.from_args(args), fo,
+                src=_Dying(blob, 5 * 8192), chunk_bytes=8192,
+                engine="tpu", checkpoint_path=ck)
+    assert os.path.exists(ck)
+    args = parse_args(argv)
+    with open(out1, "r+b") as fo:
+        rc = _run_streaming_stdin(
+            args, Missions.from_args(args), fo,
+            src=io.BytesIO(blob), chunk_bytes=8192,
+            engine="tpu", checkpoint_path=ck)
+    assert rc == 0
+    assert not os.path.exists(ck)  # removed on success
+    assert out1.read_bytes() == expected
