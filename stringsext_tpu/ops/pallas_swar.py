@@ -418,15 +418,12 @@ def _utf16_pair_structure(P, be: bool):
     pair1-lookback, which callers batch into one element shift)."""
     u0, u1, u2 = _utf16_units(P, be)
 
-    def is_high(u):
-        return (u >= 0xD800) & (u <= 0xDBFF)
-
-    def is_low(u):
-        return (u >= 0xDC00) & (u <= 0xDFFF)
-
-    h0, h1 = is_high(u0), is_high(u1)
-    l0, l1 = is_low(u0), is_low(u1)
-    l2 = is_low(u2)
+    # u in [0xD800,0xDBFF] <=> u>>10 == 0x36 (and 0x37 for lows): one
+    # shared shift + equality instead of two compares + and per test.
+    s0, s1, s2 = u0 >> 10, u1 >> 10, u2 >> 10
+    h0, h1 = s0 == 0x36, s1 == 0x36
+    l0, l1 = s0 == 0x37, s1 == 0x37
+    l2 = s2 == 0x37
     return dict(
         u0=u0, u1=u1, u2=u2, h0=h0, h1=h1, l0=l0, l1=l1, l2=l2,
         pair0=h0 & l1, pair1=h1 & l2,
