@@ -86,8 +86,15 @@ def _range_mask(w, lo, hi):
     def le(x, c):  # slot value <= c
         return ((c * L16 | G16) - x) & G16
 
-    me = ge(xe, lo) & le(xe, hi) if lo > 0 else le(xe, hi)
-    mo = ge(xo, lo) & le(xo, hi) if lo > 0 else le(xo, hi)
+    if lo <= 0 and hi >= 255:
+        return jnp.full_like(w, M01)
+    if hi >= 255:  # bytes are <= 255: the le test is a no-op
+        me, mo = ge(xe, lo), ge(xo, lo)
+    elif lo <= 0:
+        me, mo = le(xe, hi), le(xo, hi)
+    else:
+        me = ge(xe, lo) & le(xe, hi)
+        mo = ge(xo, lo) & le(xo, hi)
     return (_lsr(me, 8) | mo) & M01
 
 
