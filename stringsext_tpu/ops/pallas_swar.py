@@ -380,8 +380,6 @@ def _utf16_slot_masks(u, un, pair, h, l, l_next, trail, cp_iv, grep_char):
     """Boolean mission masks for one unit slot: accept/start/valid/grep
     (mission.rs:307-348 filter semantics on the decoded codepoint)."""
     bmp = ~h & ~l
-    lone_h = h & ~l_next
-    lone_l = l & ~trail
     if any(hi >= 0x10000 or (lo <= 0xDFFF and hi >= 0xD800)
            for lo, hi in cp_iv):
         # Astral planes reachable, OR an interval covers the surrogate
@@ -399,7 +397,10 @@ def _utf16_slot_masks(u, un, pair, h, l, l_next, trail, cp_iv, grep_char):
         # < 0x80). Saves the astral cp math.
         cp = u
     valid = (bmp | pair) & ~trail
-    start = (bmp | pair | lone_h | lone_l) & ~trail
+    # (bmp | pair | lone_high | lone_low) & ~trail collapses to ~trail:
+    # bmp|high = ~low, union lone_low gives ~(low & trail), and the
+    # final & ~trail absorbs it - every non-trail unit starts an event.
+    start = ~trail
     iv = tuple(sorted(cp_iv))
     if len(iv) == 2 and iv[1][0] - iv[0][1] == 2:
         # Two intervals separated by a single excluded codepoint (the
@@ -411,7 +412,7 @@ def _utf16_slot_masks(u, un, pair, h, l, l_next, trail, cp_iv, grep_char):
         passes = jnp.zeros_like(u) != 0
         for lo, hi in iv:
             passes = passes | ((cp >= lo) & (cp <= hi))
-    accept = start & valid & passes
+    accept = valid & passes  # valid is already start-gated (& ~trail)
     # grep_char is static: with no grep the mask is statically false,
     # so the compare/and AND the counts kernel's per-row grep
     # reduction column constant-fold away.
