@@ -202,16 +202,15 @@ def _utf8_structure(P, extra_back_pack=None):
     f4 = top4 & ~k0 & ~k1 & k2 & ~k3 & M01  # low nibble 0100
 
     # Second-byte ranges, all within continuation space (0b10xxxxxx),
-    # reduce to bits 5/4 of the following byte.
+    # reduce to bits 5/4 of the following byte. Inside the cont1 gate
+    # the two special-lead exclusions are one OR of violations:
+    # E0 needs b1 >= 0xA0 (n5), ED needs b1 <= 0x9F (~n5); F0 needs
+    # b1 >= 0x90 (n45), F4 needs b1 <= 0x8F (~n45).
     n5 = bit(b1, 5)
     n45 = (n5 | bit(b1, 4)) & M01
-    b1_ge_a0 = cont1 & n5
-    b1_le_9f = cont1 & ~n5 & M01
-    b1_ge_90 = cont1 & n45
-    b1_le_8f = cont1 & ~n45 & M01
 
-    c1ok3 = cont1 & (~(e0 & (b1_ge_a0 ^ M01)) & ~(ed & (b1_le_9f ^ M01))) & M01
-    c1ok4 = cont1 & (~(f0 & (b1_ge_90 ^ M01)) & ~(f4 & (b1_le_8f ^ M01))) & M01
+    c1ok3 = cont1 & (((e0 & (n5 ^ M01)) | (ed & n5)) ^ M01)
+    c1ok4 = cont1 & (((f0 & (n45 ^ M01)) | (f4 & n45)) ^ M01)
 
     valid2 = lead2 & cont1
     valid3 = lead3 & c1ok3 & cont2
@@ -240,7 +239,8 @@ def _utf8_structure(P, extra_back_pack=None):
         | _lsr((C << 16) | _lsr(Cp, 16), 1)
         | _lsr((C << 24) | _lsr(Cp, 8), 2)
     ) & M01
-    is_start = noncont | (cont & (claimed ^ M01))
+    # noncont | (cont & ~claimed) == ~(cont & claimed) on 0x01 masks
+    is_start = (cont & claimed) ^ M01
 
     return dict(
         is_start=is_start,
