@@ -175,8 +175,10 @@ def _utf8_structure(P, extra_back_pack=None):
     def bit(x, k):  # bit k of each byte as a 0x01 mask
         return (x >> k) & M01
 
-    def contm(x):  # byte is 0b10xxxxxx
-        return bit(x, 7) & ~bit(x, 6) & M01
+    def contm(x):  # byte is 0b10xxxxxx: bit7 & ~bit6 in one masked
+        # expression (bit6 reaches bit7 via x<<1 without leaving its
+        # byte; arithmetic >>7 sign fill stays above M01's bit 24)
+        return ((x & ~(x << 1)) >> 7) & M01
 
     cont = contm(W)
     cont1 = contm(b1)
@@ -192,8 +194,9 @@ def _utf8_structure(P, extra_back_pack=None):
     top3 = t7 & t6 & t5
     lead3 = top3 & ~t4 & M01  # 0xE0-0xEF: top nibble 1110
     top4 = top3 & t4
-    # 0xF0-0xF4: top nibble 1111, low nibble <= 4
-    lead4 = top4 & ~k3 & (~k2 | (~k1 & ~k0)) & M01
+    # 0xF0-0xF4: top nibble 1111, low nibble <= 4 - i.e. NOT k3 and
+    # NOT (k2 with any of k1/k0); one OR of violations
+    lead4 = top4 & ((k3 | (k2 & (k1 | k0))) ^ M01)
 
     low4_zero = ~(k0 | k1 | k2 | k3) & M01
     e0 = lead3 & low4_zero
@@ -758,7 +761,8 @@ def _swar_boundary_masks(P, specs, hot_only: bool = False):
     A_fwd = {L: _lsr(A, 8 * L) | (An << (32 - 8 * L)) for L in lengths}
 
     def bit(x, k):
-        return (_lsr(x, k) if k else x) & M01
+        # arithmetic >> is safe: k <= 7, sign fill stays above bit 24
+        return (x >> k) & M01 if k else x & M01
 
     out = []
     for (acc, gf, _lens), (abit, ebits) in zip(per, bitmap):
