@@ -540,3 +540,50 @@ def test_plan_hot_launches_static_model():
     # the count cap still applies on top
     tile_c, groups_c = plan_hot_launches(jobs, max_count=8)
     assert all(len(g) <= 8 for g in groups_c)
+
+
+def test_swar_fields_exhaustive_pairs_and_boundaries():
+    """Deterministic stressor for the SWAR byte algebra (the round-4
+    mask-identity rewrites live here): ALL 65536 2-byte sequences plus
+    targeted UTF-8 lead x second-byte boundary quads (E0/ED/F0/F4
+    special ranges, C1/C2/DF/EF/F5 edges) must match the jnp
+    classification lanes field for field."""
+    pairs = np.array(
+        [[i, j] for i in range(256) for j in range(256)], np.uint8
+    ).reshape(-1)
+    quads = []
+    for lead in (0xE0, 0xED, 0xEF, 0xF0, 0xF4, 0xF5, 0xC1, 0xC2, 0xDF):
+        for b2 in (0x7F, 0x80, 0x8F, 0x90, 0x9F, 0xA0, 0xBF, 0xC0):
+            for b3 in (0x80, 0xBF, 0x41):
+                quads.extend([lead, b2, b3, 0x41])
+    raw = np.concatenate([pairs, np.array(quads, np.uint8)])
+    raw = np.concatenate(
+        [raw, np.zeros((-len(raw)) % 512, np.uint8)]).astype(np.uint8)
+    rows = len(raw) // 512
+    n = len(raw)
+    ms = _missions()
+    params = pallas_swar.swar_params(ms.v)
+    o8, ole, obe = pallas_swar.flagship_swar_lanes(
+        jnp.asarray(raw.view(np.int32).reshape(rows, 128)),
+        tile_rows=rows, interpret=True, **params)
+    sl = slice(4, n - 4)
+    for mi, ow in enumerate([o8, ole, obe]):
+        ow = np.asarray(ow).reshape(-1)
+        af_w, ubf_w = filter_words(ms[mi])
+        if mi == 0:
+            lanes = classify.utf8_lanes(jnp.asarray(raw), n)
+            f = _unpack_bytes(ow, n)
+        else:
+            lanes = classify.utf16_lanes(jnp.asarray(raw), mi == 2, n)
+            f = _unpack_units(ow, n)
+        acc = np.asarray(accept_mask(
+            lanes, jnp.asarray(af_w), jnp.asarray(ubf_w)))
+        st = np.asarray(lanes.start & ~lanes.pending)
+        ln = np.asarray(lanes.length)
+        np.testing.assert_array_equal(
+            ((f & 1) != 0)[sl], acc[sl], f"m{mi} accept")
+        np.testing.assert_array_equal(
+            (((f >> 5) & 1) != 0)[sl], st[sl], f"m{mi} start")
+        np.testing.assert_array_equal(
+            np.where(((f >> 5) & 1) != 0, (f >> 1) & 7, 0)[sl],
+            np.where(st, ln, 0)[sl], f"m{mi} len")
