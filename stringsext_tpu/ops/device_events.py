@@ -99,9 +99,10 @@ def _fetch_compact(cnt, bits, packed):
                 np.zeros(0, np.int32))
     bm = np.unpackbits(np.asarray(bits), bitorder="little")
     pos = np.flatnonzero(bm).astype(np.int64)
+    assert len(pos) == k, (len(pos), k)  # bitmask/count must agree
     fc = min(_bucket(k), packed.shape[0])
     pk = np.asarray(packed[:fc])[:k]
-    return pos[:k], (pk & 7).astype(np.int32), (pk >> 3).astype(np.int32)
+    return pos, (pk & 7).astype(np.int32), (pk >> 3).astype(np.int32)
 
 
 def compute_lanes(data: np.ndarray, encoding_name: str):

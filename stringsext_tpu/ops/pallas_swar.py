@@ -88,7 +88,10 @@ def _range_mask(w, lo, hi):
 
     if lo <= 0 and hi >= 255:
         return jnp.full_like(w, M01)
-    if hi >= 255:  # bytes are <= 255: the le test is a no-op
+    if lo == hi:  # equality: XOR + guard-subtract zero test (3 ops)
+        me = (G16 - (xe ^ (lo * L16))) & G16
+        mo = (G16 - (xo ^ (lo * L16))) & G16
+    elif hi >= 255:  # bytes are <= 255: the le test is a no-op
         me, mo = ge(xe, lo), ge(xo, lo)
     elif lo <= 0:
         me, mo = le(xe, hi), le(xo, hi)
