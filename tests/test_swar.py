@@ -587,3 +587,26 @@ def test_swar_fields_exhaustive_pairs_and_boundaries():
         np.testing.assert_array_equal(
             np.where(((f >> 5) & 1) != 0, (f >> 1) & 7, 0)[sl],
             np.where(st, ln, 0)[sl], f"m{mi} len")
+
+
+def test_range_mask_exhaustive_all_bytes():
+    """The four _range_mask special cases (full, equality, hi=255,
+    lo=0, generic) verified for every byte value 0..255 against a
+    direct oracle, over a corpus containing all byte values in all
+    four word slots."""
+    from stringsext_tpu.ops.pallas_swar import M01, _range_mask
+
+    raw = np.arange(1024, dtype=np.uint8)  # every value in every slot
+    for i in range(4):
+        raw[i::4] = (np.arange(256) + 64 * i) % 256
+    w = jnp.asarray(raw.view(np.int32))
+    for lo, hi in [(0, 255), (7, 7), (0, 0), (255, 255), (0x80, 255),
+                   (0xC0, 255), (0, 0x1F), (0x20, 0x7E), (0xA1, 0xDF),
+                   (154, 154), (140, 144)]:
+        got = np.asarray(_range_mask(w, lo, hi))
+        expect = np.zeros(1024 // 4, np.int64)
+        for b in range(4):
+            v = raw[b::4].astype(np.int64)
+            expect |= ((v >= lo) & (v <= hi)).astype(np.int64) << (8 * b)
+        np.testing.assert_array_equal(
+            got.astype(np.int64) & np.int64(M01), expect, f"[{lo},{hi}]")
