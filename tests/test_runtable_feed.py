@@ -505,3 +505,32 @@ def test_feed_streaming_checkpoint_kill_resume(tmp_path, monkeypatch):
     assert rc == 0
     assert not os.path.exists(ck)  # removed on success
     assert out1.read_bytes() == expected
+
+
+@pytest.mark.parametrize("extra", [
+    ["-r"], ["-g", "63"], ["-r", "-g", "63"], ["-n", "80", "-q", "6"],
+])
+def test_feed_ineligible_configs_fall_back_identically(extra):
+    """Configs outside the emitter lane's eligibility (same-block,
+    grep, chars_min > line_max) still accept a feed argument and must
+    scan byte-identically (the lane stays off, the hot machinery and
+    generic walk handle everything)."""
+    r = np.random.default_rng(9)
+    n = 128 * 1024
+    data = bytearray(r.integers(0, 256, n, np.uint8).tobytes())
+    for off in range(2048, n - 4096, 8192):
+        t = ("в лесу? родилась ёлочка " * 20).encode("koi8_r")
+        data[off:off + len(t)] = t
+    data = np.frombuffer(bytes(data), np.uint8)
+    for enc in ("KOI8-R", "UTF-8", "ISO-2022-JP", "Shift_JIS"):
+        argv = ["-t", "x", "-e", enc, "-n", "4"] + extra + ["/dev/null"]
+        m = Missions.from_args(parse_args(argv)).v[0]
+        sl = slice_table(LoadedStream(data, [(1, 0, len(data))]))
+        feed = runtable_feed(data, m)
+        if feed is None:
+            continue
+        b_res, b_sb = native.native_scan(m, data, *sl)
+        f_res, f_sb = native.native_scan(m, data, *sl, runtable_feed=feed)
+        assert bytes(f_sb) == bytes(b_sb), (extra, enc)
+        for k in b_res:
+            assert np.array_equal(b_res[k], f_res[k]), (extra, enc, k)
