@@ -280,9 +280,11 @@ def runtable_feed(data: np.ndarray, mission, device: bool = True,
     EUC-JP / EUC-KR / GBK / gb18030 / Shift_JIS / modal ISO-2022-JP
     (its global mode chain is a device prefix scan,
     ops/classify_iso2022.py). The classification (per-byte events +
-    filter acceptance + the CJK/ISO boundary-chain orbit) runs on
-    device; the run/payload compaction is a host numpy pass over the
-    device lanes. `device=False` builds the
+    filter acceptance + the CJK/ISO boundary-chain orbit) AND the
+    char compaction run on device (_compact_fn: position bitmask +
+    one packed (cp,len) scatter, so ~n/8 + 4*chars bytes cross the
+    device->host link, not full lanes); the run/slot-table assembly
+    is a host numpy pass over the compacted chars. `device=False` builds the
     identical arrays from the host numpy event generators with no jax
     import. Returns (run_start, run_end, co_base, co, ip, payload) for
     native_scan's `runtable_feed` (see _assemble_feed for the slot
