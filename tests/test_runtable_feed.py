@@ -534,3 +534,38 @@ def test_feed_ineligible_configs_fall_back_identically(extra):
         assert bytes(f_sb) == bytes(b_sb), (extra, enc)
         for k in b_res:
             assert np.array_equal(b_res[k], f_res[k]), (extra, enc, k)
+
+
+def test_device_compact_matches_numpy_oracle():
+    """_compact_fn / _fetch_compact (the on-device feed compaction:
+    position bitmask + one packed (cp,len) scatter) against a direct
+    numpy oracle, including empty, full, and single-element masks."""
+    import jax.numpy as jnp
+
+    from stringsext_tpu.ops.device_events import _compact_fn, _fetch_compact
+
+    r = np.random.default_rng(4)
+    compact = _compact_fn()
+    for density in (0.0, 1.0, 0.5, 0.01):
+        cap = 4096
+        mask = r.random(cap) < density
+        if density == 0.0:
+            mask[:] = False
+        length = r.integers(1, 5, cap).astype(np.int32)
+        cp = r.integers(0, 0x110000, cap).astype(np.int32)
+        cnt, bits, packed = compact(
+            jnp.asarray(mask), jnp.asarray(length), jnp.asarray(cp))
+        pos, ln, cps = _fetch_compact(cnt, bits, packed)
+        want = np.flatnonzero(mask)
+        assert np.array_equal(pos, want), density
+        assert np.array_equal(ln, length[want]), density
+        assert np.array_equal(cps, cp[want]), density
+    # single element at the edges
+    for idx in (0, 4095):
+        mask = np.zeros(4096, bool)
+        mask[idx] = True
+        cnt, bits, packed = compact(
+            jnp.asarray(mask), jnp.asarray(np.full(4096, 2, np.int32)),
+            jnp.asarray(np.full(4096, 0x41, np.int32)))
+        pos, ln, cps = _fetch_compact(cnt, bits, packed)
+        assert list(pos) == [idx] and list(ln) == [2] and list(cps) == [0x41]
