@@ -49,16 +49,41 @@ FORBIDDEN = (
 
 _PAIRS_RE = re.compile(r"source_target_pairs=\{((?:\{\d+,\d+\},?)+)\}")
 _PAIR_RE = re.compile(r"\{(\d+),(\d+)\}")
+_AG_SHAPE_RE = re.compile(
+    r"=\s+\(?\s*\S*?\[([\d,]*)\]\S*\s+all-gather(?:-start)?\(")
 
 
-def audit_hlo(hlo: str, n_data: int, n_mission: int = 1):
-    """Returns a findings dict for one compiled module."""
+def audit_hlo(hlo: str, n_data: int, n_mission: int = 1,
+              state_gather_budget_elems: int = 0):
+    """Returns a findings dict for one compiled module.
+
+    `state_gather_budget_elems` > 0 permits all-gathers whose RESULT is
+    at most that many elements: the chain-kind scan programs (CJK /
+    ISO-2022-JP) gather a few ints of entry-phase/mode transfer state
+    per shard (parallel/mesh.py stages A and C) - O(n_data) scalars,
+    never the byte stream. Stream-sized all-gathers remain forbidden."""
     forbidden_hits = {}
+    small_gathers = []
     for op in FORBIDDEN:
         # op names appear as '%all-gather.12 = ...' or ' all-gather('
         hits = len(re.findall(rf"\b{re.escape(op)}(?:-start)?\b[.(]", hlo))
-        if hits:
-            forbidden_hits[op] = hits
+        if not hits:
+            continue
+        if op == "all-gather" and state_gather_budget_elems > 0:
+            shapes = []
+            for m in _AG_SHAPE_RE.finditer(hlo):
+                dims = [int(d) for d in m.group(1).split(",") if d]
+                elems = 1
+                for d in dims:
+                    elems *= d
+                shapes.append(elems)
+            big = [e for e in shapes if e > state_gather_budget_elems]
+            small_gathers = [e for e in shapes
+                             if e <= state_gather_budget_elems]
+            if big:
+                forbidden_hits[op] = f"{len(big)} over budget: {big}"
+            continue
+        forbidden_hits[op] = hits
     permutes = []
     non_neighbor = []
     for m in _PAIRS_RE.finditer(hlo):
@@ -72,7 +97,7 @@ def audit_hlo(hlo: str, n_data: int, n_mission: int = 1):
             db, mb = divmod(b, n_mission)
             if ma != mb or abs(da - db) != 1:
                 non_neighbor.append((a, b))
-    return {
+    out = {
         "collective_permutes": len(permutes),
         "permute_pair_sets": [
             f"{len(p)} pairs, max|d|={max(abs(a - b) for a, b in p)}"
@@ -82,6 +107,9 @@ def audit_hlo(hlo: str, n_data: int, n_mission: int = 1):
         "non_neighbor_pairs": non_neighbor,
         "ok": not forbidden_hits and not non_neighbor and len(permutes) > 0,
     }
+    if small_gathers:
+        out["state_all_gather_elems"] = small_gathers
+    return out
 
 
 def compiled_text(fn, *args):
@@ -127,6 +155,26 @@ def main():
         r = audit_hlo(hlo, n_data, n_mission)
         results[f"scan_{n_data}x{n_mission}dev"] = r
         print(f"scan @ {n_data}x{n_mission} devices: "
+              f"{'OK' if r['ok'] else 'FAIL'} {r}")
+
+    # Chain-kind scan (CJK + modal ISO-2022-JP): the entry-phase/state
+    # transfer composition all-gathers a few ints per shard (stages A
+    # and C of parallel/mesh.build_sharded_scan). Those O(n_data)-elem
+    # gathers are the designed-in exception; stream-sized collectives
+    # stay forbidden and halos stay neighbor ppermute.
+    ms_cjk = Missions.new(
+        flag_encoding=["shift_jis", "gb18030", "euc-jp", "ISO-2022-JP"])
+    for n_data, n_mission in ((2, 4), (4, 4)):
+        m = pmesh.make_mesh(n_data, n_mission)
+        step = pmesh.build_sharded_scan(
+            ms_cjk.v, m, shard_len=shard_len, capacity=128
+        )
+        data = np.zeros(n_data * shard_len, np.uint8)
+        hlo = compiled_text(step, data)
+        r = audit_hlo(hlo, n_data, n_mission,
+                      state_gather_budget_elems=n_data * 16)
+        results[f"scan_allkinds_{n_data}x{n_mission}dev"] = r
+        print(f"all-kinds scan @ {n_data}x{n_mission} devices: "
               f"{'OK' if r['ok'] else 'FAIL'} {r}")
 
     all_ok = all(r["ok"] for r in results.values())

@@ -83,18 +83,20 @@ def _gather2(table: jax.Array, b: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.take(table.reshape(-1), b * 256 + t)
 
 
-def _orbit_mask(step: jax.Array, n: jax.Array) -> jax.Array:
-    """bool[cap]: position is reachable from 0 under i -> i+step[i]
-    (i.e. a true event start). Pointer doubling: after round k the mark
-    set is closed under 2^k applications, so ceil(log2(cap)) rounds
-    reach the fixpoint; positions >= n funnel into a dump slot."""
+def _orbit_mask(step: jax.Array, n: jax.Array, start=0) -> jax.Array:
+    """bool[cap]: position is reachable from `start` under
+    i -> i+step[i] (i.e. a true event start). Pointer doubling: after
+    round k the mark set is closed under 2^k applications, so
+    ceil(log2(cap)) rounds reach the fixpoint; positions >= n funnel
+    into a dump slot. `start` may be traced (the mesh path enters each
+    shard at its composed cross-shard phase, parallel/mesh.py)."""
     cap = step.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
     nxt = jnp.minimum(idx + jnp.maximum(step, 1), cap)
     # positions at/after the real end self-trap in the dump slot `cap`
     nxt = jnp.where(idx < n, nxt, cap)
     J = jnp.concatenate([nxt, jnp.array([cap], jnp.int32)])
-    marked = jnp.zeros(cap + 1, bool).at[0].set(True)
+    marked = jnp.zeros(cap + 1, bool).at[start].set(True)
 
     rounds = max(1, int(np.ceil(np.log2(max(cap, 2)))) + 1)
 
@@ -276,6 +278,65 @@ def _classify_gb18030(b, have1, have2, have3, n) -> _C:
     return c
 
 
+def _exit_map(step: jax.Array, end) -> jax.Array:
+    """int32[cap]: E[i] = first position >= `end` reachable from i
+    under i -> i+step[i] (clamped into [end, cap]). Pointer doubling,
+    the jump-to-threshold twin of _orbit_mask: used by the mesh path to
+    derive each shard's entry-phase transfer function (the exit offset
+    into the next shard for every possible entry offset)."""
+    cap = step.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    nxt = jnp.minimum(idx + jnp.maximum(step, 1), cap)
+    E = jnp.where(idx >= end, idx, nxt)
+    E = jnp.concatenate([E, jnp.array([cap], jnp.int32)])  # dump slot
+    rounds = max(1, int(np.ceil(np.log2(max(cap, 2)))) + 1)
+
+    def body(_, E):
+        return jnp.where(E >= end, E, jnp.take(E, E))
+
+    E = jax.lax.fori_loop(0, rounds, body, E)
+    return E[:cap]
+
+
+def _cjk_classified(b: jax.Array, kind: str, n) -> _C:
+    """Shared as-if-start classification (orbit-free)."""
+    b = b.astype(jnp.int32)
+    cap = b.shape[0]
+    if n is None:
+        n = cap
+    n = jnp.asarray(n, jnp.int32)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    have1 = idx < n - 1
+    have2 = idx < n - 2
+    have3 = idx < n - 3
+
+    if kind == KIND_EUC_JP:
+        return _classify_eucjp(b, have1, have2, n)
+    if kind == KIND_GB18030:
+        return _classify_gb18030(b, have1, have2, have3, n)
+    return _classify_two_byte(b, have1, kind)
+
+
+def cjk_pre_lanes(b: jax.Array, kind: str, n):
+    """Orbit-FREE per-byte lanes + the step array, for callers that
+    resolve the event chain themselves (the sharded mesh scan composes
+    entry phases across shards and runs _orbit_mask from the composed
+    entry). `lanes & orbit` (start/valid/pending each AND-ed with the
+    orbit mask) reproduces cjk_lanes exactly."""
+    c = _cjk_classified(b, kind, n)
+    pre_start = ~c.pending
+    lanes = Lanes(
+        start=pre_start,
+        valid=pre_start & ((c.cp >= 0) | c.multi),
+        length=c.in_len,
+        cp=jnp.where(c.multi, -1, c.cp),
+        report_off=c.report_off,
+        pushback=c.pushback,
+        pending=c.pending,
+    )
+    return lanes, c.step
+
+
 @functools.partial(jax.jit, static_argnames=("kind",))
 def cjk_lanes(b: jax.Array, kind: str, n: jax.Array | None = None):
     """Per-byte event lanes for a CJK chunk (padded to `b.shape[0]`;
@@ -291,17 +352,7 @@ def cjk_lanes(b: jax.Array, kind: str, n: jax.Array | None = None):
     if n is None:
         n = cap
     n = jnp.asarray(n, jnp.int32)
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    have1 = idx < n - 1
-    have2 = idx < n - 2
-    have3 = idx < n - 3
-
-    if kind == KIND_EUC_JP:
-        c = _classify_eucjp(b, have1, have2, n)
-    elif kind == KIND_GB18030:
-        c = _classify_gb18030(b, have1, have2, have3, n)
-    else:
-        c = _classify_two_byte(b, have1, kind)
+    c = _cjk_classified(b, kind, n)
 
     start = _orbit_mask(c.step, n)
     valid = start & ~c.pending & ((c.cp >= 0) | c.multi)

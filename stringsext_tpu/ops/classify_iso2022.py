@@ -76,23 +76,10 @@ def _scan_last_set(tval: jax.Array) -> jax.Array:
     )
 
 
-@jax.jit
-def iso2022_lanes(b: jax.Array, n: jax.Array | None = None):
-    """Per-byte event lanes for an ISO-2022-JP chunk decoded from mode
-    ASCII at offset 0 (the buffered whole-stream path; `b` may be
-    padded, `n` is the real length). Returns (Lanes, state_hot) where
-    state_hot marks mode/phase-dependent bytes (see module docstring).
-
-    Like the CJK lanes, `start` is the resolved event chain (orbit of
-    0); non-start positions carry no meaning. Valid escapes that are
-    not redundant-escape errors produce NO event (start=False there);
-    truncated escapes / dangling leads at the stream end are pending.
-    """
-    b = b.astype(jnp.int32)
+def _iso_escapes(b, n):
+    """Local escape recognition over a chunk (shared by the core and
+    the shard state-transfer). Returns a dict of per-byte masks."""
     cap = b.shape[0]
-    if n is None:
-        n = cap
-    n = jnp.asarray(n, jnp.int32)
     idx = jnp.arange(cap, dtype=jnp.int32)
     in_n = idx < n
     have1 = idx < n - 1
@@ -100,7 +87,6 @@ def iso2022_lanes(b: jax.Array, n: jax.Array | None = None):
     b1 = _shift_left(b, 1, 0)
     b2 = _shift_left(b, 2, 0)
 
-    # --- escapes (local recognition) ---------------------------------
     esc = (b == 0x1B) & in_n
     e1_28 = b1 == 0x28
     e1_24 = b1 == 0x24
@@ -111,20 +97,78 @@ def iso2022_lanes(b: jax.Array, n: jax.Array | None = None):
     esc_mode = jnp.where(e1_24, 3, esc_mode)
     trunc_esc = esc & (~have1 | ((e1_28 | e1_24) & have1 & ~have2))
     invalid_esc = esc & ~valid_esc & ~trunc_esc
-    inv_far = invalid_esc & (e1_28 | e1_24)  # bad e2: pushback 2
-    inv_near = invalid_esc & ~(e1_28 | e1_24)  # bad e1: pushback 1
-
-    # --- mode prefix composition -------------------------------------
-    # A valid escape at i sets the mode from position i+3 on.
-    tval = _shift_right(jnp.where(valid_esc, esc_mode, -1), 3, -1)
-    mpfx = _scan_last_set(tval)
-    mode = jnp.where(mpfx >= 0, mpfx, 0)
-
-    # --- data positions ----------------------------------------------
     esc_body = (valid_esc | _shift_right(valid_esc, 1, False)
                 | _shift_right(valid_esc, 2, False))
     trunc_span = trunc_esc | _shift_right(trunc_esc, 1, False)
     data = in_n & ~esc_body & ~invalid_esc & ~trunc_span
+    return dict(
+        esc=esc, e1_28=e1_28, e1_24=e1_24, valid_esc=valid_esc,
+        esc_mode=esc_mode, trunc_esc=trunc_esc, invalid_esc=invalid_esc,
+        esc_body=esc_body, trunc_span=trunc_span, data=data,
+        b1=b1, in_n=in_n, have1=have1, have2=have2, idx=idx,
+    )
+
+
+def iso_state_transfer(b: jax.Array, n, lo: int, hi: int) -> jax.Array:
+    """int32[2] = (mode_t, flag_t): the shard's transfer values over
+    EFFECT positions in [lo, hi) - the mode set by the last valid
+    escape whose effect (ESC+3) lands in the span, and the last
+    redundant-escape flag event (valid-escape end sets 1, a consumed
+    data byte clears to 0); -1 = identity. Effect positions partition
+    the stream across shards (each belongs to exactly one owned span),
+    so composing these left-to-right from (mode 0, flag unset) yields
+    every shard's entry state (the device analog of
+    parallel.distributed._iso_mode_transfer / _compose_entry_mode)."""
+    b = b.astype(jnp.int32)
+    n = jnp.asarray(n, jnp.int32)
+    E = _iso_escapes(b, n)
+    idx = E["idx"]
+    own = (idx >= lo) & (idx < hi)
+
+    def last_val(v):
+        v = jnp.where(own, v, -1)
+        li = jnp.max(jnp.where(v >= 0, idx, -1))
+        return jnp.where(
+            li >= 0, jnp.take(v, jnp.clip(li, 0, b.shape[0] - 1)), -1
+        )
+
+    tval = _shift_right(jnp.where(E["valid_esc"], E["esc_mode"], -1), 3, -1)
+    fv = jnp.where(E["data"], 0, -1)
+    fv = jnp.where(_shift_right(E["valid_esc"], 2, False), 1, fv)
+    return jnp.stack([last_val(tval), last_val(fv)]).astype(jnp.int32)
+
+
+def iso_pre_lanes(b: jax.Array, n, entry_mode=0, entry_flag=-1,
+                  effect_lo: int = 0):
+    """Orbit-FREE ISO-2022-JP lanes + step array + state_hot, decoded
+    from entry state (entry_mode, entry_flag) with mode/flag effects
+    before `effect_lo` masked out (they are summarized by the entry
+    state - the mesh path composes them across shards with
+    iso_state_transfer). `lanes & orbit` reproduces iso2022_lanes;
+    entry (0, -1) with effect_lo 0 is the whole-stream decode."""
+    b = b.astype(jnp.int32)
+    cap = b.shape[0]
+    if n is None:
+        n = cap
+    n = jnp.asarray(n, jnp.int32)
+    E = _iso_escapes(b, n)
+    idx = E["idx"]
+    have1 = E["have1"]
+    b1 = E["b1"]
+    valid_esc = E["valid_esc"]
+    trunc_esc = E["trunc_esc"]
+    invalid_esc = E["invalid_esc"]
+    data = E["data"]
+    inv_far = invalid_esc & (E["e1_28"] | E["e1_24"])  # bad e2: pushback 2
+    inv_near = invalid_esc & ~(E["e1_28"] | E["e1_24"])  # bad e1: pushback 1
+
+    # --- mode prefix composition -------------------------------------
+    # A valid escape at i sets the mode from position i+3 on. Effects
+    # before effect_lo are already folded into entry_mode.
+    tval = _shift_right(jnp.where(valid_esc, E["esc_mode"], -1), 3, -1)
+    tval = jnp.where(idx >= effect_lo, tval, -1)
+    mpfx = _scan_last_set(tval)
+    mode = jnp.where(mpfx >= 0, mpfx, entry_mode)
 
     # --- LEAD (jis0208 two-byte) segments ----------------------------
     lead_data = data & (mode == 3)
@@ -138,22 +182,24 @@ def iso2022_lanes(b: jax.Array, n: jax.Array | None = None):
     pcp = jnp.take(pair_tbl.reshape(-1), (b | 0x80) * 256 + (b1 | 0x80))
     pair_cp = jnp.where(t_in & (pcp >= 0), pcp, -1)
 
-    # --- event chain (orbit) -----------------------------------------
+    # --- event chain steps (the orbit itself is the caller's) --------
     step = jnp.ones(cap, jnp.int32)
     step = jnp.where(valid_esc, 3, step)
     step = jnp.where(pair, 2, step)
     claim_rest = trunc_esc | pend_lead
     step = jnp.where(claim_rest, jnp.maximum(n - idx, 1), step)
-    orbit = _orbit_mask(step, n)
 
     # --- redundant-escape flag (output flag) scan --------------------
     # {identity=-1, clear=0, set=1}: any consumed data byte clears; a
     # valid escape sets at its END (i+2), so escapes strictly after it
     # see the flag. Escape-error bytes are identity (host parity).
+    # Effects before effect_lo are folded into entry_flag.
     fv = jnp.where(data, 0, -1)
     fv = jnp.where(_shift_right(valid_esc, 2, False), 1, fv)
+    fv = jnp.where(idx >= effect_lo, fv, -1)
     fpfx = _scan_last_set(fv)
-    flag_before = _shift_right(fpfx, 1, -1) == 1
+    fp = _shift_right(fpfx, 1, -1)
+    flag_before = jnp.where(fp >= 0, fp, entry_flag) == 1
     redundant = valid_esc & flag_before
 
     # --- event lanes -------------------------------------------------
@@ -181,19 +227,47 @@ def iso2022_lanes(b: jax.Array, n: jax.Array | None = None):
     pushback = jnp.where(inv_far, 2, pushback)
 
     is_event = data | invalid_esc | redundant | dangle
-    pending = orbit & claim_rest
-    start = orbit & is_event & ~claim_rest
+    pre_start = is_event & ~claim_rest
 
     lanes = Lanes(
-        start=start,
-        valid=start & (cp >= 0),
+        start=pre_start,
+        valid=pre_start & (cp >= 0),
         length=length,
-        cp=jnp.where(start, cp, -1),
+        cp=jnp.where(pre_start, cp, -1),
         report_off=report_off,
         pushback=pushback,
-        pending=pending,
+        pending=claim_rest,
     )
-    state_hot = (esc_body | invalid_esc | trunc_span | lead_data) & in_n
+    state_hot = (E["esc_body"] | invalid_esc | E["trunc_span"]
+                 | lead_data) & E["in_n"]
+    return lanes, step, state_hot
+
+
+@jax.jit
+def iso2022_lanes(b: jax.Array, n: jax.Array | None = None):
+    """Per-byte event lanes for an ISO-2022-JP chunk decoded from mode
+    ASCII at offset 0 (the buffered whole-stream path; `b` may be
+    padded, `n` is the real length). Returns (Lanes, state_hot) where
+    state_hot marks mode/phase-dependent bytes (see module docstring).
+
+    Like the CJK lanes, `start` is the resolved event chain (orbit of
+    0); non-start positions carry no meaning. Valid escapes that are
+    not redundant-escape errors produce NO event (start=False there);
+    truncated escapes / dangling leads at the stream end are pending.
+    """
+    cap = b.shape[0]
+    if n is None:
+        n = cap
+    n = jnp.asarray(n, jnp.int32)
+    pre, step, state_hot = iso_pre_lanes(b, n)
+    orbit = _orbit_mask(step, n)
+    start = pre.start & orbit
+    lanes = pre._replace(
+        start=start,
+        valid=pre.valid & orbit,
+        cp=jnp.where(start, pre.cp, -1),
+        pending=pre.pending & orbit,
+    )
     return lanes, state_hot
 
 

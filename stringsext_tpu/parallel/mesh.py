@@ -8,12 +8,24 @@ Design (TPU-native, not a port):
 - The byte stream is sharded over the "data" axis with small halo
   exchange (`jax.lax.ppermute` over ICI): each shard receives the last
   4 bytes of its left neighbor (context so leading continuation bytes /
-  unit parity classify exactly) and the first 8 bytes of its right
-  neighbor (lookahead so trailing multi-byte chars classify exactly).
-  This replaces the reference's sequential decoder-carry
-  (scanner.rs:45-48) with parallel carry-free classification: UTF-8 /
-  UTF-16 validity is locally decidable given <=4 bytes of context on
-  each side.
+  unit parity / straddling ISO escapes classify exactly) and the first
+  8 bytes of its right neighbor (lookahead so trailing multi-byte chars
+  classify exactly). This replaces the reference's sequential
+  decoder-carry (scanner.rs:45-48) with parallel carry-free
+  classification: UTF-8 / UTF-16 validity is locally decidable given
+  <=4 bytes of context on each side.
+- The non-self-synchronizing kinds (Big5 / EUC-JP / EUC-KR / GBK /
+  gb18030 / Shift_JIS and modal ISO-2022-JP) get the SAME data-axis
+  treatment via cross-shard phase composition: each shard locally
+  derives its entry->exit transfer function over a tiny state set (the
+  event-chain entry offset 0..3; for ISO-2022-JP also the decoder mode
+  and redundant-escape flag), the per-shard transfers - a few scalars -
+  are all_gather-ed over the data axis and prefix-composed, and the
+  event-chain orbit then starts from the composed entry phase
+  (ops/classify_cjk._exit_map / ops/classify_iso2022.iso_state_transfer).
+  So EVERY encoding the framework supports rides the device mesh, the
+  parallel-treatment parity of the reference's one-thread-per-mission
+  model (main.rs:151-167).
 - Missions are SPMD over the "mission" axis: every mission-device runs
   the same program and selects its encoding's classification kernel
   with `jax.lax.switch` on `axis_index("mission")` (all kernels produce
@@ -50,6 +62,8 @@ from ..ops.runs import extract_runs, filter_words
 LEFT_CTX = 4  # bytes of left-neighbor context (max char span - 1, parity-safe)
 RIGHT_HALO = 8  # bytes of right-neighbor lookahead
 
+KIND_ISO2022 = "iso-2022-jp"
+
 
 def make_mesh(n_data: int, n_mission: int, devices: Sequence[jax.Device] | None = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -60,17 +74,48 @@ def make_mesh(n_data: int, n_mission: int, devices: Sequence[jax.Device] | None 
     return Mesh(devs, ("data", "mission"))
 
 
-def _kernel_for(kind: str, encoding_name: str):
-    """Classification kernel (chunk, n) -> Lanes for one encoding."""
+def _ones_step(c):
+    return jnp.ones(c.shape[0], jnp.int32)
+
+
+def _pre_kernel_for(kind: str, encoding_name: str):
+    """Orbit-free classification kernel for one encoding:
+    (chunk, n, entry_mode, entry_flag) -> (Lanes, step). The
+    self-synchronizing kinds ignore the entry state and use step==1
+    (their lanes are final as-is; an all-true orbit is the identity).
+    The chain kinds (CJK / ISO-2022-JP) return pre-lanes the caller
+    must AND with the orbit of its composed entry phase."""
+    from ..ops.classify_cjk import CJK_KINDS, cjk_pre_lanes
+    from ..ops.classify_iso2022 import iso_pre_lanes
+
     if kind == KIND_UTF8:
-        return lambda c, n: classify.utf8_lanes(c, n)
+        return lambda c, n, m, f: (classify.utf8_lanes(c, n), _ones_step(c))
     if kind == KIND_UTF16LE:
-        return lambda c, n: classify.utf16_lanes(c, False, n)
+        return lambda c, n, m, f: (
+            classify.utf16_lanes(c, False, n), _ones_step(c))
     if kind == KIND_UTF16BE:
-        return lambda c, n: classify.utf16_lanes(c, True, n)
+        return lambda c, n, m, f: (
+            classify.utf16_lanes(c, True, n), _ones_step(c))
     if kind == KIND_SINGLE_BYTE:
-        return lambda c, n: classify.single_byte_lanes(c, encoding_name, n)
+        return lambda c, n, m, f: (
+            classify.single_byte_lanes(c, encoding_name, n), _ones_step(c))
+    if kind in CJK_KINDS:
+        return lambda c, n, m, f: cjk_pre_lanes(c, kind, n)
+    if kind == KIND_ISO2022:
+        return lambda c, n, m, f: iso_pre_lanes(c, n, m, f, LEFT_CTX)[:2]
     raise NotImplementedError(f"no device kernel for {kind}")
+
+
+def _state_kernel_for(kind: str, shard_len: int):
+    """Per-shard (mode, flag) transfer kernel: (chunk, n) -> int32[2].
+    Only modal ISO-2022-JP carries cross-shard decoder state; every
+    other kind's transfer is the identity (-1, -1)."""
+    from ..ops.classify_iso2022 import iso_state_transfer
+
+    if kind == KIND_ISO2022:
+        return lambda c, n: iso_state_transfer(
+            c, n, LEFT_CTX, LEFT_CTX + shard_len)
+    return lambda c, n: jnp.full(2, -1, jnp.int32)
 
 
 def build_sharded_scan(
@@ -94,20 +139,40 @@ def build_sharded_scan(
     assert 0 < len(missions) <= n_mission
     assert n_data * shard_len < 2**31, "int32 on-device offset rebase"
 
+    from ..ops.classify_cjk import CJK_KINDS, _exit_map, _orbit_mask
+
+    kinds = []
     kernels = []
+    state_kernels = []
     af_list, ubf_list, grep_list = [], [], []
     for m in missions:
         kind = encoding_kind(m.encoding_name)
-        kernels.append(_kernel_for(kind, m.encoding_name))
+        kinds.append(kind)
+        kernels.append(_pre_kernel_for(kind, m.encoding_name))
+        state_kernels.append(_state_kernel_for(kind, shard_len))
         af_w, ubf_w = filter_words(m)
         af_list.append(af_w)
         ubf_list.append(ubf_w)
         grep_list.append(-1 if m.filter.grep_char is None else m.filter.grep_char)
     while len(kernels) < n_mission:  # pad mission axis with replicas
+        kinds.append(kinds[-1])
         kernels.append(kernels[-1])
+        state_kernels.append(state_kernels[-1])
         af_list.append(af_list[-1])
         ubf_list.append(ubf_list[-1])
         grep_list.append(grep_list[-1])
+
+    # Static program shape: the chain kinds (CJK / ISO-2022-JP) are not
+    # self-synchronizing, so their event chain must enter each shard at
+    # the phase the previous shards' decode left it at. Each shard
+    # derives its entry->exit transfer (a function on a tiny state set)
+    # locally, the transfers are all_gather-ed over the data axis (a few
+    # scalars per shard) and prefix-composed; the orbit then starts at
+    # the composed entry. Mission sets of purely self-synchronizing
+    # kinds compile to exactly the collective-free (ppermute-only)
+    # program as before.
+    needs_orbit = any(k in CJK_KINDS or k == KIND_ISO2022 for k in kinds)
+    needs_state = any(k == KIND_ISO2022 for k in kinds)
 
     af_words = jnp.asarray(np.stack(af_list))  # [M, 4] uint32
     ubf_words = jnp.asarray(np.stack(ubf_list))  # [M, 2] uint32
@@ -132,7 +197,55 @@ def build_sharded_scan(
         n_real = jnp.int32(LEFT_CTX + shard_len) + jnp.where(
             di < n_data - 1, RIGHT_HALO, 0
         )
-        lanes = jax.lax.switch(mi, kernels, chunk, n_real)
+        owned_end = LEFT_CTX + shard_len
+
+        # Stage A (modal kinds only): compose the cross-shard decoder
+        # state - ISO-2022-JP (mode, redundant-escape flag) - from the
+        # per-shard transfer monoid. The all_gather moves 2 ints per
+        # shard; the unrolled fold is O(n_data) scalar selects.
+        entry_mode = jnp.int32(0)
+        entry_flag = jnp.int32(-1)
+        if needs_state:
+            st = jax.lax.switch(mi, state_kernels, chunk, n_real)
+            allA = jax.lax.all_gather(st, "data")  # [n_data, 2]
+            m_acc = jnp.int32(0)
+            f_acc = jnp.int32(-1)
+            for k in range(n_data):
+                entry_mode = jnp.where(di == k, m_acc, entry_mode)
+                entry_flag = jnp.where(di == k, f_acc, entry_flag)
+                m_acc = jnp.where(allA[k, 0] >= 0, allA[k, 0], m_acc)
+                f_acc = jnp.where(allA[k, 1] >= 0, allA[k, 1], f_acc)
+
+        # Stage B: orbit-free classification (per-kind via lax.switch;
+        # all kernels produce identically-shaped (Lanes, step)).
+        lanes, step = jax.lax.switch(
+            mi, kernels, chunk, n_real, entry_mode, entry_flag
+        )
+
+        # Stage C (chain kinds only): compose the event-chain entry
+        # offset. Each shard's transfer maps every possible entry
+        # offset (0..3 bytes past its start - max char span 4) to the
+        # exit offset into the next shard, via a pointer-doubling
+        # jump-to-threshold over the step array.
+        if needs_orbit:
+            E = _exit_map(step, owned_end)
+            trans = jnp.clip(
+                jnp.take(E, LEFT_CTX + jnp.arange(4, dtype=jnp.int32))
+                - owned_end, 0, 3,
+            )
+            allT = jax.lax.all_gather(trans, "data")  # [n_data, 4]
+            d_acc = jnp.int32(0)
+            entry_d = jnp.int32(0)
+            for k in range(n_data):
+                entry_d = jnp.where(di == k, d_acc, entry_d)
+                d_acc = jnp.take(allT[k], d_acc)
+            orbit = _orbit_mask(step, n_real, LEFT_CTX + entry_d)
+            lanes = lanes._replace(
+                start=lanes.start & orbit,
+                valid=lanes.valid & orbit,
+                pending=lanes.pending & orbit,
+            )
+
         # Keep only events owned by this shard: start in
         # [LEFT_CTX, LEFT_CTX + shard_len).
         idx = jnp.arange(chunk.shape[0], dtype=jnp.int32)

@@ -21,7 +21,17 @@ rng = np.random.default_rng(7)
 
 
 def _single_runs(data, mission, capacity=1024):
-    lanes = compute_lanes(data, mission.encoding_name)
+    from stringsext_tpu.encodings import encoding_kind
+    from stringsext_tpu.ops.classify_cjk import CJK_KINDS, cjk_lanes
+    from stringsext_tpu.ops.classify_iso2022 import iso2022_lanes
+
+    kind = encoding_kind(mission.encoding_name)
+    if kind in CJK_KINDS:
+        lanes, _multi = cjk_lanes(jnp.asarray(data), kind, len(data))
+    elif kind == "iso-2022-jp":
+        lanes, _hot = iso2022_lanes(jnp.asarray(data), len(data))
+    else:
+        lanes = compute_lanes(data, mission.encoding_name)
     af_w, ubf_w = filter_words(mission)
     g = -1 if mission.filter.grep_char is None else mission.filter.grep_char
     rt = extract_runs(lanes, jnp.asarray(af_w), jnp.asarray(ubf_w), jnp.int32(g),
@@ -75,6 +85,146 @@ def test_sharded_scan_matches_single_device():
             got = _stitch(rows)
             want = _stitch(_single_runs(data, m))
             assert got == want, f"trial {trial} mission {mi} ({m.encoding_name})"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_scan_all_kinds_matches_single_device():
+    """EVERY encoding kind rides the device mesh (VERDICT r4 task 1):
+    the non-self-synchronizing CJK kinds and modal ISO-2022-JP shard
+    over the data axis via cross-shard phase/state composition, and the
+    stitched run tables must equal the single-device scan. Seams are
+    attacked directly: multi-byte chars (incl. gb18030 4-byte forms and
+    EUC-JP 0x8F triples) split at every offset, ISO escapes split at
+    every offset, LEAD mode spanning whole shards, and the
+    redundant-escape flag carried across a seam."""
+    ms = Missions.new(
+        flag_encoding=["shift_jis", "gb18030", "euc-jp", "ISO-2022-JP"]
+    )
+    mesh = make_mesh(2, 4)
+    shard_len = 512
+    scan = build_sharded_scan(ms.v, mesh, shard_len=shard_len, capacity=256)
+
+    def check(data, tag):
+        rt = scan(jnp.asarray(data))
+        cnt = np.asarray(rt.count)
+        st, en, ch, gh = (
+            np.asarray(x) for x in (rt.start, rt.end, rt.chars, rt.grep_hits)
+        )
+        for mi, m in enumerate(ms.v):
+            rows = []
+            for d in range(2):
+                rows.extend(
+                    (int(st[d, mi, k]), int(en[d, mi, k]), int(ch[d, mi, k]),
+                     int(gh[d, mi, k]))
+                    for k in range(int(cnt[d, mi]))
+                )
+            got = _stitch(rows)
+            want = _stitch(_single_runs(data, m))
+            assert got == want, f"{tag} mission {mi} ({m.encoding_name})"
+
+    n = 2 * shard_len
+    for split in (1, 2, 3):  # bytes of the straddler left of the seam
+        data = rng.integers(0, 256, n, np.uint8)
+        sj = "シフトJIS 境界テスト".encode("shift_jis")
+        data[shard_len - split : shard_len - split + len(sj)] = (
+            np.frombuffer(sj, np.uint8))
+        gb = "国标 abc".encode("gb18030") + b"\x90\x30\x81\x30\x81\x30\x81\x30"
+        data[200 : 200 + len(gb)] = np.frombuffer(bytearray(gb), np.uint8)
+        check(data, f"sj-straddle-{split}")
+
+        data = rng.integers(0, 256, n, np.uint8)
+        gb4 = b"ok " + "\U0001F600\U0001F601".encode("gb18030") + b" done"
+        data[shard_len - split : shard_len - split + len(gb4)] = (
+            np.frombuffer(bytearray(gb4), np.uint8))
+        ej = b"\x8f\xa2\xaf\x8f\xa2\xaf" + "日本語".encode("euc_jp")
+        data[shard_len - 300 - split : shard_len - 300 - split + len(ej)] = (
+            np.frombuffer(bytearray(ej), np.uint8))
+        check(data, f"gb4-straddle-{split}")
+
+        # ISO-2022-JP: escape split at the seam; LEAD pair split at the
+        # seam; mode set in shard 0 consumed in shard 1.
+        data = rng.integers(0, 256, n, np.uint8)
+        iso = (b"\x1b$B" + "漢字テスト".encode("iso-2022-jp")[3:-3]
+               + b"\x1b(B ascii")
+        data[shard_len - split : shard_len - split + len(iso)] = (
+            np.frombuffer(bytearray(iso), np.uint8))
+        check(data, f"iso-straddle-{split}")
+
+    # LEAD mode spanning the whole second shard (no escape after seam).
+    data = rng.integers(0, 256, n, np.uint8)
+    body = ("漢" * 300).encode("iso-2022-jp")[3:-3]  # jis0208 pairs only
+    data[shard_len - 100 : shard_len - 100 + len(body)] = np.frombuffer(
+        bytearray(body), np.uint8)
+    data[shard_len - 103 : shard_len - 100] = np.frombuffer(
+        b"\x1b$B", np.uint8)
+    check(data, "iso-lead-spans-shard")
+
+    # Redundant-escape flag across the seam: valid escape ends shard 0,
+    # the very next bytes (shard 1) are another valid escape -> the
+    # redundant-escape error event in shard 1 depends on shard 0 state.
+    data = rng.integers(0, 256, n, np.uint8)
+    data[shard_len - 20 : shard_len - 20 + 14] = np.frombuffer(
+        b"txt\x1b(J\x1b(Bmore\x1b", np.uint8)
+    data[shard_len - 3 : shard_len + 3] = np.frombuffer(
+        b"\x1b(J\x1b(B", np.uint8)
+    check(data, "iso-redundant-across-seam")
+
+    # Dense ASCII-ish corpus: entry deltas stay 0 but every shard is
+    # full of runs (count-path stress).
+    data = np.frombuffer(
+        (b"dense ascii with \x82\xa0 kana " * 64)[:n], np.uint8
+    ).copy()
+    check(data, "dense")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("seed", [21, 22])
+def test_sharded_scan_all_kinds_random(seed):
+    """Property form over an 8-wide data axis: random mission sets
+    drawn from ALL kinds, random corpora with seam-straddling plants on
+    every seam; stitched mesh runs == single-device runs."""
+    r = np.random.default_rng(seed)
+    pool = ["big5", "euc-kr", "gb18030", "shift_jis", "euc-jp",
+            "ISO-2022-JP", "UTF-8", "koi8-r"]
+    encs = list(r.choice(pool, size=2, replace=False))
+    ms = Missions.new(flag_encoding=encs)
+    n_data, shard_len = 4, 256
+    mesh = make_mesh(n_data, 2)
+    scan = build_sharded_scan(ms.v, mesh, shard_len=shard_len, capacity=256)
+
+    n = n_data * shard_len
+    plants = [
+        "香港繁體字測試".encode("big5"),
+        "한국어 테스트".encode("euc-kr"),
+        "\U0001F600四字节 OK".encode("gb18030"),
+        "カタカナ試験".encode("shift_jis"),
+        b"\x8f\xa2\xaf" + "日本".encode("euc_jp"),
+        b"\x1b$B" + "漢字".encode("iso-2022-jp")[3:-3] + b"\x1b(B!",
+        "déjà vu €".encode(),
+    ]
+    for trial in range(3):
+        data = r.integers(0, 256, n, np.uint8)
+        for d in range(1, n_data):
+            t = plants[(d + trial + seed) % len(plants)]
+            off = d * shard_len - int(r.integers(1, len(t)))
+            data[off : off + len(t)] = np.frombuffer(bytearray(t), np.uint8)
+        rt = scan(jnp.asarray(data))
+        cnt = np.asarray(rt.count)
+        st, en, ch, gh = (
+            np.asarray(x) for x in (rt.start, rt.end, rt.chars, rt.grep_hits)
+        )
+        for mi, m in enumerate(ms.v):
+            rows = []
+            for d in range(n_data):
+                rows.extend(
+                    (int(st[d, mi, k]), int(en[d, mi, k]), int(ch[d, mi, k]),
+                     int(gh[d, mi, k]))
+                    for k in range(int(cnt[d, mi]))
+                )
+            got = _stitch(rows)
+            want = _stitch(_single_runs(data, m))
+            assert got == want, (
+                f"seed {seed} trial {trial} mission {mi} ({m.encoding_name})")
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
