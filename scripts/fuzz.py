@@ -183,10 +183,10 @@ def main():
         # otherwise never engage under fuzz (the 2-core default picks
         # the fused merge; the feed is opt-in).
         os.environ["STRINGSEXT_MERGE_WORKERS"] = ("1", "4")[trials % 2]
-        if trials % 3 == 0:
-            os.environ["STRINGSEXT_RUNTABLE_FEED"] = "1"
-        else:
-            os.environ.pop("STRINGSEXT_RUNTABLE_FEED", None)
+        # The feed defaults ON under engine=tpu now; set it explicitly
+        # both ways so feed and hot-map paths stay fuzzed.
+        os.environ["STRINGSEXT_RUNTABLE_FEED"] = (
+            "1" if trials % 3 == 0 else "0")
         argv = random_config(rng)
         blob = random_corpus(rng, nprng)
         nfiles = rng.randint(1, 3)

@@ -11,8 +11,6 @@ import argparse
 import sys
 from typing import List, Optional
 
-from .help import help_and_maybe_exit
-from .mission import MissionError
 from .options import Args, Radix
 
 
@@ -71,8 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
         "variable of the same name overrides each flag when set")
     ext.add_argument("--engine", dest="engine",
                      choices=["auto", "tpu", "python"],
-                     help="scan engine: auto (native C++), tpu (device "
-                          "hot-map kernels + native emitter), python "
+                     help="scan engine: auto (native C++; promotes itself "
+                          "to tpu when the cached accelerator-link probe "
+                          "finds a co-located device), tpu (device run-"
+                          "table feed + native emitter), python "
                           "(pure-python oracle); default auto")
     ext.add_argument("--checkpoint", dest="checkpoint", metavar="FILE",
                      help="checkpoint scan state to FILE after every chunk "
@@ -91,7 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     ext.add_argument("--host-hotmap", dest="host_hotmap",
                      action="store_true",
                      help="enable the numpy host hot-map prepass for "
-                          "engine=auto (window skipping without a device)")
+                          "engine=auto (window skipping without a device; "
+                          "segment-parallel scanning engages by default "
+                          "without it)")
     ext.add_argument("--dist-nprocs", dest="dist_nprocs", metavar="N",
                      help="distributed scan: total number of processes "
                           "(run the same command on every host with "
@@ -143,6 +145,19 @@ def parse_args(argv: Optional[List[str]] = None) -> Args:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_args(argv)
+    if args.version:
+        # Fast path: -V answers from this module alone (no numpy /
+        # mission-table imports) - the reference is a static binary
+        # that starts in milliseconds (help.rs:17-20).
+        from . import AUTHOR, __version__
+
+        print(f"Version {__version__}, {AUTHOR}")
+        return 0
+    # Heavy imports (numpy via mission/encodings) stay off the -V path;
+    # jax is imported by NO scan path (only engine=tpu device passes).
+    from .help import help_and_maybe_exit
+    from .mission import MissionError
+
     try:
         if help_and_maybe_exit(args):
             return 0

@@ -520,8 +520,9 @@ def scan_shard(inputs, spans, missions, sl, r0: int, r1: int,
         }
 
     runtable_feeds = {}
-    if (engine == "tpu" and len(data)
-            and os.environ.get("STRINGSEXT_RUNTABLE_FEED") == "1"):
+    from ..run import _feed_enabled
+
+    if engine == "tpu" and len(data) and _feed_enabled():
         # Per-shard device run-table feed: the shard base is a true
         # event start for every mission (the windowed boundary search
         # guarantees it), so the chunk-feed builder applies directly

@@ -16,6 +16,13 @@ from stringsext_tpu.mission import Missions
 from stringsext_tpu.ops.pallas_swar import cjk_hot_spec
 from stringsext_tpu.run import _scan_arrays
 
+
+@pytest.fixture(autouse=True)
+def _hot_map_path(monkeypatch):
+    """These tests target the hot/cold-map machinery; the run-table
+    feed (default-on under engine=tpu) would bypass it."""
+    monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "0")
+
 CJK = [
     ("euc-kr", "euc-kr", "안녕하세요 세계의 문자열"),
     ("shift_jis", "Shift_JIS", "こんにちは世界のテスト"),

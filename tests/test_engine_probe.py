@@ -1,0 +1,255 @@
+"""engine=auto accelerator probe + host hot-map auto-enable.
+
+The TPU-first execution model is the DEFAULT: engine=auto promotes
+itself to the device path when a one-shot cached link probe says the
+accelerator is co-located (VERDICT r4 task 2), and the host prepass
+auto-engages when idle cores could run extra scan segments (task 5).
+These tests pin the decision logic without touching a device.
+"""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from stringsext_tpu import run as R
+from stringsext_tpu.cli import parse_args
+
+
+def test_probe_verdict_thresholds():
+    # co-located: multi-GB/s link, sub-ms dispatch
+    assert R._probe_verdict(10e9, 0.001)
+    assert R._probe_verdict(R._PROBE_BW_MIN, R._PROBE_LAT_MAX)
+    # tunneled/remote: slow link or high latency fails either gate
+    assert not R._probe_verdict(100e6, 0.001)
+    assert not R._probe_verdict(10e9, 1.5)
+    assert not R._probe_verdict(50e6, 2.0)
+
+
+def test_auto_engine_disabled_by_env(monkeypatch, tmp_path):
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "0")
+    monkeypatch.setattr(R, "_measure_device_link",
+                        lambda: pytest.fail("must not measure"))
+    assert R._auto_engine() == "auto"
+
+
+def test_auto_engine_honors_cached_verdict(monkeypatch, tmp_path):
+    cache = tmp_path / "probe.json"
+    monkeypatch.setenv("STRINGSEXT_PROBE_CACHE", str(cache))
+    monkeypatch.delenv("STRINGSEXT_DEVICE_PROBE", raising=False)
+    monkeypatch.setattr(R, "_measure_device_link",
+                        lambda: pytest.fail("cached verdict must win"))
+    cache.write_text(json.dumps({"verdict": "tpu"}))
+    assert R._auto_engine() == "tpu"
+    cache.write_text(json.dumps({"verdict": "auto"}))
+    assert R._auto_engine() == "auto"
+
+
+def test_auto_engine_skips_probe_without_accel_signals(monkeypatch, tmp_path):
+    monkeypatch.setenv("STRINGSEXT_PROBE_CACHE",
+                       str(tmp_path / "none.json"))
+    monkeypatch.delenv("STRINGSEXT_DEVICE_PROBE", raising=False)
+    monkeypatch.setattr(R, "_accel_plausible", lambda: False)
+    monkeypatch.setattr(R, "_measure_device_link",
+                        lambda: pytest.fail("no signals -> no probe"))
+    assert R._auto_engine() == "auto"
+    # and no cache entry is written for the skipped probe
+    assert not (tmp_path / "none.json").exists()
+
+
+def test_auto_engine_probe_and_cache_roundtrip(monkeypatch, tmp_path):
+    cache = tmp_path / "probe.json"
+    monkeypatch.setenv("STRINGSEXT_PROBE_CACHE", str(cache))
+    calls = []
+
+    def fake_measure():
+        calls.append(1)
+        return {"bw_bytes_s": 12e9, "rt_lat_s": 0.0004, "device": "FakeTPU"}
+
+    monkeypatch.setattr(R, "_measure_device_link", fake_measure)
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "1")  # force measure
+    assert R._auto_engine() == "tpu"
+    assert len(calls) == 1
+    doc = json.loads(cache.read_text())
+    assert doc["verdict"] == "tpu" and doc["device"] == "FakeTPU"
+    # second call: cached, no re-measure
+    monkeypatch.delenv("STRINGSEXT_DEVICE_PROBE")
+    assert R._auto_engine() == "tpu"
+    assert len(calls) == 1
+
+
+def test_auto_engine_probe_error_caches_host_verdict(monkeypatch, tmp_path):
+    cache = tmp_path / "probe.json"
+    monkeypatch.setenv("STRINGSEXT_PROBE_CACHE", str(cache))
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "1")
+    monkeypatch.setattr(
+        R, "_measure_device_link",
+        lambda: {"error": "probe timed out after 30s"})
+    assert R._auto_engine() == "auto"
+    doc = json.loads(cache.read_text())
+    assert doc["verdict"] == "auto" and "timed out" in doc["reason"]
+
+
+def _probe_corpus(n=6 << 20, seed=9):
+    """Random binary with zero gaps near the balance points + plants."""
+    rng = np.random.default_rng(seed)
+    blob = bytearray(rng.integers(0, 256, n, np.uint8).tobytes())
+    for frac in (0.25, 0.5, 0.75):
+        c = int(n * frac)
+        blob[c - 40_000 : c + 40_000] = b"\x00" * 80_000
+    plants = [
+        (100_000, "first cluster déjà €uro".encode()),
+        (int(n * 0.5) + 40_100, "post-gap +finding".encode()),
+        (int(n * 0.6) & ~1, "wide Кириллица".encode("utf-16-le")),
+        (n - 2_000, "tail finding at stream end".encode()),
+    ]
+    for off, m in plants:
+        blob[off : off + len(m)] = m
+    return bytes(blob)
+
+
+def test_probe_segmentation_identity(monkeypatch, tmp_path):
+    """Default probe-split segmentation (no hot maps) must be invisible
+    in the output and actually engage (splits found near targets)."""
+    blob = _probe_corpus()
+    p = tmp_path / "probe.bin"
+    p.write_bytes(blob)
+    argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", str(p)]
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "0")
+    monkeypatch.delenv("STRINGSEXT_HOST_HOTMAP", raising=False)
+
+    outs = {}
+    for tag, seg, probe in (("ref", 1, "0"), ("off", 4, "0"),
+                            ("probe", 4, "1")):
+        monkeypatch.setattr(R, "_SEGMENT_MAX", seg)
+        monkeypatch.setenv("STRINGSEXT_SEGMENT_PROBE", probe)
+        buf = io.BytesIO()
+        assert R.run(parse_args(argv), out=buf, engine="auto") == 0
+        outs[tag] = buf.getvalue()
+    assert outs["probe"] == outs["off"] == outs["ref"]
+    assert b"+finding" in outs["probe"]
+    assert "Кириллица".encode() in outs["probe"]
+
+    # engagement check: the splitter finds cold rows near the targets
+    from stringsext_tpu.input import LoadedStream, slice_table
+    from stringsext_tpu.mission import Missions
+
+    data = np.frombuffer(blob, np.uint8)
+    sl = slice_table(LoadedStream(data, [(None, 0, len(data))]))
+    ms = Missions.new(flag_encoding=["UTF-8"])
+    rows = R._probe_segment_rows(data, sl, ms.v[0], "utf8", 128, 4)
+    assert len(rows) == 3
+    for r, frac in zip(rows, (0.25, 0.5, 0.75)):
+        assert abs(int(sl[0][r]) - len(blob) * frac) < 60_000
+
+
+def test_probe_segmentation_dense_finds_nothing(monkeypatch):
+    """On a gap-free random stream the bounded probe gives up without
+    touching the whole input - no splits, no behavior change."""
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 5 << 20, dtype=np.uint8)
+    from stringsext_tpu.input import LoadedStream, slice_table
+    from stringsext_tpu.mission import Missions
+
+    sl = slice_table(LoadedStream(data, [(None, 0, len(data))]))
+    ms = Missions.new(flag_encoding=["UTF-8"])
+    assert R._probe_segment_rows(data, sl, ms.v[0], "utf8", 128, 4) == []
+
+
+def test_probe_segmentation_cjk_and_utf16_guards(monkeypatch, tmp_path):
+    """Probe splits for the non-self-synchronizing kinds keep the
+    alignment proofs: identity for shift_jis + utf-16be missions with
+    seam-adjacent plants."""
+    rng = np.random.default_rng(11)
+    n = 5 << 20
+    blob = bytearray(rng.integers(0, 256, n, np.uint8).tobytes())
+    for frac in (1 / 3, 2 / 3):
+        c = int(n * frac)
+        blob[c - 30_000 : c + 30_000] = b"\x00" * 60_000
+    for off, m in (
+        # \x00 ground byte: a preceding random SJIS lead byte must not
+        # pair with the plant's first byte and shift the decode
+        (int(n / 3) + 30_100, b"\x00" + "シフトJIS 文字列".encode("shift_jis")),
+        ((int(n * 2 / 3) + 30_000) & ~1, "ΒΕ δεκαέξι".encode("utf-16-be")),
+        (n - 3_000, b"\x00" + "tail 終わり".encode("shift_jis")),
+    ):
+        blob[off : off + len(m)] = m
+    p = tmp_path / "cjk.bin"
+    p.write_bytes(bytes(blob))
+    # NB: "-u All" prefix-resolves to All-Asian (reference list order,
+    # mission.rs:170-175) - Asian is the one that keeps kana/kanji.
+    argv = ["-t", "d", "-u", "Asian", "-e", "shift_jis", "-e", "utf-16be",
+            str(p)]
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "0")
+
+    outs = {}
+    for tag, seg in (("ref", 1), ("seg", 3)):
+        monkeypatch.setattr(R, "_SEGMENT_MAX", seg)
+        buf = io.BytesIO()
+        assert R.run(parse_args(argv), out=buf, engine="auto") == 0
+        outs[tag] = buf.getvalue()
+    assert outs["seg"] == outs["ref"]
+    assert "文字列".encode() in outs["seg"]
+
+
+def test_run_resolves_auto_via_probe(monkeypatch, tmp_path):
+    """run(engine='auto') consults _auto_engine; a cached 'tpu' verdict
+    routes the scan through the device path (on the CPU test backend
+    the kernels run in interpret mode - output must stay identical)."""
+    cache = tmp_path / "probe.json"
+    cache.write_text(json.dumps({"verdict": "tpu"}))
+    monkeypatch.setenv("STRINGSEXT_PROBE_CACHE", str(cache))
+    monkeypatch.delenv("STRINGSEXT_DEVICE_PROBE", raising=False)
+
+    blob = bytearray(np.random.default_rng(4).integers(
+        0, 256, 100_000, np.uint8).tobytes())
+    blob[30_000:30_030] = b"probe routing finding here \xe2\x82\xac"
+    p = tmp_path / "in.bin"
+    p.write_bytes(bytes(blob))
+    argv = ["-t", "x", "-e", "UTF-8", str(p)]
+
+    seen = []
+    orig = R._scan_arrays
+
+    def spy(stream, missions, engine, **kw):
+        seen.append(engine)
+        return orig(stream, missions, engine, **kw)
+
+    monkeypatch.setattr(R, "_scan_arrays", spy)
+    buf = io.BytesIO()
+    assert R.run(parse_args(argv), out=buf, engine="auto") == 0
+    assert seen == ["tpu"]
+    want = buf.getvalue()
+
+    # with the device path pinned off, output is byte-identical
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "0")
+    buf2 = io.BytesIO()
+    assert R.run(parse_args(argv), out=buf2, engine="auto") == 0
+    assert buf2.getvalue() == want
+
+
+def test_probe_vs_forced_hotmap_identity(monkeypatch, tmp_path):
+    """Probe segmentation (default) and the forced full-prepass hot
+    maps must agree byte-for-byte on a sparse stream."""
+    rng = np.random.default_rng(9)
+    blob = bytearray(rng.integers(0, 256, 6 << 20, np.uint8).tobytes())
+    blob[1_000_000:5_000_000] = b"\x00" * 4_000_000
+    blob[2_000_000:2_000_024] = b"sparse hot cluster here!"
+    p = tmp_path / "auto.bin"
+    p.write_bytes(bytes(blob))
+    argv = ["-t", "x", "-e", "ascii", str(p)]
+
+    monkeypatch.setattr(R, "_SEGMENT_MAX", 4)
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "0")
+    outs = {}
+    for hm in ("", "0", "1"):
+        if hm:
+            monkeypatch.setenv("STRINGSEXT_HOST_HOTMAP", hm)
+        else:
+            monkeypatch.delenv("STRINGSEXT_HOST_HOTMAP", raising=False)
+        buf = io.BytesIO()
+        assert R.run(parse_args(argv), out=buf, engine="auto") == 0
+        outs[hm] = buf.getvalue()
+    assert outs[""] == outs["0"] == outs["1"]
+    assert b"sparse hot cluster here!" in outs[""]

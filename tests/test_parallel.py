@@ -345,6 +345,7 @@ def test_engine_tpu_hot_group_sizes(monkeypatch, tmp_path):
     argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-e", "utf-16be",
             "-e", "koi8-r", "-e", "windows-1252", "-e", "shift_jis",
             "-e", "euc-kr", str(p)]
+    monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "0")  # hot-map path
     buf = io.BytesIO()
     run(parse_args(argv), out=buf, engine="auto")
     want = buf.getvalue()
@@ -376,6 +377,7 @@ def test_engine_tpu_mesh_hot_path(monkeypatch, tmp_path):
 
     argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-e", "euc-kr",
             str(p)]
+    monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "0")  # hot-map path
     outs = {}
     for mesh_mode in ("0", "1"):
         monkeypatch.setenv("STRINGSEXT_MESH", mesh_mode)

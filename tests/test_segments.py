@@ -15,6 +15,14 @@ from stringsext_tpu.cli import parse_args
 rng = np.random.default_rng(17)
 
 
+@pytest.fixture(autouse=True)
+def _hot_map_path(monkeypatch):
+    """These tests target segment-parallel scanning, which requires the
+    hot-map path; the run-table feed (default-on under engine=tpu)
+    keeps feed missions unsegmented."""
+    monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "0")
+
+
 def _run(argv, engine, monkeypatch, max_seg):
     monkeypatch.setattr(R, "_SEGMENT_MAX", max_seg)
     buf = io.BytesIO()

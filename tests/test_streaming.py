@@ -117,10 +117,12 @@ def test_streaming_iso2022_mode_across_chunks(tmp_path):
 
 
 @pytest.mark.parametrize("chunk", [8192, 65536])
-def test_streaming_tpu_engine_hot_maps(chunk, tmp_path):
+def test_streaming_tpu_engine_hot_maps(chunk, tmp_path, monkeypatch):
     """engine=tpu streaming computes per-chunk device hot maps
     (buffer-relative window skipping with carried state) - output must
-    still equal the buffered scan."""
+    still equal the buffered scan. (Feed pinned off: this targets the
+    hot-map path; the per-chunk feed has its own streaming tests.)"""
+    monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "0")
     blob = _corpus()
     argv = ["-t", "x", "-e", "UTF-8", "-e", "utf-16le", "-e", "euc-kr",
             "-e", "iso-2022-jp"]
@@ -133,7 +135,7 @@ def test_streaming_tpu_engine_hot_maps(chunk, tmp_path):
     assert buf.getvalue() == want
 
 
-def test_streaming_tpu_odd_carry_utf16_phase(tmp_path):
+def test_streaming_tpu_odd_carry_utf16_phase(tmp_path, monkeypatch):
     """Streaming engine=tpu with a mission mix that leaves an ODD
     unconsumed-tail length (Shift_JIS cursor parked at a pending pair
     lead on the chunk edge) must keep the UTF-16 unit phase: the chunk
@@ -141,6 +143,7 @@ def test_streaming_tpu_odd_carry_utf16_phase(tmp_path):
     emitter's skip-resume alignment must not pair units off-phase
     (fuzz 987654 trials 696/2884: a bogus off-phase finding appeared
     and a real one vanished after cold-window skips)."""
+    monkeypatch.setenv("STRINGSEXT_RUNTABLE_FEED", "0")  # hot-map path
     import io
 
     from stringsext_tpu.cli import parse_args
