@@ -37,6 +37,15 @@ int main(int argc, char** argv) {
     std::vector<int32_t> table256(256);
     if (kind == "utf8") sm.kind = 0;
     else if (kind == "utf16le") sm.kind = 1;
+    else if (kind == "ascii") {
+        // the ascii mission: x-user-defined table + default AF
+        sm.kind = 3;
+        for (int i = 0; i < 256; i++)
+            table256[i] = i < 0x80 ? i : 0xF780 + i - 0x80;
+        sm.ubf = 0;  // ascii emulation rejects all multibyte
+        sm.line_max = 64;
+        sm.table256 = table256.data();
+    }
     else {
         sm.kind = 3;
         for (int i = 0; i < 256; i++) table256[i] = i < 0xA0 ? i : -1;
@@ -61,6 +70,8 @@ int main(int argc, char** argv) {
                       fids.data(), last.data(), nsl, &sm,
                       nullptr, nullptr, nullptr, 0,
                       nullptr, nullptr, 0,
+                      nullptr, nullptr, nullptr, nullptr, nullptr,
+                      nullptr, 0,
                       &cnt, &pos, &prec, &comp, &fid, &soff, &slen,
                       &sbuf, &sblen);
     printf("findings: %lld strbuf: %lld\n", (long long)cnt, (long long)sblen);
