@@ -89,6 +89,44 @@ def main():
         )
         n_data *= 2
 
+    # All-kinds sweep: the chain kinds (CJK + modal ISO-2022-JP) add
+    # the cross-shard phase/state composition (two O(n_data)-scalar
+    # all_gathers + pointer-doubling orbits) - this sweep records its
+    # scaling shape next to the self-synchronizing sweep above.
+    missions_ck = Missions.new(
+        flag_encoding=["shift_jis", "gb18030", "ISO-2022-JP", "UTF-8"]
+    )
+    results_ck = {}
+    n_data = 1
+    while n_data <= max_data:
+        mesh = make_mesh(n_data, n_mission)
+        scan = build_sharded_scan(
+            missions_ck.v[:n_mission], mesh, shard_len=shard_len,
+            capacity=4096,
+        )
+        data = rng.integers(0, 256, size=n_data * shard_len, dtype=np.uint8)
+        dev = jnp.asarray(data)
+
+        def chk2(rt):
+            return int(rt.count.sum())
+
+        chk2(scan(dev))
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            chk2(scan(dev))
+            best = min(best, time.perf_counter() - t0)
+        gbps = len(data) / best / 1e9
+        results_ck[n_data] = gbps
+        eff = (gbps / (results_ck[1] * n_data) * 100
+               if 1 in results_ck else 100.0)
+        print(
+            f"all-kinds data-shards={n_data:2d} "
+            f"(devices={n_data * n_mission:2d}): {gbps:7.3f} GB/s  "
+            f"weak-scaling efficiency {eff:5.1f}%"
+        )
+        n_data *= 2
+
     # Weak-scale the fused flagship SWAR counts kernel too (the
     # production engine=tpu hot-map pass; data-axis only - missions are
     # fused in-register). Recorded in MESH_SCALING.json: with fixed
@@ -253,6 +291,16 @@ def main():
             f"(plus ICI latency) applies."
         ),
         "weak_scaling": weak_sweep,
+        "all_kinds_scan_weak_gbps": {
+            str(k): round(v, 4) for k, v in results_ck.items()
+        },
+        "all_kinds_note": (
+            "shift_jis+gb18030+ISO-2022-JP+UTF-8 mission set through "
+            "build_sharded_scan: the chain kinds add two "
+            "O(n_data)-scalar all_gathers + pointer-doubling orbits "
+            "per pass (parallel/mesh.py stages A-C); compare with the "
+            "self-synchronizing scan sweep for the overhead shape"
+        ),
         "comm_model": (
             "per pass each data-shard ppermutes HALO_ROWS=8 512-byte "
             "rows to each neighbor (2*8*512 = 8 KiB per shard per "
