@@ -44,6 +44,9 @@ asan-fuzz:
 	  python scripts/fuzz.py 600; \
 	status=$$?; $(MAKE) clean native; exit $$status
 
+packages:
+	python scripts/build_packages.py
+
 man: docs/stringsext-tpu.1
 
 docs/stringsext-tpu.1: docs/MANUAL.md scripts/make_man.py
@@ -52,4 +55,4 @@ docs/stringsext-tpu.1: docs/MANUAL.md scripts/make_man.py
 clean:
 	rm -f stringsext_tpu/native/libemitter.so
 
-.PHONY: native test bench bench-suite fuzz asan-fuzz man clean
+.PHONY: native test bench bench-suite fuzz asan-fuzz man packages clean

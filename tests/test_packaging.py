@@ -111,3 +111,31 @@ def test_no_toolchain_no_prebuilt_warns_loudly(tmp_path, monkeypatch):
     nat._lib = None
     nat._lib_tried = False
     importlib.reload(nat)
+
+@pytest.mark.skipif(shutil.which("dpkg-deb") is None, reason="no dpkg-deb")
+@pytest.mark.skipif(not _have_pip(), reason="no pip")
+def test_build_packages_deb(tmp_path):
+    """scripts/build_packages.py produces an installable-shaped .deb
+    (the analog of the reference's scripts/15-build-packages): wheel
+    contents under dist-packages, a /usr/bin/stringsext launcher, the
+    gzipped man page, and sane control metadata."""
+    p = subprocess.run(
+        [sys.executable, "scripts/build_packages.py", str(tmp_path)],
+        cwd=REPO, capture_output=True, text=True, timeout=360,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    debs = list(tmp_path.glob("stringsext-tpu_*_amd64.deb"))
+    assert len(debs) == 1, list(tmp_path.iterdir())
+    toc = subprocess.run(["dpkg-deb", "-c", str(debs[0])],
+                         capture_output=True, text=True, check=True).stdout
+    for want in (
+        "./usr/bin/stringsext",
+        "dist-packages/stringsext_tpu/cli.py",
+        "dist-packages/stringsext_tpu/native/libemitter-generic.so",
+        "./usr/share/man/man1/stringsext.1.gz",
+    ):
+        assert want in toc, f"{want} missing from deb"
+    info = subprocess.run(["dpkg-deb", "-I", str(debs[0])],
+                          capture_output=True, text=True, check=True).stdout
+    assert "Package: stringsext-tpu" in info
+    assert "Architecture: amd64" in info
