@@ -205,6 +205,11 @@ def main():
             # and toggle the opt-in host-side hot-map prepass so its
             # skip/segmentation machinery is fuzzed too.
             run_mod._SEGMENT_MAX = rng.choice([1, 2, 3, 5, 8])
+            # Trial-counter-derived (no rng draw): drop the probe
+            # segmentation size floor on odd trials so the default
+            # probe-split path (buffered AND per-streaming-chunk) gets
+            # fuzzed on these small corpora.
+            run_mod._SEGMENT_PROBE_MIN = (1, 4 << 20)[trials % 2]
             os.environ["STRINGSEXT_HOST_HOTMAP"] = rng.choice(["0", "1"])
             # STRINGSEXT_FUZZ_ENGINES=python,auto -> ASan mode: skip
             # every jax-tracing path (ASan's __cxa_throw interceptor

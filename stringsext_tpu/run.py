@@ -1731,13 +1731,91 @@ def _run_streaming_stdin(
                     chunk_stream, swar_jobs, pad_to=chunk_bytes + 4096
                 ))
 
+        # Probe-split segmentation WITHIN a chunk (the streaming twin
+        # of the buffered default): a huge single-mission stream
+        # otherwise scans sequentially while cores idle. Segment 0
+        # enters with the mission's carried state; later segments
+        # enter at provably-quiescent cold rows in the FRESH state
+        # (same probe + guards as the buffered path; ISO entry modes
+        # composed from the escape history), scan concurrently, and
+        # the LAST segment's exit state becomes the carried state.
+        from .encodings import encoding_kind as _ekind
+
+        max_seg = _SEGMENT_MAX or (os.cpu_count() or 1)
+        seg_bounds = {}  # i -> (bounds_rows, entry_modes)
+        if (max_seg > 1 and len(data) >= _SEGMENT_PROBE_MIN
+                and os.environ.get("STRINGSEXT_SEGMENT_PROBE", "1") != "0"):
+            for i, m in enumerate(missions.v):
+                if i in runtable_feeds or hot_by_mission.get(i) is not None:
+                    continue
+                kind = _ekind(m.encoding_name)
+                if not (kind in _SEGMENT_KINDS
+                        or kind in _SEGMENT_KINDS_CJK
+                        or kind == "iso-2022-jp"):
+                    continue
+                splits = _probe_segment_rows(
+                    data, sl, m, kind, 2 * m.output_line_char_nb_max,
+                    max_seg,
+                )
+                if not splits:
+                    continue
+                bounds = [0] + splits + [len(sl[0])]
+                entry_modes = [int(states[i].get("dec_mode", 0))] * (
+                    len(bounds) - 1)
+                if kind == "iso-2022-jp":
+                    from .parallel.distributed import _iso_mode_transfer
+
+                    mode = entry_modes[0]
+                    for si, (r0, r1) in enumerate(
+                        zip(bounds[:-1], bounds[1:])
+                    ):
+                        entry_modes[si] = mode
+                        lo = int(sl[0][r0])
+                        hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
+                        t = _iso_mode_transfer(data[lo:hi])
+                        if t >= 0:
+                            mode = t
+                seg_bounds[i] = (bounds, entry_modes)
+
         def job(i, m):
-            return i, native.native_scan(
-                m, data, *sl, state=states[i],
-                hot_ranges=hot_by_mission.get(i),
-                input_refs=use_input_refs,
-                runtable_feed=runtable_feeds.get(i),
-            )
+            if i not in seg_bounds:
+                return i, [native.native_scan(
+                    m, data, *sl, state=states[i],
+                    hot_ranges=hot_by_mission.get(i),
+                    input_refs=use_input_refs,
+                    runtable_feed=runtable_feeds.get(i),
+                )], None
+            bounds, entry_modes = seg_bounds[i]
+            base = states[i]
+            c0 = int(base["cursor"])
+            k0 = int(base["consumed"])
+            seg_states = [base]
+            for si in range(1, len(bounds) - 1):
+                s_off = int(sl[0][bounds[si]])
+                seg_states.append({
+                    "consumed": k0 + (s_off - c0),
+                    "cursor": s_off,
+                    "printed_maybe_cut": False,
+                    "dec_mode": entry_modes[si],
+                    "dec_output_flag": False,
+                    "leftover_cps": [],
+                })
+
+            def seg_job(si):
+                r0, r1 = bounds[si], bounds[si + 1]
+                ssl = tuple(a[r0:r1] for a in sl)
+                return native.native_scan(
+                    m, data, *ssl, state=seg_states[si],
+                )
+
+            with ThreadPoolExecutor(
+                max_workers=len(seg_states)
+            ) as sx:
+                parts = list(sx.map(seg_job, range(len(seg_states))))
+            # the last segment's exit state is the sequential exit
+            # state (quiescent entries are exact)
+            states[i] = seg_states[-1]
+            return i, parts, "seg"
 
         futs = [pool.submit(job, i, m) for i, m in enumerate(missions.v)]
         return chunk_end, is_final, data, futs, next_rd
@@ -1754,13 +1832,28 @@ def _run_streaming_stdin(
             # (reports only the NON-overlapped scan residual once the
             # pipeline is warm)
             for f in futs:
-                i, (res, sb) = f.result()
-                # 4th element: the chunk buffer SE_INREF offsets point
-                # into (None when input_refs is off)
-                results[i] = (
-                    missions.v[i], res, sb,
-                    data if use_input_refs else None,
-                )
+                i, parts, seg = f.result()
+                if seg is None:
+                    res, sb = parts[0]
+                    # 4th element: the chunk buffer SE_INREF offsets
+                    # point into (None when input_refs is off)
+                    ib = data if use_input_refs else None
+                else:
+                    # probe-split segments: concat columns, rebase
+                    # str_off into the joined strbuf (which is why
+                    # SE_INREF is off for segmented missions)
+                    sb = b"".join(p[1] for p in parts)
+                    off = 0
+                    cols = {k: [] for k in parts[0][0]}
+                    for res_p, psb in parts:
+                        for k, v in res_p.items():
+                            if k == "str_off":
+                                v = v + np.uint64(off)
+                            cols[k].append(v)
+                        off += len(psb)
+                    res = {k: np.concatenate(v) for k, v in cols.items()}
+                    ib = None
+                results[i] = (missions.v[i], res, sb, ib)
 
         consumed_now = [int(st["consumed"]) for st in states]
 

@@ -302,3 +302,98 @@ def test_probe_segmentation_multifile_identity(monkeypatch, tmp_path):
         outs[tag] = buf.getvalue()
     assert outs["seg"] == outs["un"] == outs["oracle"]
     assert b"cross-file finding" in outs["seg"]
+
+
+def _streaming_out(blob, argv, chunk, monkeypatch, max_seg, probe="1",
+                   ck=None):
+    from stringsext_tpu.mission import Missions
+    from stringsext_tpu.run import _run_streaming_stdin
+
+    monkeypatch.setattr(R, "_SEGMENT_MAX", max_seg)
+    monkeypatch.setenv("STRINGSEXT_SEGMENT_PROBE", probe)
+    args = parse_args(argv + ["-"])
+    ms = Missions.from_args(args)
+    buf = io.BytesIO()
+    _run_streaming_stdin(args, ms, buf, src=io.BytesIO(blob),
+                         chunk_bytes=chunk, engine="auto",
+                         checkpoint_path=ck)
+    return buf.getvalue()
+
+
+def test_streaming_probe_segmentation_identity(monkeypatch, tmp_path):
+    """Probe-split segmentation WITHIN streaming chunks: a huge
+    single-mission stream uses every idle core, byte-identically -
+    across multiple chunks (carried state flows through the LAST
+    segment), for UTF-8 + Shift_JIS + ISO-2022-JP missions with
+    seam-adjacent plants in every chunk."""
+    rng = np.random.default_rng(23)
+    chunk = 8 << 20
+    n = 20 << 20  # 3 chunks (last short)
+    blob = bytearray(rng.integers(0, 256, n, np.uint8).tobytes())
+    for c in range(1 << 20, n - (1 << 20), 2 << 20):
+        blob[c : c + 300_000] = b"\x00" * 300_000
+    plants = [
+        "stream déjà €uro".encode(),
+        b"\x00" + "ストリーム分割".encode("shift_jis"),
+        b"\x1b$B" + "漢字".encode("iso-2022-jp")[3:-3] + b"\x1b(Bok",
+    ]
+    for k, off in enumerate(range(1 << 20, n - 4096, 1 << 20)):
+        t = plants[k % len(plants)]
+        blob[off + 300_100 : off + 300_100 + len(t)] = t
+    # a plant RIGHT AT each chunk boundary (carry interplay)
+    for b in (chunk, 2 * chunk):
+        t = b"\x00boundary +carry finding\x00"
+        blob[b - 11 : b - 11 + len(t)] = t
+    blob = bytes(blob)
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "0")
+    argv = ["-t", "x", "-u", "Asian", "-e", "UTF-8", "-e", "shift_jis",
+            "-e", "ISO-2022-JP"]
+
+    un = _streaming_out(blob, argv, chunk, monkeypatch, 1)
+    found = []
+    orig_probe = R._probe_segment_rows
+
+    def spy(*a, **k):
+        r = orig_probe(*a, **k)
+        found.append(len(r))
+        return r
+
+    monkeypatch.setattr(R, "_probe_segment_rows", spy)
+    seg = _streaming_out(blob, argv, chunk, monkeypatch, 4)
+    monkeypatch.setattr(R, "_probe_segment_rows", orig_probe)
+    assert found and max(found) > 0  # segmentation actually engaged
+    off = _streaming_out(blob, argv, chunk, monkeypatch, 4, probe="0")
+    assert seg == un == off
+    assert b"boundary +carry finding" in seg
+    assert "ストリーム分割".encode() in seg
+
+    # buffered path agrees too (the streaming-vs-buffered invariant)
+    from stringsext_tpu.run import run
+
+    p = tmp_path / "s.bin"
+    p.write_bytes(blob)
+    monkeypatch.setattr(R, "_SEGMENT_MAX", 4)
+    buf = io.BytesIO()
+    assert run(parse_args(argv + [str(p)]), out=buf, engine="auto") == 0
+    assert buf.getvalue() == seg
+
+
+def test_streaming_probe_segmentation_checkpoint(monkeypatch, tmp_path):
+    """Segmented streaming composes with --checkpoint: the carried
+    state written after each chunk is the LAST segment's exit state,
+    so a full checkpointed run matches the plain one."""
+    rng = np.random.default_rng(29)
+    chunk = 8 << 20
+    n = 12 << 20
+    blob = bytearray(rng.integers(0, 256, n, np.uint8).tobytes())
+    blob[3 << 20 : (3 << 20) + 400_000] = b"\x00" * 400_000
+    blob[(3 << 20) + 100 : (3 << 20) + 120] = b"ckpt finding here 1!"
+    blob = bytes(blob)
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "0")
+    argv = ["-t", "x", "-e", "UTF-8"]
+    want = _streaming_out(blob, argv, chunk, monkeypatch, 4)
+    ck = tmp_path / "ck.json"
+    got = _streaming_out(blob, argv, chunk, monkeypatch, 4,
+                         ck=str(ck))
+    assert got == want
+    assert not ck.exists()  # removed on success
