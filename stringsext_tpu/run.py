@@ -763,6 +763,13 @@ def _probe_segment_rows(data, sl, mission, kind: str, window_bytes: int,
         if pl < 2 * window_bytes:
             return False
         lo = max(ps - 8, 0)
+        # Cheap prefix reject: on dense data nearly every candidate
+        # has a member byte within its first bytes - test 72 bytes
+        # before touching the whole slice, so a failed probe costs
+        # ~nothing per candidate (the full test below still decides).
+        if cold[0] == "lut":
+            if cold[1][data[lo : min(lo + 72, ps + pl)]].any():
+                return False
         win = data[lo : ps + pl]
         if cold[0] == "lut":
             return not cold[1][win].any()
@@ -1083,11 +1090,18 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                       and os.environ.get(
                           "STRINGSEXT_SEGMENT_PROBE", "1") != "0"):
                     # No hot map: probe cold split points directly
-                    # (default-on; identical split semantics).
-                    splits = _probe_segment_rows(
-                        stream.data, sl, m, kind,
-                        2 * m.output_line_char_nb_max, max_seg,
-                    )
+                    # (default-on; identical split semantics). The
+                    # split budget is the cores LEFT OVER after the
+                    # mission threads - with every core already busy,
+                    # segmentation only costs the zero-copy output
+                    # path (measured regression on dense 2-mission
+                    # streams).
+                    eff = max(1, max_seg // max(len(native_jobs), 1))
+                    if eff > 1:
+                        splits = _probe_segment_rows(
+                            stream.data, sl, m, kind,
+                            2 * m.output_line_char_nb_max, eff,
+                        )
             bounds = [0] + splits + [len(sl[0])]
             entry_modes = [0] * (len(bounds) - 1)
             if kind == "iso-2022-jp" and len(bounds) > 2:
@@ -1742,8 +1756,12 @@ def _run_streaming_stdin(
         from .encodings import encoding_kind as _ekind
 
         max_seg = _SEGMENT_MAX or (os.cpu_count() or 1)
+        # split budget = cores left over after the mission threads (a
+        # fully-busy host gains nothing and would lose the zero-copy
+        # output path - measured on the dense 2-mission stream)
+        eff_seg = max(1, max_seg // max(len(missions.v), 1))
         seg_bounds = {}  # i -> (bounds_rows, entry_modes)
-        if (max_seg > 1 and len(data) >= _SEGMENT_PROBE_MIN
+        if (eff_seg > 1 and len(data) >= _SEGMENT_PROBE_MIN
                 and os.environ.get("STRINGSEXT_SEGMENT_PROBE", "1") != "0"):
             for i, m in enumerate(missions.v):
                 if i in runtable_feeds or hot_by_mission.get(i) is not None:
@@ -1755,7 +1773,7 @@ def _run_streaming_stdin(
                     continue
                 splits = _probe_segment_rows(
                     data, sl, m, kind, 2 * m.output_line_char_nb_max,
-                    max_seg,
+                    eff_seg,
                 )
                 if not splits:
                     continue

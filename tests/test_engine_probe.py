@@ -120,8 +120,8 @@ def test_probe_segmentation_identity(monkeypatch, tmp_path):
     monkeypatch.delenv("STRINGSEXT_HOST_HOTMAP", raising=False)
 
     outs = {}
-    for tag, seg, probe in (("ref", 1, "0"), ("off", 4, "0"),
-                            ("probe", 4, "1")):
+    for tag, seg, probe in (("ref", 1, "0"), ("off", 8, "0"),
+                            ("probe", 8, "1")):
         monkeypatch.setattr(R, "_SEGMENT_MAX", seg)
         monkeypatch.setenv("STRINGSEXT_SEGMENT_PROBE", probe)
         buf = io.BytesIO()
@@ -184,7 +184,9 @@ def test_probe_segmentation_cjk_and_utf16_guards(monkeypatch, tmp_path):
     monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "0")
 
     outs = {}
-    for tag, seg in (("ref", 1), ("seg", 3)):
+    # 2 missions share the split budget: _SEGMENT_MAX=6 -> 3 segments
+    # per mission
+    for tag, seg in (("ref", 1), ("seg", 6)):
         monkeypatch.setattr(R, "_SEGMENT_MAX", seg)
         buf = io.BytesIO()
         assert R.run(parse_args(argv), out=buf, engine="auto") == 0
@@ -349,6 +351,7 @@ def test_streaming_probe_segmentation_identity(monkeypatch, tmp_path):
     argv = ["-t", "x", "-u", "Asian", "-e", "UTF-8", "-e", "shift_jis",
             "-e", "ISO-2022-JP"]
 
+    # 3 missions share the split budget: 12 -> 4 segments/mission
     un = _streaming_out(blob, argv, chunk, monkeypatch, 1)
     found = []
     orig_probe = R._probe_segment_rows
@@ -359,10 +362,10 @@ def test_streaming_probe_segmentation_identity(monkeypatch, tmp_path):
         return r
 
     monkeypatch.setattr(R, "_probe_segment_rows", spy)
-    seg = _streaming_out(blob, argv, chunk, monkeypatch, 4)
+    seg = _streaming_out(blob, argv, chunk, monkeypatch, 12)
     monkeypatch.setattr(R, "_probe_segment_rows", orig_probe)
     assert found and max(found) > 0  # segmentation actually engaged
-    off = _streaming_out(blob, argv, chunk, monkeypatch, 4, probe="0")
+    off = _streaming_out(blob, argv, chunk, monkeypatch, 12, probe="0")
     assert seg == un == off
     assert b"boundary +carry finding" in seg
     assert "ストリーム分割".encode() in seg
@@ -372,7 +375,7 @@ def test_streaming_probe_segmentation_identity(monkeypatch, tmp_path):
 
     p = tmp_path / "s.bin"
     p.write_bytes(blob)
-    monkeypatch.setattr(R, "_SEGMENT_MAX", 4)
+    monkeypatch.setattr(R, "_SEGMENT_MAX", 12)
     buf = io.BytesIO()
     assert run(parse_args(argv + [str(p)]), out=buf, engine="auto") == 0
     assert buf.getvalue() == seg
