@@ -1788,7 +1788,13 @@ def _run_streaming_stdin(
                         zip(bounds[:-1], bounds[1:])
                     ):
                         entry_modes[si] = mode
-                        lo = int(sl[0][r0])
+                        # The FIRST span starts at the mission's
+                        # carried CURSOR, not the first slice row: the
+                        # carry tail (bytes the previous chunk left
+                        # unconsumed) can hold an escape that changes
+                        # the mode before the first split.
+                        lo = (int(sl[0][r0]) if si
+                              else int(states[i].get("cursor", 0)))
                         hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
                         t = _iso_mode_transfer(data[lo:hi])
                         if t >= 0:
@@ -1805,13 +1811,18 @@ def _run_streaming_stdin(
                 )], None
             bounds, entry_modes = seg_bounds[i]
             base = states[i]
-            c0 = int(base["cursor"])
             k0 = int(base["consumed"])
+            row0 = int(sl[0][0])
             seg_states = [base]
             for si in range(1, len(bounds) - 1):
                 s_off = int(sl[0][bounds[si]])
                 seg_states.append({
-                    "consumed": k0 + (s_off - c0),
+                    # the native counter is SLICE-cumulative (consumed
+                    # advances by slice length, emitter.cpp:1811), so
+                    # the counter at row r is the chunk-entry counter
+                    # plus the slice bytes before r - NOT a cursor
+                    # delta (the cursor may lag in the carry tail)
+                    "consumed": k0 + (s_off - row0),
                     "cursor": s_off,
                     "printed_maybe_cut": False,
                     "dec_mode": entry_modes[si],

@@ -400,3 +400,46 @@ def test_streaming_probe_segmentation_checkpoint(monkeypatch, tmp_path):
                          ck=str(ck))
     assert got == want
     assert not ck.exists()  # removed on success
+
+
+def test_streaming_iso_escape_in_carry_tail(monkeypatch, tmp_path):
+    """An ISO-2022-JP escape TRUNCATED at a chunk boundary rides the
+    carry tail; the next chunk's segment entry modes must compose from
+    the mission's CURSOR (which sits on the carried ESC), not from the
+    first slice row - otherwise a post-split segment decodes LEAD-mode
+    pairs as ASCII."""
+    chunk = 16384
+    blob = bytearray(chunk + 16384)
+    # chunk 1: a plain finding, then a truncated escape at the edge
+    blob[100:116] = b"ascii finding 1!"
+    blob[chunk - 2 : chunk] = b"\x1b$"
+    # chunk 2: "B" completes ESC $ B (-> LEAD); kanji pairs; a cold
+    # zero slice; more pairs after the probe split; NUL terminator
+    blob[chunk] = 0x42
+    blob[chunk + 1 : chunk + 41] = b"\x34\x41" * 20  # 漢 x20
+    # bytes [chunk+41, chunk+8194) stay zero -> slice row 1 cold
+    blob[chunk + 8194 : chunk + 8234] = b"\x34\x41" * 20
+    blob[chunk + 8234] = 0x00
+    blob = bytes(blob)
+
+    monkeypatch.setenv("STRINGSEXT_DEVICE_PROBE", "0")
+    monkeypatch.setattr(R, "_SEGMENT_PROBE_MIN", 1)
+    argv = ["-t", "x", "-u", "Asian", "-e", "ISO-2022-JP"]
+
+    from stringsext_tpu.run import run
+
+    p = tmp_path / "iso.bin"
+    p.write_bytes(blob)
+    buf = io.BytesIO()
+    assert run(parse_args(argv + [str(p)]), out=buf,
+               engine="python") == 0
+    oracle = buf.getvalue()
+    assert "漢漢漢".encode() in oracle
+    # the post-gap pairs must decode as kanji, never as ASCII "4A4A"
+    assert oracle.count("漢".encode()) >= 40
+    assert b"4A4A" not in oracle
+
+    un = _streaming_out(blob, argv, chunk, monkeypatch, 1)
+    seg = _streaming_out(blob, argv, chunk, monkeypatch, 4)
+    assert un == oracle
+    assert seg == oracle
