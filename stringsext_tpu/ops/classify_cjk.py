@@ -83,14 +83,121 @@ def _gather2(table: jax.Array, b: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.take(table.reshape(-1), b * 256 + t)
 
 
+_ORBIT_BLOCK = 512  # blocked-resolve lane width (one VPU-friendly row)
+_ORBIT_DEAD = 4  # transfer state: the chain ended (pending/stream end)
+_ORBIT_FAR = 1 << 20  # local "chain gone" sentinel (>> block + max step)
+
+
+def _orbit_mask_blocked(step: jax.Array, n: jax.Array, start) -> jax.Array:
+    """Blocked event-chain resolution - the gather-free rewrite of the
+    pointer-doubling orbit (which cost ~24 rounds of full-length
+    gathers+scatters and measured ~1.4 MB/s on a 16 MiB chunk on the
+    v5e). Same mesh algebra applied WITHIN the chunk:
+
+      1. per 512-byte block, a `lax.scan` over the 512 offsets carries
+         the chain cursor for every block in parallel - pure
+         elementwise work on (nb,) lanes, no gathers;
+      2. each block's entry->exit transfer (entry offset 0..3 -> exit
+         offset into the next block, or DEAD) is read off the same
+         scan run with 4 seeds, plus one extra seed for the start
+         block's real entry (which may exceed 3 on the mesh path);
+      3. an `associative_scan` over the tiny [nb, 5] transfer tables
+         composes the true entry offset of every block, and a second
+         512-step scan from those entries emits the orbit mask.
+
+    Mid-chunk steps are 1..4 (max char span), so cross-block entries
+    fit {0..3}; claim-rest steps (pending at the true end) leave the
+    block with a FAR value and kill the chain (DEAD). Equivalent to
+    the doubling version by construction (pinned by
+    tests/test_device.py's host-equality suite and a direct
+    old-vs-new property test)."""
+    cap = step.shape[0]
+    B = _ORBIT_BLOCK
+    pad = (-cap) % B
+    step_p = jnp.concatenate(
+        [jnp.maximum(step, 1),
+         jnp.ones(pad, jnp.int32)]) if pad else jnp.maximum(step, 1)
+    capp = cap + pad
+    nb = capp // B
+    idx = jnp.arange(capp, dtype=jnp.int32)
+    # chains stop at n: stepping to >= n sends the cursor FAR
+    nxt_off = (idx % B) + jnp.where(idx + step_p <= n, step_p, _ORBIT_FAR)
+    cols = nxt_off.reshape(nb, B).T  # (B, nb): scan rows are offsets
+    in_n = (idx < n).reshape(nb, B).T
+    start = jnp.asarray(start, jnp.int32)
+
+    # pass 1: transfers for entries {0,1,2,3} + the start block's real
+    # entry (seed FAR in every other block so it stays inert there).
+    kidx = jnp.arange(nb, dtype=jnp.int32)
+    sb = start // B
+    seeds = jnp.stack(
+        [jnp.full(nb, s, jnp.int32) for s in range(4)]
+        + [jnp.where(kidx == sb, start % B, _ORBIT_FAR)]
+    )  # (5, nb)
+
+    js = jnp.arange(B, dtype=jnp.int32)
+
+    def t_step(r, xs):
+        col, ok, j = xs  # (nb,), (nb,), scalar
+        on = (r == j) & ok  # broadcasts over the seed axis
+        return jnp.where(on, jnp.minimum(col, _ORBIT_FAR), r), None
+
+    exit_r, _ = jax.lax.scan(t_step, seeds, (cols, in_n, js))
+    # exit_r: (5, nb). Values in [B, B+3] exit into the next block;
+    # anything else is a dead chain - larger means claim-rest/FAR, and
+    # SMALLER means the chain froze at an offset past the real end `n`
+    # (it landed exactly at n, whose in_n gate never matches).
+    def _exit_state(r):
+        return jnp.where((r >= B) & (r < B + 4), r - B,
+                         _ORBIT_DEAD).astype(jnp.int32)
+
+    T = _exit_state(exit_r[:4]).T  # (nb, 4)
+    T = jnp.concatenate(
+        [T, jnp.full((nb, 1), _ORBIT_DEAD, jnp.int32)], axis=1)
+    e0 = _exit_state(exit_r[4, sb])
+
+    def compose(a, b):  # (..., 5) tables; a applied first, then b
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    # entry of block k > sb = (T[sb+1] o ... o T[k-1])(e0); blocks at
+    # or before sb become identity so one prefix scan covers any sb.
+    ident = jnp.arange(5, dtype=jnp.int32)
+    Tshift = jnp.where(kidx[:, None] > sb, T, ident[None, :])
+    pfx = jax.lax.associative_scan(compose, Tshift, axis=0)
+    prev = jnp.concatenate([ident[None, :], pfx[:-1]], axis=0)
+    entry = jnp.take_along_axis(
+        prev, jnp.broadcast_to(e0[None, None], (nb, 1)), axis=-1
+    )[:, 0]  # (nb,)
+    # dead-state remap FIRST: the start block's literal entry offset
+    # may equal the DEAD sentinel (start % B == 4)
+    entry = jnp.where(entry == _ORBIT_DEAD, _ORBIT_FAR, entry)
+    entry = jnp.where(kidx == sb, start % B, entry)
+    entry = jnp.where(kidx < sb, _ORBIT_FAR, entry)
+
+    # pass 2: the orbit mask from each block's true entry.
+    def m_step(r, xs):
+        col, ok, j = xs
+        on = (r == j) & ok
+        return jnp.where(on, jnp.minimum(col, _ORBIT_FAR), r), on
+
+    _, marks = jax.lax.scan(m_step, entry, (cols, in_n, js))
+    out = marks.T.reshape(capp)  # (nb, B) -> flat
+    return out[:cap]
+
+
 def _orbit_mask(step: jax.Array, n: jax.Array, start=0) -> jax.Array:
     """bool[cap]: position is reachable from `start` under
-    i -> i+step[i] (i.e. a true event start). Pointer doubling: after
-    round k the mark set is closed under 2^k applications, so
-    ceil(log2(cap)) rounds reach the fixpoint; positions >= n funnel
-    into a dump slot. `start` may be traced (the mesh path enters each
-    shard at its composed cross-shard phase, parallel/mesh.py)."""
+    i -> i+step[i] (i.e. a true event start). Large chunks use the
+    blocked scan+transfer resolution (_orbit_mask_blocked, gather-free
+    - the doubling form measured ~1.4 MB/s at 16 MiB on the v5e);
+    small ones keep the original pointer doubling: after round k the
+    mark set is closed under 2^k applications, so ceil(log2(cap))
+    rounds reach the fixpoint; positions >= n funnel into a dump slot.
+    `start` may be traced (the mesh path enters each shard at its
+    composed cross-shard phase, parallel/mesh.py)."""
     cap = step.shape[0]
+    if cap >= 4 * _ORBIT_BLOCK:
+        return _orbit_mask_blocked(step, jnp.asarray(n, jnp.int32), start)
     idx = jnp.arange(cap, dtype=jnp.int32)
     nxt = jnp.minimum(idx + jnp.maximum(step, 1), cap)
     # positions at/after the real end self-trap in the dump slot `cap`
@@ -143,7 +250,6 @@ def _classify_two_byte(b, have1, kind: str) -> _C:
     cap = b.shape[0]
     c = _C(cap)
     pair_cp = jnp.asarray(_pair_cp_np(kind))
-    multi = jnp.asarray(_multi_pair_np(kind))
 
     if kind == KIND_SHIFT_JIS:
         single = b <= 0x80
@@ -160,7 +266,18 @@ def _classify_two_byte(b, have1, kind: str) -> _C:
 
     t = _shift_left(b, 1, 0)
     pcp = _gather2(pair_cp, b, t)
-    is_multi = _gather2(multi, b, t)
+    # Multi-codepoint pairs: only Big5 has any (4 double-cp pointers) -
+    # a handful of equality tests beats a second 65536-entry gather
+    # (arbitrary gathers are the dominant cost of this kernel on TPU).
+    multi_keys = sorted(int(k) for k in np.flatnonzero(
+        _multi_pair_np(kind).reshape(-1)))
+    if multi_keys:
+        key = b * 256 + t
+        is_multi = jnp.zeros(cap, bool)
+        for mk in multi_keys:
+            is_multi = is_multi | (key == mk)
+    else:
+        is_multi = jnp.zeros(cap, bool)
     pair_ok = lead & have1 & ((pcp >= 0) | is_multi)
     c.set(pair_ok, step=2, in_len=2, report_off=1, cp=pcp)
     c.multi = pair_ok & is_multi
@@ -229,8 +346,8 @@ def _classify_gb18030(b, have1, have2, have3, n) -> _C:
 
     pair_cp = jnp.asarray(_pair_cp_np(KIND_GB18030))
     rp_np, rc_np = whatwg.gb18030_ranges()
-    rp = jnp.asarray(np.asarray(rp_np, np.int64))
-    rc = jnp.asarray(np.asarray(rc_np, np.int32))
+    rp_np = np.asarray(rp_np, np.int64)
+    rc_np = np.asarray(rc_np, np.int64)
     t1 = _shift_left(b, 1, 0)
     t2 = _shift_left(b, 2, 0)
     t3 = _shift_left(b, 3, 0)
@@ -261,10 +378,20 @@ def _classify_gb18030(b, have1, have2, have3, n) -> _C:
          + (t3 - 0x30))
     p_ok = (p <= 39419) | ((p >= 189000) & (p <= 1237575))
     quad_ok = f_all & p_ok
-    k = jnp.searchsorted(rp, p.astype(jnp.int64), side="right") - 1
-    k = jnp.clip(k, 0, rp.shape[0] - 1)
-    qcp = (jnp.take(rc, k).astype(jnp.int64)
-           + (p.astype(jnp.int64) - jnp.take(rp, k))).astype(jnp.int32)
+    # Ranges mapping as a TELESCOPING compare-sum instead of
+    # searchsorted + two table takes (log-rounds of 16M-element
+    # gathers dominate on TPU; ~200 elementwise compare-mul-adds are
+    # VPU-cheap): with d[j] = rc[j] - rp[j], the mapped codepoint is
+    # cp = p + d[k] = p + d[0] + sum_{j>=1} [rp[j] <= p] * (d[j]-d[j-1])
+    # (rp is sorted, so the indicator telescopes to d[k]).
+    d_np = rc_np - rp_np
+    dsum = jnp.zeros(cap, jnp.int32)
+    for j in range(1, len(rp_np)):
+        dd = int(d_np[j] - d_np[j - 1])
+        if dd:
+            dsum = dsum + jnp.where(p >= int(rp_np[j]),
+                                    jnp.int32(dd), jnp.int32(0))
+    qcp = p + jnp.int32(int(d_np[0])) + dsum
     c.set(quad_ok, cp=qcp, step=4, in_len=4, report_off=3)
     c.set(f_all & ~p_ok, step=4, in_len=4, report_off=3)
     third_bad = four_start & have2 & ~third_ok

@@ -191,3 +191,36 @@ def test_iso2022_lanes_match_host():
             d[p:p + len(f)] = np.frombuffer(f, np.uint8)[
                 :max(0, min(len(f), nn - p))]
         check(d.tobytes(), f"fuzz{t}")
+
+
+def test_blocked_orbit_equals_sequential_chain():
+    """_orbit_mask_blocked (the gather-free blocked resolve, round 5)
+    must equal the sequential chain for random step fields, claim-rest
+    tails, traced-ish starts and non-block-aligned caps/ends."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import stringsext_tpu.ops.classify_cjk as C
+
+    def orbit_ref(step, n, start=0):
+        cap = len(step)
+        out = np.zeros(cap, bool)
+        p = int(start)
+        while p < min(n, cap):
+            out[p] = True
+            p += max(int(step[p]), 1)
+        return out
+
+    rng = np.random.default_rng(41)
+    for trial in range(40):
+        cap = int(rng.choice([2048, 4096, 5120, 8192, 12288]))
+        step = rng.integers(1, 5, cap).astype(np.int32)
+        n = int(rng.integers(cap // 2, cap + 1))
+        for _ in range(3):  # claim-rest steps near the end
+            i = int(rng.integers(max(n - 8, 0), n))
+            step[i] = max(n - i, 1)
+        start = int(rng.choice([0, 1, 3, 4, 5, 7, 515, 600]))
+        got = np.asarray(C._orbit_mask_blocked(
+            jnp.asarray(step), jnp.int32(n), start))
+        want = orbit_ref(step, n, start)
+        assert (got == want).all(), (trial, cap, n, start)
