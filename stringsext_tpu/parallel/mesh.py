@@ -22,7 +22,8 @@ Design (TPU-native, not a port):
   and redundant-escape flag), the per-shard transfers - a few scalars -
   are all_gather-ed over the data axis and prefix-composed, and the
   event-chain orbit then starts from the composed entry phase
-  (ops/classify_cjk._exit_map / ops/classify_iso2022.iso_state_transfer).
+  (ops/classify_cjk._orbit_mask blocked resolve /
+  ops/classify_iso2022.iso_state_transfer).
   So EVERY encoding the framework supports rides the device mesh, the
   parallel-treatment parity of the reference's one-thread-per-mission
   model (main.rs:151-167).
@@ -139,7 +140,7 @@ def build_sharded_scan(
     assert 0 < len(missions) <= n_mission
     assert n_data * shard_len < 2**31, "int32 on-device offset rebase"
 
-    from ..ops.classify_cjk import CJK_KINDS, _exit_map, _orbit_mask
+    from ..ops.classify_cjk import CJK_KINDS, _orbit_mask
 
     kinds = []
     kernels = []
@@ -225,14 +226,24 @@ def build_sharded_scan(
         # Stage C (chain kinds only): compose the event-chain entry
         # offset. Each shard's transfer maps every possible entry
         # offset (0..3 bytes past its start - max char span 4) to the
-        # exit offset into the next shard, via a pointer-doubling
-        # jump-to-threshold over the step array.
+        # exit offset into the next shard. The exit is read off the
+        # truncated orbit (chains stop at owned_end): its LAST marked
+        # position p* steps past the boundary by the exit delta -
+        # riding the same blocked gather-free resolve as the orbit
+        # itself (classify_cjk._orbit_mask).
         if needs_orbit:
-            E = _exit_map(step, owned_end)
-            trans = jnp.clip(
-                jnp.take(E, LEFT_CTX + jnp.arange(4, dtype=jnp.int32))
-                - owned_end, 0, 3,
-            )
+            cidx = jnp.arange(chunk.shape[0], dtype=jnp.int32)
+
+            def _exit_delta(d):
+                mask = _orbit_mask(step, owned_end, LEFT_CTX + d)
+                pstar = jnp.max(jnp.where(mask, cidx, -1))
+                s_at = jnp.take(step, jnp.clip(pstar, 0))
+                return jnp.where(
+                    pstar < 0, 0,
+                    jnp.clip(pstar + s_at - owned_end, 0, 3),
+                ).astype(jnp.int32)
+
+            trans = jnp.stack([_exit_delta(d) for d in range(4)])
             allT = jax.lax.all_gather(trans, "data")  # [n_data, 4]
             d_acc = jnp.int32(0)
             entry_d = jnp.int32(0)
