@@ -23,5 +23,5 @@ Layer map (mirrors SURVEY.md section 1):
   decode engine    -> encodings/* (replaces the encoding_rs crate)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 AUTHOR = "stringsext-tpu authors"
