@@ -25,3 +25,9 @@ Layer map (mirrors SURVEY.md section 1):
 
 __version__ = "0.2.0"
 AUTHOR = "stringsext-tpu authors"
+
+
+def version_line() -> str:
+    """The -V output (shared by the fast CLI path and help.py so
+    the two can never diverge; deliberately jax/numpy-free)."""
+    return f"Version {__version__}, {AUTHOR}"

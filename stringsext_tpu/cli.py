@@ -149,9 +149,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         # Fast path: -V answers from this module alone (no numpy /
         # mission-table imports) - the reference is a static binary
         # that starts in milliseconds (help.rs:17-20).
-        from . import AUTHOR, __version__
+        from . import version_line
 
-        print(f"Version {__version__}, {AUTHOR}")
+        print(version_line())
         return 0
     # Heavy imports (numpy via mission/encodings) stay off the -V path;
     # jax is imported by NO scan path (only engine=tpu device passes).

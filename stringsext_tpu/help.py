@@ -5,7 +5,7 @@ Parity reference: /root/reference/src/help.rs:16-145.
 
 from __future__ import annotations
 
-from . import __version__, AUTHOR
+from . import version_line
 from .mission import ASCII_FILTER_ALIASSE, Missions, UNICODE_BLOCK_FILTER_ALIASSE
 from .encodings import ALL_ENCODING_NAMES
 from .options import ASCII_ENC_LABEL, Args
@@ -15,7 +15,7 @@ def help_and_maybe_exit(args: Args) -> bool:
     """Handles -V / -d / -l; returns True if the program should exit
     (help.rs:16-145)."""
     if args.version:
-        print(f"Version {__version__}, {AUTHOR}")
+        print(version_line())
         return True
 
     if args.debug_option:

@@ -405,25 +405,6 @@ def _classify_gb18030(b, have1, have2, have3, n) -> _C:
     return c
 
 
-def _exit_map(step: jax.Array, end) -> jax.Array:
-    """int32[cap]: E[i] = first position >= `end` reachable from i
-    under i -> i+step[i] (clamped into [end, cap]). Pointer doubling,
-    the jump-to-threshold twin of _orbit_mask: used by the mesh path to
-    derive each shard's entry-phase transfer function (the exit offset
-    into the next shard for every possible entry offset)."""
-    cap = step.shape[0]
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    nxt = jnp.minimum(idx + jnp.maximum(step, 1), cap)
-    E = jnp.where(idx >= end, idx, nxt)
-    E = jnp.concatenate([E, jnp.array([cap], jnp.int32)])  # dump slot
-    rounds = max(1, int(np.ceil(np.log2(max(cap, 2)))) + 1)
-
-    def body(_, E):
-        return jnp.where(E >= end, E, jnp.take(E, E))
-
-    E = jax.lax.fori_loop(0, rounds, body, E)
-    return E[:cap]
-
 
 def _cjk_classified(b: jax.Array, kind: str, n) -> _C:
     """Shared as-if-start classification (orbit-free)."""

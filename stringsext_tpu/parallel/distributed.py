@@ -184,13 +184,15 @@ _ALIGN_LOOKBACK = 4096  # CJK ground-byte lookback (emitter align_cursor)
 # Smallest byte value that can be a NON-FIRST byte of any event
 # (emitter.cpp cjk_ground_limit); any byte below is a provable event
 # start.
-_CJK_GROUND = {
-    "euc-kr": 0x41,
-    "big5": 0x40,
-    "shift_jis": 0x40,
-    "euc-jp": 0x80,
-    "gb18030": 0x30,
-}
+# (_CJK_GROUND / _cjk_boundary_aligned / _iso_mode_transfer /
+# _compose_entry_mode live in engine/align.py - JAX-FREE, shared
+# with the host probe/segment splitters; re-imported here.)
+from ..engine.align import (  # noqa: F401
+    _CJK_GROUND,
+    _cjk_boundary_aligned,
+    _compose_entry_mode,
+    _iso_mode_transfer,
+)
 
 
 def _mission_jobs(missions):
@@ -198,7 +200,7 @@ def _mission_jobs(missions):
     None when any mission has no host-computable hot spec (then no
     cold-slice certificate exists and there is no exact split)."""
     from ..encodings import encoding_kind
-    from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+    from ..ops.specs import cjk_hot_spec, swar_mission_spec
 
     jobs = []
     for i, m in enumerate(missions.v):
@@ -207,37 +209,6 @@ def _mission_jobs(missions):
         jobs.append((i, m, encoding_kind(m.encoding_name)))
     return jobs
 
-
-def _cjk_boundary_aligned(win: np.ndarray, w_lo: int, p: int,
-                          kind: str) -> bool:
-    """True iff, in the global decode, an event starts exactly at
-    stream offset p and every earlier event both ends and reports
-    before p - proved by decoding forward from the last ground byte
-    within the lookback window (decode from a ground byte is
-    deterministic and equals the global decode, because a ground byte
-    can never be spanned; emitter.cpp align_cursor uses the same
-    argument for hot-range skip resumption)."""
-    from ..engine import events_cjk
-
-    lim = _CJK_GROUND[kind]
-    rel_p = p - w_lo
-    lo = max(0, rel_p - _ALIGN_LOOKBACK)
-    seg = win[lo:rel_p]
-    gi = np.flatnonzero(seg < lim)
-    if len(gi) == 0:
-        return False
-    g = lo + int(gi[-1])
-    ev = events_cjk.generate(win[g : min(len(win), rel_p + 64)], kind)
-    rp = rel_p - g
-    pos = np.asarray(ev.pos)
-    if not (pos == rp).any() and rp != 0:
-        return False
-    before = pos < rp
-    if (pos[before] + np.asarray(ev.in_len)[before] > rp).any():
-        return False  # an event spans p
-    if (np.asarray(ev.report)[before] >= rp).any():
-        return False  # an earlier event's label lands in the next shard
-    return True
 
 
 def _window_first_boundary(inputs, spans, jobs, sl, target: int,
@@ -382,41 +353,7 @@ def shard_boundaries(stream, missions, nprocs: int):
 # ---------------------------------------------------------------------------
 
 
-def _iso_mode_transfer(data: np.ndarray) -> int:
-    """Mode transfer of a byte span: the mode set by its LAST valid
-    escape sequence, or -1 (identity - no valid escape). Pure in the
-    bytes: every 0x1B starts escape processing in every decoder mode
-    (an ESC is never consumed as pair trail or data), and escape
-    validity depends only on the two following bytes
-    (engine/events_iso2022.py:177-204)."""
-    esc = np.flatnonzero(data == 0x1B)
-    if len(esc) == 0:
-        return -1
-    esc = esc[esc + 2 < len(data)]
-    if len(esc) == 0:
-        return -1
-    b1 = data[esc + 1]
-    b2 = data[esc + 2]
-    valid = ((b1 == 0x28) & ((b2 == 0x42) | (b2 == 0x4A) | (b2 == 0x49))) | (
-        (b1 == 0x24) & ((b2 == 0x40) | (b2 == 0x42))
-    )
-    ve = esc[valid]
-    if len(ve) == 0:
-        return -1
-    k = int(ve[-1])
-    if int(data[k + 1]) == 0x24:
-        return 3  # jis0208 lead
-    return {0x42: 0, 0x4A: 1, 0x49: 2}[int(data[k + 2])]
 
-
-def _compose_entry_mode(transfers, upto: int) -> int:
-    """Entry mode of shard `upto`: fold the per-shard transfers of
-    shards 0..upto-1 over the initial ASCII mode."""
-    mode = 0
-    for t in transfers[:upto]:
-        if t >= 0:
-            mode = int(t)
-    return mode
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +387,7 @@ def _shard_hot_maps(missions, data, p_lo: int, engine: str):
     if not len(data):
         return {}
     if engine == "tpu":
-        from ..ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+        from ..ops.specs import cjk_hot_spec, swar_mission_spec
         from ..run import _device_hot_ranges_swar, _warn_once
 
         if p_lo % 2:

@@ -118,6 +118,7 @@ def _warn_once(key, msg: str) -> None:
 
 _PROBE_BW_MIN = 2e9  # bytes/s effective H2D+compute+fetch bandwidth
 _PROBE_LAT_MAX = 0.05  # seconds per tiny dispatch+fetch round trip
+_PROBE_ERROR_TTL_S = 600.0  # failed probes retry after this long
 
 _PROBE_SCRIPT = r"""
 import json, sys, time
@@ -234,7 +235,15 @@ def _auto_engine() -> str:
         try:
             with open(cache) as f:
                 doc = json.load(f)
-            return "tpu" if doc.get("verdict") == "tpu" else "auto"
+            # MEASURED verdicts cache forever; ERROR verdicts (probe
+            # crashed / timed out - e.g. another process held the
+            # exclusive TPU runtime) only for _PROBE_ERROR_TTL_S, so a
+            # transient failure cannot permanently demote a co-located
+            # chip to the host path.
+            if "reason" not in doc or (
+                time.time() - doc.get("time", 0) < _PROBE_ERROR_TTL_S
+            ):
+                return "tpu" if doc.get("verdict") == "tpu" else "auto"
         except (OSError, ValueError):
             pass
         if not _accel_plausible():
@@ -354,7 +363,7 @@ def _device_hot_ranges_swar(stream: LoadedStream, jobs,
     # compile-fail-then-halve fallback cost ~2 GB/s here).
     # STRINGSEXT_HOT_GROUP, when set, bounds the per-group spec COUNT
     # on top; the halving fallback remains as a safety net only.
-    from .ops.pallas_swar import plan_hot_launches
+    from .ops.specs import plan_hot_launches
 
     cap_env = os.environ.get("STRINGSEXT_HOT_GROUP")
     tile_cap, groups = plan_hot_launches(
@@ -558,7 +567,7 @@ def _host_hot_ranges(stream: LoadedStream, jobs):
     """
     import numpy as np
 
-    from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+    from .ops.specs import cjk_hot_spec, swar_mission_spec
 
     data = stream.data
     n = len(data)
@@ -696,7 +705,7 @@ def _mission_cold_lut(mission, kind: str):
     decomposition as _host_hot_ranges). None = no static spec."""
     import numpy as np
 
-    from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+    from .ops.specs import cjk_hot_spec, swar_mission_spec
 
     spec = swar_mission_spec(mission) or cjk_hot_spec(mission)
     if spec is None:
@@ -750,7 +759,7 @@ def _probe_segment_rows(data, sl, mission, kind: str, window_bytes: int,
     total = int(starts[-1] + lens[-1])
 
     if kind in _SEGMENT_KINDS_CJK:
-        from .parallel.distributed import _cjk_boundary_aligned
+        from .engine.align import _cjk_boundary_aligned
 
         def _aligned(r):
             return _cjk_boundary_aligned(data, 0, int(starts[r]), kind)
@@ -776,6 +785,11 @@ def _probe_segment_rows(data, sl, mission, kind: str, window_bytes: int,
         _t, be, hi_lut, lo_lut0 = cold
         if lo & 1:  # units pair at even STREAM offsets
             win = win[1:]
+        # same cheap prefix reject for the UTF-16 branch: any hi-byte
+        # member in the first units rejects without the full pass
+        pre = win[:72]
+        if hi_lut[pre[1::2] if not be else pre[0::2]].any():
+            return False
         ev, od = win[0::2], win[1::2]
         m = min(len(ev), len(od))
         hi, lo8 = (ev[:m], od[:m]) if be else (od[:m], ev[:m])
@@ -924,7 +938,7 @@ def _segment_rows(sl, hot, window_bytes: int, max_segments: int,
         # Non-self-synchronizing kinds: additionally require a proved
         # event start at the candidate (ground-byte decode-forward,
         # shared with the distributed shard-boundary search).
-        from .parallel.distributed import _cjk_boundary_aligned
+        from .engine.align import _cjk_boundary_aligned
 
         def _aligned(r):
             return _cjk_boundary_aligned(data, 0, int(starts[r]), kind)
@@ -1007,7 +1021,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                 with profiling.scope("host.hotmap", len(stream.data)):
                     hot_by_mission = _host_hot_ranges(stream, native_jobs)
         if engine == "tpu":
-            from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+            from .ops.specs import cjk_hot_spec, swar_mission_spec
 
             swar_jobs, lanes_jobs = [], []
             for i, m in native_jobs:
@@ -1110,7 +1124,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                 # starts with output_flag=false; only the MODE carries,
                 # and it is a pure function of the preceding bytes -
                 # parallel.distributed._iso_mode_transfer).
-                from .parallel.distributed import _iso_mode_transfer
+                from .engine.align import _iso_mode_transfer
 
                 mode = 0
                 for si, (r0, r1) in enumerate(
@@ -1710,7 +1724,7 @@ def _run_streaming_stdin(
             )
         runtable_feeds = {}
         if engine == "tpu" and len(data):
-            from .ops.pallas_swar import cjk_hot_spec, swar_mission_spec
+            from .ops.specs import cjk_hot_spec, swar_mission_spec
 
             if _feed_enabled():
                 # Per-chunk device run-table feed (cursor-grounded
@@ -1781,7 +1795,7 @@ def _run_streaming_stdin(
                 entry_modes = [int(states[i].get("dec_mode", 0))] * (
                     len(bounds) - 1)
                 if kind == "iso-2022-jp":
-                    from .parallel.distributed import _iso_mode_transfer
+                    from .engine.align import _iso_mode_transfer
 
                     mode = entry_modes[0]
                     for si, (r0, r1) in enumerate(

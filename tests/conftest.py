@@ -13,6 +13,16 @@ import os
 # env), so force the platform through jax.config - tests always run on
 # the virtual 8-device CPU mesh for determinism and speed.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Isolate the engine-auto accelerator probe from the machine: no
+# test may read or poison the user's real cached verdict
+# (~/.cache/stringsext-tpu/device_probe.json); probe tests pin
+# their own cache path / probe mode on top of these defaults.
+os.environ.setdefault("STRINGSEXT_DEVICE_PROBE", "0")
+os.environ.setdefault(
+    "STRINGSEXT_PROBE_CACHE",
+    os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                 f"stringsext-test-probe-{os.getpid()}.json"),
+)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
