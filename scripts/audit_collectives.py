@@ -77,13 +77,15 @@ def audit_hlo(hlo: str, n_data: int, n_mission: int = 1,
                 for d in dims:
                     elems *= d
                 shapes.append(elems)
-            if not shapes:
-                # FAIL CLOSED: the op name matched but the shape regex
-                # parsed nothing (e.g. tuple-shaped async all-gather-
-                # start forms) - report the raw hits rather than
-                # silently passing a possibly stream-sized collective.
+            if len(shapes) < hits:
+                # FAIL CLOSED: fewer parsed result shapes than matched
+                # instructions (e.g. tuple-shaped async all-gather-
+                # start forms the regex cannot parse) - report the
+                # unparsed remainder rather than silently passing a
+                # possibly stream-sized collective.
                 forbidden_hits[op] = (
-                    f"{hits} hits with UNPARSED result shapes")
+                    f"{hits - len(shapes)} of {hits} hits with "
+                    f"UNPARSED result shapes")
                 continue
             big = [e for e in shapes if e > state_gather_budget_elems]
             small_gathers = [e for e in shapes

@@ -185,6 +185,76 @@ def _orbit_mask_blocked(step: jax.Array, n: jax.Array, start) -> jax.Array:
     return out[:cap]
 
 
+def _orbit_masks_block0(step: jax.Array, n, starts: jax.Array) -> jax.Array:
+    """Multi-start blocked chain resolve: bool[S, cap] orbit masks for
+    S start offsets that ALL lie in block 0 (start < _ORBIT_BLOCK -
+    asserted by construction at the call sites: the mesh enters at
+    LEFT_CTX + delta <= 7). ONE pass-1 scan computes the shared
+    per-block transfers plus every start's block-0 exit, one prefix
+    composition and one pass-2 scan emit all S masks - mesh stage C
+    reads its 4 exit-delta probes and the final orbit from two calls
+    instead of five independent resolves."""
+    cap = step.shape[0]
+    B = _ORBIT_BLOCK
+    pad = (-cap) % B
+    step_p = jnp.concatenate(
+        [jnp.maximum(step, 1),
+         jnp.ones(pad, jnp.int32)]) if pad else jnp.maximum(step, 1)
+    capp = cap + pad
+    nb = capp // B
+    idx = jnp.arange(capp, dtype=jnp.int32)
+    n = jnp.asarray(n, jnp.int32)
+    nxt_off = (idx % B) + jnp.where(idx + step_p <= n, step_p, _ORBIT_FAR)
+    cols = nxt_off.reshape(nb, B).T
+    in_n = (idx < n).reshape(nb, B).T
+    starts = jnp.asarray(starts, jnp.int32)  # (S,)
+    S = starts.shape[0]
+    kidx = jnp.arange(nb, dtype=jnp.int32)
+    js = jnp.arange(B, dtype=jnp.int32)
+
+    seeds = jnp.concatenate([
+        jnp.stack([jnp.full(nb, s, jnp.int32) for s in range(4)]),
+        jnp.where(kidx[None, :] == 0, starts[:, None], _ORBIT_FAR),
+    ])  # (4+S, nb)
+
+    def t_step(r, xs):
+        col, ok, j = xs
+        on = (r == j) & ok
+        return jnp.where(on, jnp.minimum(col, _ORBIT_FAR), r), None
+
+    exit_r, _ = jax.lax.scan(t_step, seeds, (cols, in_n, js))
+
+    def _exit_state(r):
+        return jnp.where((r >= B) & (r < B + 4), r - B,
+                         _ORBIT_DEAD).astype(jnp.int32)
+
+    T = _exit_state(exit_r[:4]).T  # (nb, 4)
+    T = jnp.concatenate(
+        [T, jnp.full((nb, 1), _ORBIT_DEAD, jnp.int32)], axis=1)
+    e0s = _exit_state(exit_r[4:, 0])  # (S,)
+
+    def compose(a, b):
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    ident = jnp.arange(5, dtype=jnp.int32)
+    Tshift = jnp.where(kidx[:, None] > 0, T, ident[None, :])
+    pfx = jax.lax.associative_scan(compose, Tshift, axis=0)
+    prev = jnp.concatenate([ident[None, :], pfx[:-1]], axis=0)  # (nb, 5)
+    entry = jnp.take(prev, e0s, axis=1).T  # (S, nb)
+    entry = jnp.where(entry == _ORBIT_DEAD, _ORBIT_FAR, entry)
+    entry = jnp.where(kidx[None, :] == 0, starts[:, None], entry)
+
+    def m_step(r, xs):
+        col, ok, j = xs
+        on = (r == j) & ok
+        return jnp.where(on, jnp.minimum(col, _ORBIT_FAR), r), on
+
+    _, marks = jax.lax.scan(m_step, entry, (cols, in_n, js))
+    # marks: (B, S, nb) -> (S, nb, B) -> (S, capp)
+    out = jnp.transpose(marks, (1, 2, 0)).reshape(S, capp)
+    return out[:, :cap]
+
+
 def _orbit_mask(step: jax.Array, n: jax.Array, start=0) -> jax.Array:
     """bool[cap]: position is reachable from `start` under
     i -> i+step[i] (i.e. a true event start). Large chunks use the

@@ -14,7 +14,7 @@ scan"). The decomposition used here is the speculative-multi-mode scan:
   2. The mode at every byte is a PREFIX COMPOSITION of mode-transfer
      functions - the monoid {identity, const_mode} - resolved with one
      jax.lax.associative_scan (the same algebra
-     parallel.distributed._iso_mode_transfer composes across shards).
+     engine.align._iso_mode_transfer composes across shards).
   3. Per-byte event classification given the mode is elementwise
      (ASCII/Roman/Katakana are 1-byte maps; jis0208 pairs are a
      256x256 gather), and the true event chain (pair parity in LEAD
@@ -118,7 +118,7 @@ def iso_state_transfer(b: jax.Array, n, lo: int, hi: int) -> jax.Array:
     the stream across shards (each belongs to exactly one owned span),
     so composing these left-to-right from (mode 0, flag unset) yields
     every shard's entry state (the device analog of
-    parallel.distributed._iso_mode_transfer / _compose_entry_mode)."""
+    engine.align._iso_mode_transfer / _compose_entry_mode)."""
     b = b.astype(jnp.int32)
     n = jnp.asarray(n, jnp.int32)
     E = _iso_escapes(b, n)

@@ -179,7 +179,6 @@ def _read_range(inputs: List[str], spans, lo: int, hi: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _WINDOW0 = 8 * 1024 * 1024  # first search window per boundary
-_ALIGN_LOOKBACK = 4096  # CJK ground-byte lookback (emitter align_cursor)
 
 # Smallest byte value that can be a NON-FIRST byte of any event
 # (emitter.cpp cjk_ground_limit); any byte below is a provable event

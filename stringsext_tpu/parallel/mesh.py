@@ -140,7 +140,9 @@ def build_sharded_scan(
     assert 0 < len(missions) <= n_mission
     assert n_data * shard_len < 2**31, "int32 on-device offset rebase"
 
-    from ..ops.classify_cjk import CJK_KINDS, _orbit_mask
+    from ..ops.classify_cjk import (
+        CJK_KINDS, _orbit_mask, _orbit_masks_block0,
+    )
 
     kinds = []
     kernels = []
@@ -234,16 +236,17 @@ def build_sharded_scan(
         if needs_orbit:
             cidx = jnp.arange(chunk.shape[0], dtype=jnp.int32)
 
-            def _exit_delta(d):
-                mask = _orbit_mask(step, owned_end, LEFT_CTX + d)
-                pstar = jnp.max(jnp.where(mask, cidx, -1))
-                s_at = jnp.take(step, jnp.clip(pstar, 0))
-                return jnp.where(
-                    pstar < 0, 0,
-                    jnp.clip(pstar + s_at - owned_end, 0, 3),
-                ).astype(jnp.int32)
-
-            trans = jnp.stack([_exit_delta(d) for d in range(4)])
+            # all four entry probes ride ONE multi-start resolve
+            # (entries LEFT_CTX+0..3 are all in block 0)
+            masks4 = _orbit_masks_block0(
+                step, owned_end, LEFT_CTX + jnp.arange(4, dtype=jnp.int32)
+            )
+            pstar = jnp.max(jnp.where(masks4, cidx[None, :], -1), axis=1)
+            s_at = jnp.take(step, jnp.clip(pstar, 0))
+            trans = jnp.where(
+                pstar < 0, 0,
+                jnp.clip(pstar + s_at - owned_end, 0, 3),
+            ).astype(jnp.int32)
             allT = jax.lax.all_gather(trans, "data")  # [n_data, 4]
             d_acc = jnp.int32(0)
             entry_d = jnp.int32(0)

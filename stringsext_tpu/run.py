@@ -848,7 +848,7 @@ def _hb_to_ranges(hb, n):
 # ISO-2022-JP segment too (round 3), with the extra per-candidate
 # checks the distributed shard-boundary search introduced: a
 # ground-byte decode-forward alignment proof for CJK
-# (parallel.distributed._cjk_boundary_aligned) and, for ISO-2022-JP,
+# (engine.align._cjk_boundary_aligned) and, for ISO-2022-JP,
 # an entry mode computed from the escape history before the split
 # point (its cold slices carry no escapes and no pair phase, see
 # pallas_swar.cjk_hot_spec, so cold-quiescent boundaries are always
@@ -1123,7 +1123,7 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                 # each split point (cold-quiescent boundaries are event
                 # starts with output_flag=false; only the MODE carries,
                 # and it is a pure function of the preceding bytes -
-                # parallel.distributed._iso_mode_transfer).
+                # engine.align._iso_mode_transfer).
                 from .engine.align import _iso_mode_transfer
 
                 mode = 0

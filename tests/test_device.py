@@ -224,3 +224,28 @@ def test_blocked_orbit_equals_sequential_chain():
             jnp.asarray(step), jnp.int32(n), start))
         want = orbit_ref(step, n, start)
         assert (got == want).all(), (trial, cap, n, start)
+
+
+def test_multi_start_blocked_orbit_equals_scalar():
+    """_orbit_masks_block0 (mesh stage C's shared resolve) must equal
+    the scalar blocked resolve for every start, incl. sub-block caps."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import stringsext_tpu.ops.classify_cjk as C
+
+    rng = np.random.default_rng(43)
+    for trial in range(20):
+        cap = int(rng.choice([300, 700, 2048, 5120]))
+        step = rng.integers(1, 5, cap).astype(np.int32)
+        n = int(rng.integers(cap // 2, cap + 1))
+        for _ in range(2):
+            i = int(rng.integers(max(n - 8, 0), n))
+            step[i] = max(n - i, 1)
+        starts = np.array([0, 4, 5, 7], np.int32)
+        multi = np.asarray(C._orbit_masks_block0(
+            jnp.asarray(step), n, jnp.asarray(starts)))
+        for si, st in enumerate(starts):
+            ref = np.asarray(C._orbit_mask_blocked(
+                jnp.asarray(step), jnp.int32(n), int(st)))
+            assert (multi[si] == ref).all(), (trial, cap, n, int(st))
