@@ -163,6 +163,10 @@ def _accel_plausible() -> bool:
 
     if glob.glob("/dev/accel*") or glob.glob("/dev/vfio/*"):
         return True
+    # GPU device nodes (the probe's platform check accepts gpu/cuda/
+    # rocm verdicts, so these must count as plausible too).
+    if glob.glob("/dev/nvidia[0-9]*") or os.path.exists("/dev/kfd"):
+        return True
     plat = (os.environ.get("JAX_PLATFORMS")
             or os.environ.get("JAX_PLATFORM_NAME") or "").lower()
     if any(k in plat for k in ("tpu", "gpu", "cuda", "rocm", "axon")):
@@ -243,7 +247,18 @@ def _auto_engine() -> str:
             if "reason" not in doc or (
                 time.time() - doc.get("time", 0) < _PROBE_ERROR_TTL_S
             ):
-                return "tpu" if doc.get("verdict") == "tpu" else "auto"
+                if doc.get("verdict") != "tpu":
+                    return "auto"
+                # The cache is per-machine but jax is per-interpreter:
+                # a verdict measured from a jax-equipped venv must not
+                # crash a jax-less install (e.g. the .deb, which only
+                # depends on python3-numpy) - honor it only when this
+                # interpreter can actually import jax.
+                import importlib.util
+
+                if importlib.util.find_spec("jax") is None:
+                    return "auto"
+                return "tpu"
         except (OSError, ValueError):
             pass
         if not _accel_plausible():
@@ -698,19 +713,69 @@ _SEGMENT_PROBE_MIN = 4 * 1024 * 1024  # probe segmentation size floor
 _PROBE_ROW_TRIES = 1024  # rows examined around each balance target
 
 
-def _mission_cold_lut(mission, kind: str):
+def _iso_entry_modes(data, sl, bounds, initial_mode=0, first_lo=None):
+    """ISO-2022-JP segment entry modes from the escape history before
+    each split point (cold-quiescent boundaries are event starts with
+    output_flag=false; only the MODE carries, and it is a pure function
+    of the preceding bytes - engine.align._iso_mode_transfer).
+    `first_lo` overrides the first span's start byte (the streaming
+    path starts it at the mission's carried cursor, since the carry
+    tail can hold an escape that changes the mode before the first
+    split)."""
+    from .engine.align import _iso_mode_transfer
+
+    entry = [initial_mode] * (len(bounds) - 1)
+    mode = initial_mode
+    for si, (r0, r1) in enumerate(zip(bounds[:-1], bounds[1:])):
+        entry[si] = mode
+        lo = (first_lo if si == 0 and first_lo is not None
+              else int(sl[0][r0]))
+        hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
+        t = _iso_mode_transfer(data[lo:hi])
+        if t >= 0:
+            mode = t
+    return entry
+
+
+def _concat_segment_parts(parts):
+    """Stitch ordered per-segment scan results [(res, strbuf)] into one
+    (res, strbuf): concat every column, rebasing str_off into the
+    joined strbuf (which is why SE_INREF is off for segmented
+    missions)."""
+    import numpy as np
+
+    sb = b"".join(p[1] for p in parts)
+    off = 0
+    cols = {k: [] for k in parts[0][0]}
+    for res_p, psb in parts:
+        for k, v in res_p.items():
+            if k == "str_off":
+                v = v + np.uint64(off)
+            cols[k].append(v)
+        off += len(psb)
+    return {k: np.concatenate(v) for k, v in cols.items()}, sb
+
+
+def _mission_cold_lut(mission):
     """Cold-slice membership test data for one mission: ("lut", lut256)
     where True = the byte CAN belong to / start an accepted char, or
     ("u16", be, hi_lut, lo_lut0) for UTF-16 (the same static spec
-    decomposition as _host_hot_ranges). None = no static spec."""
+    decomposition as _host_hot_ranges). None = no static spec.
+
+    Memoized on the mission object: the streaming path probes every
+    chunk, and the spec derivation is not free (gb18030's plausible-
+    byte spec walks ~1.09M pointer indices)."""
+    cached = getattr(mission, "_cold_lut", False)
+    if cached is not False:
+        return cached
     import numpy as np
 
     from .ops.specs import cjk_hot_spec, swar_mission_spec
 
     spec = swar_mission_spec(mission) or cjk_hot_spec(mission)
     if spec is None:
-        return None
-    if spec[0] == "utf16":
+        val = None
+    elif spec[0] == "utf16":
         _k, be, cp_iv, _g = spec
         iv = list(cp_iv)
         if any(hi >= 0x10000 for _lo, hi in iv):
@@ -722,12 +787,15 @@ def _mission_cold_lut(mission, kind: str):
                 hi_lut[max(lo >> 8, 1) : (min(hi, 0xFFFF) >> 8) + 1] = True
             if lo <= 0xFF:
                 lo_lut0[lo : min(hi, 0xFF) + 1] = True
-        return ("u16", bool(be), hi_lut, lo_lut0)
-    iv = (spec[1] + spec[2]) if spec[0] == "utf8" else spec[1]
-    lut = np.zeros(256, bool)
-    for lo, hi in iv:
-        lut[lo : hi + 1] = True
-    return ("lut", lut)
+        val = ("u16", bool(be), hi_lut, lo_lut0)
+    else:
+        iv = (spec[1] + spec[2]) if spec[0] == "utf8" else spec[1]
+        lut = np.zeros(256, bool)
+        for lo, hi in iv:
+            lut[lo : hi + 1] = True
+        val = ("lut", lut)
+    object.__setattr__(mission, "_cold_lut", val)  # Mission is frozen
+    return val
 
 
 def _probe_segment_rows(data, sl, mission, kind: str, window_bytes: int,
@@ -749,7 +817,7 @@ def _probe_segment_rows(data, sl, mission, kind: str, window_bytes: int,
     a few MiB, not the stream."""
     import numpy as np
 
-    cold = _mission_cold_lut(mission, kind)
+    cold = _mission_cold_lut(mission)
     if cold is None:
         return []
     starts, lens, _f, _l = sl
@@ -1117,25 +1185,10 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                             2 * m.output_line_char_nb_max, eff,
                         )
             bounds = [0] + splits + [len(sl[0])]
-            entry_modes = [0] * (len(bounds) - 1)
             if kind == "iso-2022-jp" and len(bounds) > 2:
-                # Segment entry modes from the escape history before
-                # each split point (cold-quiescent boundaries are event
-                # starts with output_flag=false; only the MODE carries,
-                # and it is a pure function of the preceding bytes -
-                # engine.align._iso_mode_transfer).
-                from .engine.align import _iso_mode_transfer
-
-                mode = 0
-                for si, (r0, r1) in enumerate(
-                    zip(bounds[:-1], bounds[1:])
-                ):
-                    entry_modes[si] = mode
-                    lo = int(sl[0][r0])
-                    hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
-                    t = _iso_mode_transfer(stream.data[lo:hi])
-                    if t >= 0:
-                        mode = t
+                entry_modes = _iso_entry_modes(stream.data, sl, bounds)
+            else:
+                entry_modes = [0] * (len(bounds) - 1)
             if len(bounds) == 2:
                 all_jobs.append((i, m, None, 0))
             else:
@@ -1199,20 +1252,8 @@ def _scan_arrays(stream: LoadedStream, missions: Missions, engine: str,
                     if input_refs else ()
                 )
                 continue
-            sb = b"".join(p[3] for p in parts)
-            off = 0
-            cols = {k: [] for k in parts[0][2]}
-            for _r0, _m, res, psb in parts:
-                for k, v in res.items():
-                    if k == "str_off":
-                        v = v + np.uint64(off)
-                    cols[k].append(v)
-                off += len(psb)
-            results[i] = (
-                m,
-                {k: np.concatenate(v) for k, v in cols.items()},
-                sb,
-            ) + ((None,) if input_refs else ())
+            res, sb = _concat_segment_parts([(p[2], p[3]) for p in parts])
+            results[i] = (m, res, sb) + ((None,) if input_refs else ())
 
     if python_missions:
         sub = Missions(python_missions)
@@ -1792,27 +1833,14 @@ def _run_streaming_stdin(
                 if not splits:
                     continue
                 bounds = [0] + splits + [len(sl[0])]
-                entry_modes = [int(states[i].get("dec_mode", 0))] * (
-                    len(bounds) - 1)
+                carried = int(states[i].get("dec_mode", 0))
                 if kind == "iso-2022-jp":
-                    from .engine.align import _iso_mode_transfer
-
-                    mode = entry_modes[0]
-                    for si, (r0, r1) in enumerate(
-                        zip(bounds[:-1], bounds[1:])
-                    ):
-                        entry_modes[si] = mode
-                        # The FIRST span starts at the mission's
-                        # carried CURSOR, not the first slice row: the
-                        # carry tail (bytes the previous chunk left
-                        # unconsumed) can hold an escape that changes
-                        # the mode before the first split.
-                        lo = (int(sl[0][r0]) if si
-                              else int(states[i].get("cursor", 0)))
-                        hi = int(sl[0][r1 - 1] + sl[1][r1 - 1])
-                        t = _iso_mode_transfer(data[lo:hi])
-                        if t >= 0:
-                            mode = t
+                    entry_modes = _iso_entry_modes(
+                        data, sl, bounds, initial_mode=carried,
+                        first_lo=int(states[i].get("cursor", 0)),
+                    )
+                else:
+                    entry_modes = [carried] * (len(bounds) - 1)
                 seg_bounds[i] = (bounds, entry_modes)
 
         def job(i, m):
@@ -1882,19 +1910,8 @@ def _run_streaming_stdin(
                     # point into (None when input_refs is off)
                     ib = data if use_input_refs else None
                 else:
-                    # probe-split segments: concat columns, rebase
-                    # str_off into the joined strbuf (which is why
-                    # SE_INREF is off for segmented missions)
-                    sb = b"".join(p[1] for p in parts)
-                    off = 0
-                    cols = {k: [] for k in parts[0][0]}
-                    for res_p, psb in parts:
-                        for k, v in res_p.items():
-                            if k == "str_off":
-                                v = v + np.uint64(off)
-                            cols[k].append(v)
-                        off += len(psb)
-                    res = {k: np.concatenate(v) for k, v in cols.items()}
+                    # probe-split segments
+                    res, sb = _concat_segment_parts(parts)
                     ib = None
                 results[i] = (missions.v[i], res, sb, ib)
 

@@ -46,6 +46,65 @@ def test_auto_engine_honors_cached_verdict(monkeypatch, tmp_path):
     assert R._auto_engine() == "auto"
 
 
+def test_auto_engine_cached_tpu_needs_importable_jax(monkeypatch, tmp_path):
+    """The verdict cache is per-machine but jax is per-interpreter: a
+    cached "tpu" verdict from a jax-equipped venv must degrade to the
+    host path (not crash later at `import jax`) when this interpreter
+    has no jax - e.g. the .deb install, which depends only on numpy."""
+    import importlib.util
+
+    cache = tmp_path / "probe.json"
+    monkeypatch.setenv("STRINGSEXT_PROBE_CACHE", str(cache))
+    monkeypatch.delenv("STRINGSEXT_DEVICE_PROBE", raising=False)
+    monkeypatch.setattr(R, "_measure_device_link",
+                        lambda: pytest.fail("cached verdict must win"))
+    cache.write_text(json.dumps({"verdict": "tpu"}))
+    real_find_spec = importlib.util.find_spec
+    monkeypatch.setattr(
+        importlib.util, "find_spec",
+        lambda name, *a: None if name == "jax"
+        else real_find_spec(name, *a),
+    )
+    assert R._auto_engine() == "auto"
+
+
+def test_accel_plausible_gpu_device_nodes(monkeypatch):
+    """engine=auto's cheap presence check must fire for NVIDIA/AMD GPU
+    device nodes too - the probe itself accepts gpu/cuda/rocm
+    platforms, so the plausibility gate must not filter them out."""
+    import glob as glob_mod
+
+    for k in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "TPU_NAME",
+              "COLAB_TPU_ADDR"):
+        monkeypatch.delenv(k, raising=False)
+
+    # neutralize the other signals so each assertion is discriminating
+    import importlib.util
+    import os.path as osp
+
+    real_find_spec = importlib.util.find_spec
+    monkeypatch.setattr(
+        importlib.util, "find_spec",
+        lambda name, *a: None if name == "libtpu"
+        else real_find_spec(name, *a),
+    )
+    real_exists = osp.exists
+
+    def fake_glob(pat):
+        return ["/dev/nvidia0"] if pat == "/dev/nvidia[0-9]*" else []
+
+    monkeypatch.setattr(glob_mod, "glob", fake_glob)
+    assert R._accel_plausible()
+
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: [])
+    assert not R._accel_plausible()  # negative control
+
+    monkeypatch.setattr(
+        osp, "exists",
+        lambda p: True if p == "/dev/kfd" else real_exists(p))
+    assert R._accel_plausible()
+
+
 def test_auto_engine_skips_probe_without_accel_signals(monkeypatch, tmp_path):
     monkeypatch.setenv("STRINGSEXT_PROBE_CACHE",
                        str(tmp_path / "none.json"))
