@@ -363,6 +363,11 @@ def _classify_gb18030(b: np.ndarray) -> _Classified:
     ascii_ = b < 0x80
     c.is_char |= ascii_
     c.cp = np.where(ascii_, b, c.cp)
+    # WHATWG gb18030 decoder step 7 (the GBK euro quirk): 0x80 is a
+    # valid 1-byte U+20AC, not an error.
+    euro = b == 0x80
+    c.is_char |= euro
+    c.cp = np.where(euro, 0x20AC, c.cp)
 
     lead = (b >= 0x81) & (b <= 0xFE)
     digit1 = (t1 >= 0x30) & (t1 <= 0x39)

@@ -244,7 +244,10 @@ static inline bool gb18030_next(const Mission& m, const uint8_t* d, int64_t n,
     uint8_t b = d[p];
     ev->pos = p; ev->pushback = 0; ev->cp2 = 0;
     if (b < 0x80) { ev->in_len = 1; ev->cp = b; ev->report = p; return true; }
-    if (b < 0x81 || b > 0xFE) {
+    // WHATWG gb18030 decoder step 7 (the GBK euro quirk): 0x80 is a
+    // valid 1-byte U+20AC, not an error.
+    if (b == 0x80) { ev->in_len = 1; ev->cp = 0x20AC; ev->report = p; return true; }
+    if (b > 0xFE) {
         ev->in_len = 1; ev->cp = -1; ev->report = p; return true;
     }
     if (p + 1 >= n) return false;

@@ -424,6 +424,9 @@ def _classify_gb18030(b, have1, have2, have3, n) -> _C:
 
     ascii_ = b < 0x80
     c.set(ascii_, cp=b)
+    # WHATWG gb18030 decoder step 7 (the GBK euro quirk): 0x80 is a
+    # valid 1-byte U+20AC, not an error.
+    c.set(b == 0x80, cp=0x20AC)
 
     lead = (b >= 0x81) & (b <= 0xFE)
     digit1 = (t1 >= 0x30) & (t1 <= 0x39)

@@ -362,6 +362,8 @@ def cjk_hot_spec(mission):
             plausible |= ok2.any(axis=1)
             plausible |= ok2.any(axis=0)
     elif kind == "gb18030":
+        # WHATWG step 7: 0x80 decodes to U+20AC (the GBK euro quirk)
+        plausible[0x80] |= bool(acc(np.array([0x20AC]))[0])
         # four-byte form: enumerate the two valid pointer segments
         from ..native import _gb18030_ranges
 

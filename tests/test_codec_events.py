@@ -34,6 +34,11 @@ spec text; our side follows WHATWG):
   injects STRUCTURAL junk, and tier 2 only uses Python-encodable
   chars (WHATWG indexes are a superset there - zero divergences
   observed over the sampled pools).
+- gb18030/GBK 0x80: WHATWG decoder step 7 maps the bare byte to
+  U+20AC (the GBK euro quirk); CPython's gb18030/gbk error. Pinned
+  explicitly below - tier 3's 0xFF-only injection cannot reach it
+  (and this exact byte was a real three-engine divergence from the
+  reference until round 5).
 """
 
 import numpy as np
@@ -200,3 +205,16 @@ def test_multibyte_first_error_position(enc, py):
         if py_err is not None:
             checked += 1
     assert checked > 40, f"{enc}: too few error cases exercised"
+
+
+@pytest.mark.parametrize("enc,py", [("gb18030", "gb18030"),
+                                    ("GBK", "gbk")])
+def test_gb18030_euro_0x80_divergence(enc, py):
+    """Documented deliberate divergence (header): bare 0x80 is a
+    1-byte U+20AC char per WHATWG gb18030 step 7; CPython errors."""
+    ev = generate_events(np.frombuffer(b"A\x80B", np.uint8), enc)
+    got = [(int(ev.pos[k]), int(ev.in_len[k]), int(ev.cp[k]))
+           for k in range(len(ev))]
+    assert got == [(0, 1, 0x41), (1, 1, 0x20AC), (2, 1, 0x42)]
+    with pytest.raises(UnicodeDecodeError):
+        b"\x80".decode(py)
