@@ -35,6 +35,11 @@ from ..finding import Finding, PRECISION_AFTER, PRECISION_BEFORE, PRECISION_EXAC
 from ..mission import Mission, Utf8Filter
 from .events import Events, generate_events
 
+# The reference's ByteCounter is u64 (input.rs:16): positions and the
+# consumed counter wrap mod 2^64 in release Rust when -s pushes them
+# past the max; the native engine wraps the same way in C.
+_U64_MASK = (1 << 64) - 1
+
 
 def utf8_lead(cp: int) -> int:
     """UTF-8 leading byte of a codepoint."""
@@ -270,10 +275,20 @@ class SliceScanner:
             if call_label == 0 and call_chars:
                 first_lead = utf8_lead(call_chars[0])
                 if first_lead >= 0x80:
+                    # Each char encodes to >= 1 byte, so 8 chars of
+                    # each source bound the 8-byte prefix.
                     ref_prefix = (
-                        encode_utf8(pending or []) + encode_utf8(call_chars)
+                        encode_utf8((pending or [])[:8])
+                        + encode_utf8(call_chars[:8])
                     )[:8]
                     fresh = _fresh_decode_prefix(slice_bytes, m.encoding_name)
+                    # The reference compares fresh[0..written] against
+                    # its ZERO-INITIALIZED output buffer
+                    # (finding_collection.rs:55,183,203-205), so main
+                    # bytes past the decode read as NUL - a fresh
+                    # decode that runs ahead into NUL chars still
+                    # matches Exact.
+                    ref_prefix += b"\x00" * (len(fresh) - len(ref_prefix))
                     if len(fresh) == 0 or ref_prefix[: len(fresh)] != fresh:
                         precision = PRECISION_BEFORE
 
@@ -301,7 +316,10 @@ class SliceScanner:
                         Finding(
                             input_file_id=input_file_id,
                             mission=m,
-                            position=base + call_label,
+                            # ByteCounter is u64 (input.rs:16); release
+                            # Rust wraps mod 2^64 when -s pushes it
+                            # past the max.
+                            position=(base + call_label) & _U64_MASK,
                             position_precision=precision,
                             s=encode_utf8(chars[chunk.start : chunk.end]),
                             s_completes_previous_s=chunk.s_completes_previous_s,
@@ -368,5 +386,5 @@ class SliceScanner:
         # Write back carry state (finding_collection.rs:329-338).
         st.leftover_cps = state["pending"] if state["pending"] is not None else []
         st.last_printed_maybe_cut = state["flag"]
-        st.consumed_bytes += slice_len
+        st.consumed_bytes = (st.consumed_bytes + slice_len) & _U64_MASK
         return findings

@@ -895,10 +895,19 @@ static void scan_mission(const Mission& m, const uint8_t* data, int64_t total,
                     }
                     if (refpfx.size() > 8) refpfx.resize(8);
                     fresh_decode_prefix(m, data + sstart, slen, fresh);
+                    // The reference compares fresh[0..written] against
+                    // its ZERO-INITIALIZED output buffer
+                    // (finding_collection.rs:55,183,203-205): main
+                    // bytes past the decode read as NUL, so a fresh
+                    // decode running ahead into NUL chars still
+                    // matches Exact.
                     bool differ = fresh.empty();
-                    if (!differ)
-                        differ = fresh.size() > refpfx.size() ||
-                                 memcmp(refpfx.data(), fresh.data(), fresh.size()) != 0;
+                    if (!differ) {
+                        size_t cmp = std::min(fresh.size(), refpfx.size());
+                        differ = memcmp(refpfx.data(), fresh.data(), cmp) != 0;
+                        for (size_t i = cmp; !differ && i < fresh.size(); ++i)
+                            differ = fresh[i] != 0;
+                    }
                     if (differ) precision = -1;
                 }
             }
