@@ -36,10 +36,13 @@ class Finding:
 
     def sort_key(self):
         """Merge ordering (finding.rs:92-109): position, mission_id,
-        then filter ubf / af (unreachable tie-breaks kept for parity)."""
+        then filter ubf / af. The reference's mission_id is truncated
+        to u8 at construction (mission.rs:697), so with >256 missions
+        the wrapped id ties and the ubf/af tie-breaks become
+        reachable - compare the wrapped value for parity."""
         return (
             self.position,
-            self.mission.mission_id,
+            self.mission.mission_id & 0xFF,
             self.mission.filter.ubf,
             self.mission.filter.af,
         )

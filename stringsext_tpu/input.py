@@ -127,24 +127,61 @@ def load_stream(inputs: List[str]) -> LoadedStream:
         return LoadedStream(data=data, spans=spans)
 
     # Multi-file: size first, then readinto one preallocated buffer
-    # (a parts list + join would double peak memory).
+    # (a parts list + join would double peak memory). Non-regular
+    # inputs (FIFOs, procfs/sysfs, char devices) report a zero or
+    # meaningless st_size, so they get a read()-to-EOF loop like the
+    # reference's Read-based Slicer (input.rs:120-129); the same loop
+    # picks up bytes a regular file GREW between stat and read.
+    import stat as statmod
+
     sizes: List[int] = []
+    regular: List[bool] = []
     for name in inputs:
         try:
-            sizes.append(os.path.getsize(name))
+            st = os.stat(name)
+            reg = statmod.S_ISREG(st.st_mode)
+            sizes.append(st.st_size if reg else 0)
+            regular.append(reg)
         except OSError:
             sizes.append(0)  # warn below at open time
+            regular.append(True)
     data = np.empty(sum(sizes), np.uint8)
-    pos = 0
+    pos = 0  # write cursor into the preallocated buffer
+    deviated = False  # an extra appeared: switch to parts + concat
+    parts: List[np.ndarray] = []
+    cur_len = 0  # logical stream length so far (== pos until deviation)
     for i, (name, sz) in enumerate(zip(inputs, sizes)):
         n = 0
+        extra = b""
         try:
             with open(name, "rb") as f:
-                n = f.readinto(memoryview(data[pos : pos + sz]))
+                if regular[i] and sz:
+                    n = f.readinto(memoryview(data[pos : pos + sz]))
+                    if n == sz:
+                        extra = f.read()  # grew since stat
+                else:
+                    extra = f.read()  # non-regular: stat size lies
         except OSError as e:
             print(f"Error: can not read file`\"{name}\"`: {e}", file=sys.stderr)
-        spans.append((i + 1, pos, pos + n))
+        if not deviated:
+            start = pos
+            if extra:
+                deviated = True
+                if pos + n:
+                    parts.append(data[: pos + n])  # stream so far
+                parts.append(np.frombuffer(extra, np.uint8))
+            cur_len = pos + n + len(extra)
+        else:
+            start = cur_len
+            if n:
+                parts.append(data[pos : pos + n])
+            if extra:
+                parts.append(np.frombuffer(extra, np.uint8))
+            cur_len += n + len(extra)
+        spans.append((i + 1, start, start + n + len(extra)))
         pos += n
-    if pos != len(data):  # a file shrank between stat and read
+    if deviated:
+        data = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    elif pos != len(data):  # a file shrank between stat and read
         data = data[:pos]
     return LoadedStream(data=data, spans=spans)
