@@ -1524,6 +1524,7 @@ def _run_streaming_stdin(
     args: Args, missions: Missions, out, src=None,
     chunk_bytes: int = STREAM_CHUNK, engine: str = "auto",
     checkpoint_path: Optional[str] = None,
+    file_plan: Optional[List] = None,
 ) -> int:
     """Constant-memory stdin scan: state-carrying native chunk scans +
     per-chunk merge/format - the reference's lock-step batch pipeline
@@ -1538,7 +1539,20 @@ def _run_streaming_stdin(
     held back one chunk and merged there. Unconsumed tail bytes (the
     decode cursor stops at the first event reporting past the chunk,
     <= ~8 bytes) are re-prepended to the next chunk with per-mission
-    cursor rebasing."""
+    cursor rebasing.
+
+    `file_plan` = ordered [(file_id, path)]: MULTI-FILE constant-memory
+    streaming (the reference scans any number of files in a fixed
+    4 KiB buffer, input.rs:33-168). Chunks never span files - each
+    chunk's slice rows carry that one file's id, so letters print
+    exactly as buffered - and mission states (decoder carry, counters,
+    leftovers) flow across file boundaries like the reference's
+    concatenated stream; a leftover settled in the next file's first
+    chunk gets THAT file's letter, which is the reference's own
+    labeling (FindingCollection::from tags findings with the buffer's
+    input_file_id). Files are chunked from their own offset 0, so the
+    4096 slice grid restarts per file exactly like the buffered
+    slice-table replay."""
     import numpy as np
 
     from concurrent.futures import ThreadPoolExecutor
